@@ -1,0 +1,170 @@
+"""StandardAnalyzer-equivalent tokenization, built from scratch in Python.
+
+Behavioral reference (Apache Lucene, /root/reference):
+  - UAX#29 word-break grammar:
+      lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex:216-252
+    Letter runs join across a single MidLetter|MidNumLet|SingleQuote char
+    when a letter is on both sides; numeric runs join across a single
+    MidNum|MidNumLet|SingleQuote when a digit is on both sides;
+    ExtendNumLet (e.g. '_') joins freely inside runs; Han/Hiragana
+    ideographs emit one token per character; Katakana emits runs.
+  - Over-long tokens are SPLIT at maxTokenLength=255 chars (the JFlex
+    scanner's %buffer 255 re-lexes the remainder), NOT dropped:
+      lucene/core/src/test/org/apache/lucene/analysis/standard/TestStandardAnalyzer.java:679-694
+  - Lowercasing is per-codepoint Unicode *simple* mapping
+    (java.lang.Character.toLowerCase(int)):
+      lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:35-40
+  - No stopwords by default:
+      lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:51-53
+
+Positions: with the default config no token is ever dropped, so position
+== token index (Lucene starts at -1 and adds posIncrement=1 per token).
+
+This is pure Python + compiled regex (C speed); it is invoked from Spark
+only inside Arrow-batched pandas UDFs (see lucene_spark.index.builder).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import unicodedata
+from functools import lru_cache
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+
+# ---------------------------------------------------------------------------
+# Word-break property classes (Unicode 12.1, per WordBreakProperty.txt)
+# ---------------------------------------------------------------------------
+
+# WB:MidLetter (joins letter runs)
+_MID_LETTER = ":··՟״‧︓﹕："
+# WB:MidNumLet (joins letter runs AND numeric runs)
+_MID_NUM_LET = ".‘’․﹒＇．"
+# WB:Single_Quote (joins letter runs AND numeric runs)
+_SINGLE_QUOTE = "'"
+# WB:MidNum (joins numeric runs)
+_MID_NUM = (
+    "\u002c\u003b\u037e\u0589\u060c\u060d\u066b\u066c\u07f8"
+    "\u2044\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b"
+)
+
+_LETTER_MIDS = re.escape(_MID_LETTER + _MID_NUM_LET + _SINGLE_QUOTE)
+_NUM_MIDS = re.escape(_MID_NUM + _MID_NUM_LET + _SINGLE_QUOTE)
+
+# Script ranges that UAX#29 excludes from ALetter and that StandardTokenizer
+# emits specially: Han + Hiragana => one token per char; Katakana => runs.
+_HAN = (
+    "⺀-⻿々〇㐀-䶿一-鿿豈-龎"
+    "\U00020000-\U0002fa1f"
+)
+_HIRAGANA = "ぁ-ゖゝ-ゟ"
+_KATAKANA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+_CJK_SINGLE = _HAN + _HIRAGANA
+
+
+def _ranges_for_categories(cats: frozenset[str]) -> str:
+    """Build a compact regex char-class body for BMP chars in the given
+    Unicode general categories (used for WB4 Extend/Format absorption)."""
+    parts: list[str] = []
+    start = None
+    prev = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)) in cats:
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            parts.append((start, prev))
+            start = None
+    if start is not None:
+        parts.append((start, prev))
+    out = []
+    for a, b in parts:
+        if a == b:
+            out.append(re.escape(chr(a)))
+        else:
+            out.append(f"{re.escape(chr(a))}-{re.escape(chr(b))}")
+    return "".join(out)
+
+
+@lru_cache(maxsize=1)
+def _unicode_pattern() -> re.Pattern[str]:
+    # WB4: Extend | Format | ZWJ absorbed into tokens (approximated by
+    # general categories Mn/Mc/Me/Cf).
+    ext = _ranges_for_categories(frozenset({"Mn", "Mc", "Me", "Cf"}))
+    EXT = f"[{ext}]"
+    # One "word" char: \w (unicode letters/digits/_/Pc) excluding the CJK
+    # ranges handled by the single-char / Katakana alternatives; each word
+    # char may be followed by Extend/Format marks (WB4).
+    W = f"(?:(?![{_CJK_SINGLE}{_KATAKANA}])[\\w]{EXT}*)"
+    RUN = f"{W}+"
+    LETTER = "[^\\W\\d_]"  # one unicode letter (for mid-char context checks)
+    MID = (
+        f"(?:(?<={LETTER})[{_LETTER_MIDS}](?={LETTER})"
+        f"|(?<=\\d)[{_NUM_MIDS}](?=\\d))"
+    )
+    WORD = f"{RUN}(?:{MID}{RUN})*"
+    KATA = f"[{_KATAKANA}](?:[{_KATAKANA}]|{EXT})*"
+    CJK1 = f"[{_CJK_SINGLE}]{EXT}*"
+    return re.compile(f"{KATA}|{CJK1}|{WORD}", re.UNICODE)
+
+
+# Fast path for pure-ASCII input (the bulk of a source-code corpus).
+_ASCII_PATTERN = re.compile(
+    r"[0-9A-Za-z_]+"
+    r"(?:(?:(?<=[A-Za-z])[:.'](?=[A-Za-z])|(?<=[0-9])[.,;'](?=[0-9]))"
+    r"[0-9A-Za-z_]+)*"
+)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """Segment ``text`` into StandardTokenizer-equivalent tokens (original
+    case). Over-long matches are re-lexed through a ``max_token_length``
+    window, reproducing the JFlex 255-char-buffer split behavior."""
+    pat = _ASCII_PATTERN if text.isascii() else _unicode_pattern()
+    out: list[str] = []
+    for m in pat.finditer(text):
+        if m.end() - m.start() <= max_token_length:
+            out.append(m.group())
+        else:
+            i, e = m.start(), m.end()
+            while i < e:
+                mm = pat.search(text, i, min(i + max_token_length, e))
+                if mm is None:
+                    break
+                out.append(mm.group())
+                i = mm.end()
+    return out
+
+
+# Unicode's only multi-char *full* lowercase whose *simple* mapping differs:
+# U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> U+0069.
+_SIMPLE_LOWER_SPECIAL = {"İ": "i"}
+
+
+def _simple_lower_char(ch: str) -> str:
+    low = ch.lower()
+    if len(low) == 1:
+        return low
+    return _SIMPLE_LOWER_SPECIAL.get(ch, ch)
+
+
+def lowercase(term: str) -> str:
+    """Per-codepoint Unicode simple lowercase (Character.toLowerCase(int)).
+
+    Differs from str.lower() on context-sensitive full mappings (final
+    sigma, U+0130); see LowerCaseFilter.java:35-40 / CharacterUtils.java:53-61.
+    """
+    if term.isascii():
+        return term.lower()
+    return "".join(_simple_lower_char(ch) for ch in term)
+
+
+def analyze(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """Full StandardAnalyzer chain: tokenize then simple-lowercase.
+
+    Token index in the returned list == Lucene position (no drops with the
+    default chain, so increments are always 1).
+    """
+    return [lowercase(t) for t in tokenize(text, max_token_length)]
