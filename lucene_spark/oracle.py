@@ -1,0 +1,142 @@
+"""Straight-line numpy BM25 oracle over uncompressed postings.
+
+This is the independent reference implementation used by the tests to
+check the Spark engine for rank-identity, mirroring how the reference
+validates pruned vs complete execution
+(lucene/test-framework/src/java/org/apache/lucene/tests/search/CheckHits.java:222-246,
+score tolerance 1e-6 at :223; tie-break score DESC then docID ASC per
+lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-83).
+
+It shares only the *kernels* (analyzer, byte4, BM25 formulas) with the
+engine — the indexing/search dataflow is a deliberately naive in-memory
+dict, no compression, no pruning, no Spark.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from lucene_spark.analysis import analyze
+from lucene_spark.search.bm25 import BM25Scorer
+from lucene_spark.util.smallfloat import int_to_byte4
+
+
+class OracleIndex:
+    def __init__(self, contents: list[str], doc_ids: list[int] | None = None):
+        """contents[i] is the raw text of docID doc_ids[i] (default i)."""
+        self.doc_ids = np.asarray(
+            doc_ids if doc_ids is not None else range(len(contents)), dtype=np.int64
+        )
+        post: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        dls = np.zeros(len(contents), dtype=np.int64)
+        for row, text in enumerate(contents):
+            toks = analyze(text)
+            dls[row] = len(toks)
+            for pos, t in enumerate(toks):
+                post[t].setdefault(row, []).append(pos)
+        self.dl = dls
+        self.norms = int_to_byte4(dls)
+        self.postings = {
+            t: (
+                np.array(sorted(d.keys()), dtype=np.int64),
+                np.array([len(d[r]) for r in sorted(d.keys())], dtype=np.int64),
+                {r: np.array(p, dtype=np.int64) for r, p in d.items()},
+            )
+            for t, d in post.items()
+        }
+        self.doc_count = len(contents)
+        self.sum_total_term_freq = int(dls.sum())
+        self.sum_doc_freq = sum(len(v[0]) for v in self.postings.values())
+        self.scorer = BM25Scorer.build(self.doc_count, self.sum_total_term_freq)
+
+    # -- retrieval ---------------------------------------------------------
+
+    def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(row_indexes, float32 scores) for one term."""
+        if term not in self.postings:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        rows, tfs, _ = self.postings[term]
+        df = len(rows)
+        scores = self.scorer.score(
+            tfs.astype(np.float32), self.norms[rows], doc_freq=df
+        )
+        return rows, scores
+
+    def search(self, terms: list[str], k: int = 10, mode: str = "or"):
+        """Top-k [(docID, float32 score)] for an OR/AND bag of terms.
+
+        Per-term float32 scores accumulate in float64 then cast to float32
+        (DisjunctionSumScorer.java:40-46 / ConjunctionScorer.java:57-63)."""
+        acc = np.zeros(self.doc_count, dtype=np.float64)
+        nmatch = np.zeros(self.doc_count, dtype=np.int64)
+        present = [t for t in terms if t in self.postings]
+        for t in terms:
+            rows, scores = self._term_scores(t)
+            acc[rows] += scores.astype(np.float64)
+            nmatch[rows] += 1
+        if mode == "and":
+            # Lucene: a MUST clause on a nonexistent term matches nothing
+            if len(present) < len(terms):
+                return []
+            mask = nmatch == len(terms)
+        else:
+            mask = nmatch > 0
+        rows = np.flatnonzero(mask)
+        if rows.size == 0:
+            return []
+        final = acc[rows].astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -final))
+        top = order[:k]
+        return [
+            (int(self.doc_ids[rows[i]]), float(final[i])) for i in top
+        ]
+
+    def phrase_freqs(self, terms: list[str]) -> dict[int, int]:
+        """row -> exact-phrase occurrence count (ExactPhraseMatcher.java:37-167)."""
+        if any(t not in self.postings for t in terms):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        cand = set.intersection(*rowsets)
+        out = {}
+        for r in cand:
+            base = self.postings[terms[0]][2][r]
+            ok = np.ones(base.shape, dtype=bool)
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = self.postings[t][2][r]
+                ok &= np.isin(base + i, nxt)
+            freq = int(ok.sum())
+            if freq:
+                out[r] = freq
+        return out
+
+    def search_phrase(self, terms: list[str], k: int = 10):
+        """Top-k for an exact phrase: freq = #occurrences, weight uses the
+        summed idf of the phrase's terms (PhraseWeight / idfExplain over
+        TermStatistics[], BM25Similarity.java idfExplain(termStats[]))."""
+        freqs = self.phrase_freqs(terms)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+
+def assert_rank_identical(expected, got, tol=1e-6, msg=""):
+    """CheckHits.checkEqual analog: same docIDs in same order, scores
+    within tol."""
+    exp_ids = [d for d, _ in expected]
+    got_ids = [d for d, _ in got]
+    assert exp_ids == got_ids, f"{msg} docID ranks differ:\n exp {expected}\n got {got}"
+    for (d, es), (_, gs) in zip(expected, got):
+        assert abs(es - gs) <= tol * max(1.0, abs(es)), (
+            f"{msg} score mismatch doc {d}: {es} vs {gs}"
+        )

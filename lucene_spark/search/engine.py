@@ -1,0 +1,428 @@
+"""Query engine: BM25 top-k over the compressed postings table.
+
+Spark-first reimagining of IndexSearcher (SURVEY.md §3.2):
+  - driver-side "Weight creation": one tiny lookup of per-term (df, cf,
+    max_tf, min_norm) from the terms table + global stats from
+    manifest.json (TermStates.build / collectionStatistics analog,
+    lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:1119-1148)
+  - physical plan: postings blocks filtered to the query terms (parquet
+    min/max on the sorted `term` column = the term dictionary), optional
+    block-max pruning (WANDScorer analog, search/WANDScorer.java:55-340),
+    Arrow-batched decode+score UDF, groupBy(docID) double-sum, then
+    ORDER BY score DESC, docID ASC LIMIT k — Spark's
+    TakeOrderedAndProject is Lucene's per-slice HitQueue + TopDocs.merge
+    (search/TopDocs.java:203-231, tie-break at HitQueue.java:76-83).
+
+Score semantics: per-term scores in float32 (BM25Similarity expression
+shape), summed in double, cast back to float32 — matching
+ConjunctionScorer.java:57-63 / DisjunctionSumScorer.java:40-46 exactly,
+so results are rank-identical to Lucene for term/AND/OR queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lucene_spark.analysis import analyze
+from lucene_spark.search.bm25 import BM25Scorer, idf
+from lucene_spark.util.varbyte import decode, delta_decode, segmented_delta_decode
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("docID", LongType()),
+        StructField("score", FloatType()),
+        StructField("tf", IntegerType()),
+    ]
+)
+
+
+@dataclass
+class TermStats:
+    term: str
+    df: int
+    cf: int
+    max_tf: int
+    min_norm: int
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.doc_count = self.manifest["doc_count"]
+        self.scorer = BM25Scorer.build(
+            self.doc_count, self.manifest["sum_total_term_freq"]
+        )
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+
+    # -- planning ---------------------------------------------------------
+
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        """Resolve per-term statistics once per query (TermStates.build)."""
+        if not terms:
+            return {}
+        rows = self._terms.filter(F.col("term").isin(list(set(terms)))).collect()
+        return {
+            r["term"]: TermStats(
+                r["term"], r["df"], r["cf"], r["max_tf"], r["min_norm"]
+            )
+            for r in rows
+        }
+
+    def _weights(self, stats: dict[str, TermStats]) -> dict[str, float]:
+        return {
+            t: float(self.scorer.term_weight(s.df)) for t, s in stats.items()
+        }
+
+    # -- scoring kernel ---------------------------------------------------
+
+    def _decode_score_udf(self, weights: dict[str, float]):
+        cache = self.scorer.cache
+
+        def fn(batches):
+            for pdf in batches:
+                outs = []
+                for term, tfs_vb, norms_b, docs_vb in zip(
+                    pdf["term"], pdf["tfs_vb"], pdf["norms_b"], pdf["docs_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    w = np.float32(weights[term])
+                    inv = cache[norms]
+                    scores = (
+                        w - w / (np.float32(1.0) + tfs.astype(np.float32) * inv)
+                    ).astype(np.float32)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": doc_ids,
+                                "score": scores,
+                                "tf": tfs.astype(np.int32),
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": [], "score": [], "tf": []}
+                )
+
+        return fn
+
+    def _scored_postings(
+        self, terms: list[str], stats: dict[str, TermStats]
+    ) -> DataFrame:
+        """(docID, term, score) rows for every posting of the query terms."""
+        weights = self._weights(stats)
+        blocks = self._postings.filter(F.col("term").isin(list(weights)))
+        return blocks.mapInPandas(
+            self._decode_score_udf(weights), schema=SCORE_SCHEMA
+        )
+
+    # -- public query API -------------------------------------------------
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        mode: str = "or",
+        prune: bool = False,
+    ) -> DataFrame:
+        """Top-k DataFrame (docID long, score float) for a bag of terms.
+
+        mode='or'  -> BooleanQuery of SHOULD clauses (sum of scores)
+        mode='and' -> BooleanQuery of MUST clauses (leapfrog == count filter)
+        prune=True -> block-max WAND pruning (score-safe; see
+                      search_pruned for the bound derivation)
+        """
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return self._empty_topk()
+        if prune:
+            return self._search_pruned(present, stats, k, mode)
+        scored = self._scored_postings(present, stats)
+        return self._topk(scored, k, mode, n_terms=len(set(present)))
+
+    def count(self, query: str | list[str]) -> int:
+        """TotalHitCountCollector analog; single terms shortcut via df."""
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        if len(terms) == 1:
+            return stats[terms[0]].df if terms[0] in stats else 0
+        present = [t for t in terms if t in stats]
+        if not present:
+            return 0
+        return (
+            self._scored_postings(present, stats)
+            .select("docID")
+            .distinct()
+            .count()
+        )
+
+    # -- internals --------------------------------------------------------
+
+    @staticmethod
+    def _parse(query: str | list[str]) -> list[str]:
+        if isinstance(query, str):
+            return analyze(query)
+        out: list[str] = []
+        for q in query:
+            out.extend(analyze(q))
+        return out
+
+    def _empty_topk(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], StructType(
+                [StructField("docID", LongType()), StructField("score", FloatType())]
+            )
+        )
+
+    def _topk(
+        self, scored: DataFrame, k: int, mode: str, n_terms: int
+    ) -> DataFrame:
+        agg = scored.groupBy("docID").agg(
+            F.sum(F.col("score").cast(DoubleType())).alias("dsum"),
+            F.count("*").alias("nmatch"),
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("nmatch") == n_terms)
+        return (
+            agg.select(
+                "docID", F.col("dsum").cast(FloatType()).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    # -- block-max pruned top-k (WAND analog) -----------------------------
+
+    def _block_ub_col(self, weights: dict[str, float]):
+        """Native-Catalyst per-block score upper bound: score the block's
+        (max_tf, min_norm) impact pair — max_tf/min_norm may come from
+        different docs, so this dominates Lucene's competitive-pair bound
+        and is therefore score-safe."""
+        cache_arr = F.array(*[F.lit(float(v)) for v in self.scorer.cache])
+        w_map = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+        )
+        w = w_map[F.col("term")]
+        inv = F.element_at(cache_arr, F.col("min_norm") + 1)
+        return w - w / (F.lit(1.0) + F.col("max_tf").cast("double") * inv)
+
+    def _search_pruned(
+        self, terms: list[str], stats: dict[str, TermStats], k: int, mode: str
+    ) -> DataFrame:
+        """Two-phase score-safe block pruning.
+
+        Phase 1 (threshold bootstrap): exactly score the blocks with the
+        highest upper bounds (enough to cover >= k docs per term) and take
+        the k-th best doc score as theta (a LOWER bound of the true k-th
+        score, since phase-1 docs may gain score from unscored blocks
+        only).
+        Phase 2: keep only blocks where ub(block) + sum over other terms
+        of that term's global max ub >= theta — any doc in a dropped
+        block scores < theta <= kth true score, so top-k is unchanged
+        (WANDScorer.java:90-124 head/tail invariant, block-granular).
+        """
+        weights = self._weights(stats)
+        blocks = self._postings.filter(F.col("term").isin(list(weights))).withColumn(
+            "ub", self._block_ub_col(weights)
+        )
+        blocks = blocks.persist()
+        try:
+            # per-term global max upper bound (for the cross-term slack)
+            per_term = {
+                r["term"]: r["mub"]
+                for r in blocks.groupBy("term").agg(F.max("ub").alias("mub")).collect()
+            }
+            total_ub = {
+                t: sum(v for t2, v in per_term.items() if t2 != t)
+                for t in per_term
+            }
+            # phase 1: top blocks per term by ub covering >= k docs
+            from pyspark.sql import Window
+
+            win = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_seq"))
+            cand = (
+                blocks.withColumn(
+                    "cum",
+                    F.sum("ndocs").over(
+                        win.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                )
+                .filter((F.col("cum").isNull()) | (F.col("cum") < k))
+                .drop("cum")
+            )
+            scored1 = cand.mapInPandas(
+                self._decode_score_udf(weights), schema=SCORE_SCHEMA
+            )
+            n_terms = len(set(terms))
+            theta_rows = (
+                self._topk(scored1, k, mode, n_terms)
+                .select(F.min("score").alias("m"), F.count("*").alias("c"))
+                .collect()
+            )
+            theta = (
+                float(theta_rows[0]["m"])
+                if theta_rows and theta_rows[0]["c"] == k
+                else float("-inf")
+            )
+            # phase 2: score-safe filter. The doc score is
+            # float32(double-sum of float32 per-term scores) while ub is a
+            # double-precision bound, so pad theta by a few float32 ulps
+            # (MathUtil.sumUpperBound analog) to keep the prune provably
+            # score-safe under rounding.
+            pad = 1e-5 * (abs(theta) + 1.0) if theta != float("-inf") else 0.0
+            slack = F.create_map(
+                *[F.lit(x) for kv in total_ub.items() for x in (kv[0], float(kv[1]))]
+            )
+            surviving = blocks.filter(
+                (F.col("ub") + slack[F.col("term")]) >= F.lit(theta - pad)
+            )
+            scored = surviving.mapInPandas(
+                self._decode_score_udf(weights), schema=SCORE_SCHEMA
+            )
+            out = self._topk(scored, k, mode, n_terms)
+            out = self.spark.createDataFrame(out.collect(), out.schema)
+            return out
+        finally:
+            blocks.unpersist()
+
+    # -- phrase queries ---------------------------------------------------
+
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact PhraseQuery: conjunction on docID + relative-position
+        intersection; freq = #occurrences; weight = sum of per-term idf
+        (search/PhraseQuery.java, ExactPhraseMatcher.java:37-167)."""
+        terms = self._parse(phrase)
+        if not terms:
+            return self._empty_topk()
+        if len(terms) == 1:
+            return self.search(terms, k=k)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_topk()
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; phrase queries unavailable")
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        uniq_terms = list(term_order)
+
+        pos_schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("tidx", IntegerType()),
+                StructField("tf", IntegerType()),
+                StructField("norm", IntegerType()),
+                StructField("pos_start", LongType()),
+            ]
+        )
+
+        def decode_positions(batches):
+            # emit one row per (docID, term) with offsets into a
+            # per-(docID,term) reconstructed positions array; positions are
+            # re-encoded as arrays for the pandas cogroup below
+            for pdf in batches:
+                rows = {
+                    "docID": [],
+                    "tidx": [],
+                    "tf": [],
+                    "norm": [],
+                    "positions": [],
+                }
+                for term, docs_vb, tfs_vb, norms_b, pos_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"], pdf["pos_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    offs = np.concatenate(([0], np.cumsum(tfs)))
+                    ti = term_order[term]
+                    for j in range(doc_ids.size):
+                        rows["docID"].append(int(doc_ids[j]))
+                        rows["tidx"].append(ti)
+                        rows["tf"].append(int(tfs[j]))
+                        rows["norm"].append(int(norms[j]))
+                        rows["positions"].append(
+                            flat[offs[j] : offs[j + 1]].tolist()
+                        )
+                yield pd.DataFrame(rows)
+
+        pos_row_schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("tidx", IntegerType()),
+                StructField("tf", IntegerType()),
+                StructField("norm", IntegerType()),
+                StructField("positions", ArrayType(LongType())),
+            ]
+        )
+
+        blocks = self._postings.filter(F.col("term").isin(uniq_terms))
+        posrows = blocks.mapInPandas(decode_positions, schema=pos_row_schema)
+
+        n_uniq = len(uniq_terms)
+        # phrase offsets per unique term (a term may repeat in the phrase)
+        offsets_by_tidx: dict[int, list[int]] = {}
+        for i, t in enumerate(terms):
+            offsets_by_tidx.setdefault(term_order[t], []).append(i)
+
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+
+        def match_phrase(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["tidx"].nunique() != n_uniq:
+                return pd.DataFrame({"docID": [], "score": []})
+            plists = {
+                int(r.tidx): np.asarray(r.positions, dtype=np.int64)
+                for r in pdf.itertuples()
+            }
+            base_t = term_order[terms[0]]
+            base = plists[base_t]
+            ok = np.ones(base.shape, dtype=bool)
+            for tidx, offs in offsets_by_tidx.items():
+                arr = plists[tidx]
+                for off in offs:
+                    if tidx == base_t and off == 0:
+                        continue
+                    ok &= np.isin(base + off, arr)
+            freq = int(ok.sum())
+            if freq == 0:
+                return pd.DataFrame({"docID": [], "score": []})
+            norm = int(pdf["norm"].iloc[0])
+            wv = np.float32(weight)
+            inv = cache[norm]
+            score = np.float32(wv - wv / (np.float32(1.0) + np.float32(freq) * inv))
+            return pd.DataFrame({"docID": [key[0]], "score": [np.float32(score)]})
+
+        matched = posrows.groupBy("docID").applyInPandas(
+            match_phrase, schema=out_schema
+        )
+        return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
