@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -136,6 +137,46 @@ class IndexSearcher:
         return blocks.mapInPandas(
             self._decode_score_udf(weights), schema=SCORE_SCHEMA
         )
+
+    def postings_tf(self, terms: list[str] | None = None) -> DataFrame:
+        """Decode posting blocks back to (docID, term, tf) rows — the
+        uncompressed inverted index (used for SQL-expressible duels and
+        as the building block for exports)."""
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("tf", LongType()),
+            ]
+        )
+
+        def fn(batches):
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    outs.append(
+                        pd.DataFrame({"docID": doc_ids, "term": term, "tf": tfs})
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "term": [], "tf": pd.array([], dtype="int64")}
+                )
+
+        blocks = self._postings
+        if terms is not None:
+            blocks = blocks.filter(F.col("term").isin(list(set(terms))))
+        return blocks.mapInPandas(fn, schema=schema)
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    @property
+    def terms_table(self) -> DataFrame:
+        return self._terms
 
     # -- public query API -------------------------------------------------
 

@@ -1,0 +1,123 @@
+"""End-to-end rank-identity contract: the distributed engine vs the
+independent numpy oracle (CheckHits.checkEqual analog, tol 1e-6,
+lucene/test-framework/.../search/CheckHits.java:222-246)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis import analyze
+from lucene_spark.oracle import assert_rank_identical
+
+BOOL_QUERIES = [
+    ("license", "or"),
+    ("def return", "or"),
+    ("apache license", "and"),
+    ("var0 getValue0", "or"),
+    ("zzznotaterm", "or"),
+    ("the license software", "or"),
+    ("CONSTANT_0 import software foundation", "or"),
+    ("do_thing_7", "or"),
+    ("var1 var2 var3", "and"),
+    ("notfound apache", "and"),
+]
+
+
+def _terms(q):
+    out = []
+    for t in q.split():
+        out.extend(analyze(t))
+    return out
+
+
+def test_collection_stats_match(built_index):
+    manifest, oracle, _ = built_index
+    assert manifest["doc_count"] == oracle.doc_count
+    assert manifest["sum_total_term_freq"] == oracle.sum_total_term_freq
+    assert manifest["sum_doc_freq"] == oracle.sum_doc_freq
+
+
+@pytest.mark.parametrize("q,mode", BOOL_QUERIES)
+def test_boolean_rank_identity(built_index, q, mode):
+    _, oracle, searcher = built_index
+    got = [(r["docID"], r["score"]) for r in searcher.search(q, k=10, mode=mode).collect()]
+    exp = oracle.search(_terms(q), k=10, mode=mode)
+    assert_rank_identical(exp, got, msg=f"[{q} {mode}]")
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_topk_sizes(built_index, k):
+    _, oracle, searcher = built_index
+    got = [(r["docID"], r["score"]) for r in searcher.search("license", k=k).collect()]
+    exp = oracle.search(["license"], k=k)
+    assert_rank_identical(exp, got, msg=f"[k={k}]")
+
+
+@pytest.mark.parametrize("ph", ["apache software foundation", "license agreements", "def return"])
+def test_phrase_rank_identity(built_index, ph):
+    _, oracle, searcher = built_index
+    got = [(r["docID"], r["score"]) for r in searcher.search_phrase(ph, k=10).collect()]
+    exp = oracle.search_phrase(analyze(ph), k=10)
+    assert_rank_identical(exp, got, msg=f"[phrase {ph}]")
+
+
+@pytest.mark.parametrize("q", ["license", "the license software", "var0 getValue0"])
+def test_pruned_equals_unpruned(built_index, q):
+    """Block-max pruning must never change the top-k (WAND contract)."""
+    _, _, searcher = built_index
+    got_p = [(r["docID"], r["score"]) for r in searcher.search(q, k=10, prune=True).collect()]
+    got_u = [(r["docID"], r["score"]) for r in searcher.search(q, k=10).collect()]
+    assert_rank_identical(got_u, got_p, msg=f"[prune {q}]")
+
+
+def test_count(built_index):
+    _, oracle, searcher = built_index
+    assert searcher.count("license") == len(oracle.postings["license"][0])
+    assert searcher.count("zzznotaterm") == 0
+
+
+def test_content_sha256_invariant(built_index, spark):
+    """Per-row invariant vs the source table (BASELINE.json input_hint)."""
+    import hashlib
+
+    from lucene_spark.corpus import generate_corpus
+
+    manifest, _, searcher = built_index
+    dm = searcher.docmap.orderBy("docID").collect()
+    pdf = (
+        generate_corpus(manifest["doc_count"])
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    assert len(dm) == len(pdf)
+    for i in (0, len(dm) // 2, len(dm) - 1):
+        expected = hashlib.sha256(pdf["content"].iloc[i].encode()).digest()
+        assert bytes(dm[i]["content_sha256"]) == expected
+
+
+def test_block_invariants(built_index, spark):
+    """Postings block contract (BasePostingsFormatTestCase analog):
+    per-term blocks sorted, docIDs strictly increasing, block metadata
+    consistent with members."""
+    from lucene_spark.util.varbyte import decode, delta_decode
+
+    _, oracle, searcher = built_index
+    rows = searcher._postings.collect()
+    seen = {}
+    for r in rows:
+        doc_ids = delta_decode(decode(bytes(r["docs_vb"])))
+        tfs = decode(bytes(r["tfs_vb"]))
+        assert (np.diff(doc_ids) > 0).all()
+        assert doc_ids.size == r["ndocs"] <= 256
+        assert doc_ids[0] == r["min_doc"] and doc_ids[-1] == r["max_doc"]
+        assert tfs.max() == r["max_tf"]
+        norms = np.frombuffer(bytes(r["norms_b"]), dtype=np.uint8)
+        assert norms.min() == r["min_norm"]
+        seen.setdefault(r["term"], []).append((r["salt"], r["block_seq"], doc_ids, tfs))
+    # reconstructed posting lists == oracle postings
+    for term in ["license", "def", "var0"]:
+        parts = sorted(seen[term])
+        doc_ids = np.concatenate([p[2] for p in parts])
+        tfs = np.concatenate([p[3] for p in parts])
+        exp_rows, exp_tfs, _ = oracle.postings[term]
+        assert (doc_ids == exp_rows).all()
+        assert (tfs == exp_tfs).all()
