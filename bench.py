@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Headline benchmark for the lucene_spark engine.
+
+Measures the two BASELINE.json metrics on local[$SPARK_GRAFT_CPUS]:
+  1. index-build throughput (docs/sec) — distributed build over the
+     deterministic synthetic source-code corpus (BASELINE.json input
+     shape) AND over $SPARK_GRAFT_SF_DIR/documents.parquet;
+  2. query latency — the headline query set (BM25 term/OR/AND with
+     block-max pruning, phrase, prefix expansion, dedup, cosine top-k,
+     text quality) over the sf index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Scaling-efficiency evidence (N vs 4N parallelism) is produced by
+scripts/scaling_bench.py, summarized in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+BUILD_DIR = "/root/repo/.build/bench_idx"
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    from lucene_spark import gate
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(CPUS, app_name="lucene_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- 1. index-build throughput: synthetic source-code corpus ----------
+    # (Reuters-21578-sized per the reference's benchmark/conf/indexing.alg)
+    corpus_dir = os.path.join(BUILD_DIR, "corpus")
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    docs = corpus_spark_df(spark, CORPUS_DOCS, partitions=CPUS)
+    t0 = time.time()
+    manifest = build_index(spark, docs, corpus_dir, store_positions=True)
+    corpus_build_sec = time.time() - t0
+    corpus_docs_per_sec = CORPUS_DOCS / corpus_build_sec
+
+    # -- 2. sf documents index build + headline queries -------------------
+    idx_dir = gate._index_dir_for(SF_DIR)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    gate._searchers.pop(SF_DIR, None)
+    t0 = time.time()
+    searcher = gate.searcher_for(spark, SF_DIR)  # builds the index
+    sf_build_sec = time.time() - t0
+    sf_doc_count = searcher.manifest["doc_count"]
+
+    headline = {
+        "bm25_top10_term": gate.q_bm25_top10_term,
+        "bm25_top10_or": gate.q_bm25_top10_or,
+        "bm25_top10_and": gate.q_bm25_top10_and,
+        "lucene_bm25_pruned": gate.q_lucene_bm25_top10,
+        "phrase_top10": gate.q_phrase_top10,
+        "prefix_df": gate.q_prefix_df,
+        "top_cf_terms": gate.q_top_cf_terms,
+        "term_postings_decode": gate.q_term_postings,
+        "exact_dedup": gate.q_exact_dedup,
+        "text_quality": gate.q_text_quality,
+        "cosine_top10": gate.q_cosine_top10,
+    }
+    # registered after this file was first written; keep bench in sync with
+    # the gate without hard failures if an entry is renamed
+    for extra in (
+        "minhash_near_dup",
+        "simhash_dedup",
+        "lang_id",
+        "doc_fingerprint",
+        "ann_lsh_top10",
+    ):
+        if extra in gate.QUERIES:
+            headline[extra] = gate.QUERIES[extra]
+
+    queries: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # forces full execution
+        queries[name] = round(time.time() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(queries.values()), 4)
+    p50 = round(statistics.median(queries.values()), 4)
+
+    out = {
+        "metric": "headline query suite wall time (index prebuilt)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_value(SF_DIR),
+        "query_p50_sec": p50,
+        "corpus_build_docs": CORPUS_DOCS,
+        "corpus_build_sec": round(corpus_build_sec, 3),
+        "corpus_build_docs_per_sec": round(corpus_docs_per_sec, 1),
+        "corpus_tokens": manifest["sum_total_term_freq"],
+        "sf_build_docs": sf_doc_count,
+        "sf_build_sec": round(sf_build_sec, 3),
+        "sf_build_docs_per_sec": round(sf_doc_count / sf_build_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
