@@ -5,19 +5,23 @@ Dataflow (two shuffles total, mirroring DWPT-flush + merge):
 
   docs(repo,path,commit,lang,content)
     -> repartitionByRange(repo,path,commit) + sortWithinPartitions   [shuffle 1: doc -> segment]
-    -> mapInPandas invert: docID assignment (global sort rank),
+    -> mapInPandas invert+flush: docID assignment (global sort rank),
        tokenize (StandardAnalyzer chain), per-doc tf/positions,
-       dl/norm/sha256                          (IndexingChain.processDocument analog,
-                                                index/IndexingChain.java:552,1174-1290)
+       dl/norm/sha256, then a MAP-SIDE SEGMENT FLUSH: per-partition
+       posting runs (term -> varbyte docID-gaps/tfs/norms/position-gaps)
+       emitted every `flush_docs` documents
+                                               (DWPT buffer + flush analog:
+                                                index/IndexingChain.java:552,1174-1290,
+                                                index/DocumentsWriterPerThread.java:406-456,
+                                                16MB RAM trigger IndexWriterConfig.java:83)
     -> docmap table (meta rows)                (segment docIDs + .nvd norms)
-    -> groupBy(term).agg(...)  -> terms table  (term dict: df/cf + impact bounds)
-    -> groupBy(term, salt).applyInPandas encode 256-doc varbyte blocks
-                                               [shuffle 2: doc-partition -> term]
-       (FreqProxTermsWriter sort + Lucene104PostingsWriter block encode,
-        codecs/lucene104/Lucene104PostingsWriter.java:237-359; the Spark
-        sort-merge shuffle IS SegmentMerger's k-way merge,
-        index/SegmentMerger.java:114-151, with globally-unique docIDs so
-        no docBase remapping)
+    -> groupBy(term).agg over run headers -> terms table (df/cf + impact bounds)
+    -> groupBy(term, salt).applyInPandas merge runs -> 256-doc blocks
+                                               [shuffle 2: segment -> term]
+       (SegmentMerger's k-way merge, index/SegmentMerger.java:114-151 —
+        runs hold disjoint, ascending docID ranges, so the merge is pure
+        concatenation in first_doc order: no re-sort, no docBase remap;
+        block encode = Lucene104PostingsWriter.java:237-359)
     -> postings table, range-partitioned+sorted by term (parquet min/max
        stats replace the block-tree term dictionary)
     -> stats table (IndexSearcher.collectionStatistics analog,
@@ -28,11 +32,17 @@ Dataflow (two shuffles total, mirroring DWPT-flush + merge):
 Scale design notes (100 TB / 1000 executors):
   - docID = global rank of (repo,path,commit): deterministic under any
     partitioning/parallelism -> rank-identity & resume reproduce at N vs 4N.
+  - Map-side combine: the shuffle to term-space moves ONE compact binary
+    row per (partition-flush, term), not one row per posting — ~10-100x
+    less shuffle volume than exploding (docID, term, tf, positions) rows,
+    and the varbyte payload is already the final wire format.
   - Hot-term skew (license-header tokens): terms with df above
-    `hot_df_threshold` are salted by docID range (`salt = docID //
+    `hot_df_threshold` are salted by run doc-range (`salt = first_doc //
     hot_salt_span`); salt spans are disjoint doc ranges so the global
     posting list is the concatenation of per-salt block runs — no
     re-merge needed (SURVEY.md §4.2 "Hot-term skew").
+  - Per-partition memory is bounded by `flush_docs` (RAM-buffer analog):
+    a partition emits multiple independent runs, merged for free later.
   - Norm bytes are embedded per posting (1 B/doc, like .nvd inlined) so
     query-time scoring needs NO join against docmap.
   - All heavy lifting is numpy inside Arrow-batched pandas UDFs; block
@@ -52,7 +62,6 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -64,26 +73,39 @@ from pyspark.sql.types import (
 from lucene_spark.analysis import analyze
 from lucene_spark.util.smallfloat import int_to_byte4
 from lucene_spark.util.varbyte import (
+    decode,
+    delta_decode,
     delta_encode,
     encode,
+    segmented_delta_decode,
     segmented_delta_encode,
 )
 
 BLOCK_SIZE = 256  # Lucene104PostingsFormat ForUtil.BLOCK_SIZE (ForUtil.java:34)
+FLUSH_DOCS = 1 << 16  # per-partition run size bound (16MB-RAM-buffer analog)
 
+# Mixed output of the invert pass: meta rows (term NULL, one per doc) and
+# run rows (one per (flush, term), compact varbyte payloads).
 INVERT_SCHEMA = StructType(
     [
-        StructField("docID", LongType()),
         StructField("term", StringType()),
-        StructField("tf", IntegerType()),
-        StructField("positions", ArrayType(IntegerType())),
-        StructField("norm", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("ndocs", IntegerType()),
+        StructField("cf", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("min_norm", IntegerType()),
+        StructField("docs_vb", BinaryType()),
+        StructField("tfs_vb", BinaryType()),
+        StructField("norms_b", BinaryType()),
+        StructField("pos_vb", BinaryType()),
+        StructField("docID", LongType()),
         StructField("repo", StringType()),
         StructField("path", StringType()),
         StructField("commit", StringType()),
         StructField("lang", StringType()),
         StructField("content_sha256", BinaryType()),
         StructField("dl", IntegerType()),
+        StructField("norm", IntegerType()),
     ]
 )
 
@@ -104,51 +126,96 @@ BLOCK_SCHEMA = StructType(
     ]
 )
 
+_RUN_COLS = [
+    "term", "first_doc", "ndocs", "cf", "max_tf", "min_norm",
+    "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+]
+_META_COLS = [
+    "docID", "repo", "path", "commit", "lang", "content_sha256", "dl", "norm",
+]
 
-def _invert_partition(offsets: dict[int, int], store_positions: bool):
+
+def _invert_partition(
+    offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
+):
     """mapInPandas kernel: one generator instance == one range partition;
-    assigns dense docIDs from the partition's global offset and inverts
-    each document (tokenize -> tf/positions/norm/sha)."""
+    assigns dense docIDs from the partition's global offset, inverts each
+    document, and flushes buffered per-term posting runs every
+    ``flush_docs`` docs (DWPT flush analog)."""
+
+    def _flush(buf: dict) -> pd.DataFrame:
+        terms, firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], [], []
+        dvbs, tvbs, nbs, pvbs = [], [], [], []
+        for term in buf:
+            docs, tfs, norms, pos_flat = buf[term]
+            d = np.asarray(docs, dtype=np.int64)
+            t = np.asarray(tfs, dtype=np.int64)
+            nb = np.asarray(norms, dtype=np.uint8)
+            terms.append(term)
+            firsts.append(int(d[0]))
+            ndocs.append(d.size)
+            cfs.append(int(t.sum()))
+            mtfs.append(int(t.max()))
+            mnorms.append(int(nb.min()))
+            dvbs.append(encode(delta_encode(d)))
+            tvbs.append(encode(t))
+            nbs.append(nb.tobytes())
+            if pos_flat is not None:
+                p = np.asarray(pos_flat, dtype=np.int64)
+                pvbs.append(encode(segmented_delta_encode(p, t)))
+            else:
+                pvbs.append(b"")
+        n = len(terms)
+        frame = pd.DataFrame(
+            {
+                "term": terms,
+                "first_doc": pd.array(firsts, dtype="int64"),
+                "ndocs": pd.array(ndocs, dtype="int32"),
+                "cf": pd.array(cfs, dtype="int64"),
+                "max_tf": pd.array(mtfs, dtype="int32"),
+                "min_norm": pd.array(mnorms, dtype="int32"),
+                "docs_vb": dvbs,
+                "tfs_vb": tvbs,
+                "norms_b": nbs,
+                "pos_vb": pvbs,
+            }
+        )
+        for c in _META_COLS:
+            frame[c] = None
+        return frame[_RUN_COLS + _META_COLS]
 
     def fn(batches):
         next_id = None
+        buf: dict[str, list] = {}
+        buffered = 0
         for pdf in batches:
             if next_id is None:
                 pid = int(pdf["pid"].iloc[0])
                 next_id = offsets[pid]
             n = len(pdf)
-            ids = np.arange(next_id, next_id + n, dtype=np.int64)
+            ids = range(next_id, next_id + n)
             next_id += n
 
-            out_doc: list[int] = []
-            out_term: list[str | None] = []
-            out_tf: list[int] = []
-            out_pos: list[list[int] | None] = []
-            out_norm: list[int] = []
-            meta_rows = []
-            contents = pdf["content"].tolist()
-            for row_i, text in enumerate(contents):
-                did = int(ids[row_i])
+            meta = {c: [] for c in _META_COLS}
+            for did, repo, path, commit, lang, text in zip(
+                ids, pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
+                pdf["content"],
+            ):
                 toks = analyze(text)
                 dl = len(toks)
                 norm = int(int_to_byte4(np.int64(dl)))
-                sha = hashlib.sha256(text.encode("utf-8")).digest()
-                meta_rows.append(
-                    (
-                        did,
-                        None,
-                        0,
-                        None,
-                        norm,
-                        pdf["repo"].iloc[row_i],
-                        pdf["path"].iloc[row_i],
-                        pdf["commit"].iloc[row_i],
-                        pdf["lang"].iloc[row_i],
-                        sha,
-                        dl,
-                    )
+                meta["docID"].append(did)
+                meta["repo"].append(repo)
+                meta["path"].append(path)
+                meta["commit"].append(commit)
+                meta["lang"].append(lang)
+                meta["content_sha256"].append(
+                    hashlib.sha256(text.encode("utf-8")).digest()
                 )
-                # per-term tf + positions (FieldInvertState accounting)
+                meta["dl"].append(dl)
+                meta["norm"].append(norm)
+                # per-term tf + positions (FieldInvertState accounting),
+                # accumulated straight into the partition run buffer
                 tfpos: dict[str, list[int]] = {}
                 for pos, t in enumerate(toks):
                     lst = tfpos.get(t)
@@ -157,67 +224,68 @@ def _invert_partition(offsets: dict[int, int], store_positions: bool):
                     else:
                         lst.append(pos)
                 for t, plist in tfpos.items():
-                    out_doc.append(did)
-                    out_term.append(t)
-                    out_tf.append(len(plist))
-                    out_pos.append(plist if store_positions else None)
-                    out_norm.append(norm)
-            term_pdf = pd.DataFrame(
-                {
-                    "docID": pd.array(out_doc, dtype="int64"),
-                    "term": out_term,
-                    "tf": pd.array(out_tf, dtype="int32"),
-                    "positions": pd.Series(out_pos, dtype="object"),
-                    "norm": pd.array(out_norm, dtype="int32"),
-                    "repo": None,
-                    "path": None,
-                    "commit": None,
-                    "lang": None,
-                    "content_sha256": None,
-                    "dl": pd.array([0] * len(out_doc), dtype="int32"),
-                }
-            )
-            meta_pdf = pd.DataFrame(
-                meta_rows,
-                columns=[
-                    "docID",
-                    "term",
-                    "tf",
-                    "positions",
-                    "norm",
-                    "repo",
-                    "path",
-                    "commit",
-                    "lang",
-                    "content_sha256",
-                    "dl",
-                ],
-            )
-            yield pd.concat([meta_pdf, term_pdf], ignore_index=True)
+                    ent = buf.get(t)
+                    if ent is None:
+                        ent = buf[t] = (
+                            [], [], [], [] if store_positions else None
+                        )
+                    ent[0].append(did)
+                    ent[1].append(len(plist))
+                    ent[2].append(norm)
+                    if store_positions:
+                        ent[3].extend(plist)
+            meta_pdf = pd.DataFrame(meta)
+            meta_pdf["docID"] = meta_pdf["docID"].astype("int64")
+            meta_pdf["dl"] = meta_pdf["dl"].astype("int32")
+            meta_pdf["norm"] = meta_pdf["norm"].astype("int32")
+            for c in _RUN_COLS:
+                meta_pdf[c] = None
+            yield meta_pdf[_RUN_COLS + _META_COLS]
+
+            buffered += n
+            if buffered >= flush_docs:
+                yield _flush(buf)
+                buf = {}
+                buffered = 0
+        if buf:
+            yield _flush(buf)
 
     return fn
 
 
-def _encode_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel for one (term, salt) group: sort by docID and
-    emit <=256-doc varbyte blocks with impact metadata."""
+def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for one (term, salt) group: concatenate the
+    group's posting runs in first_doc order (runs hold disjoint ascending
+    docID ranges -> already globally sorted) and emit <=256-doc varbyte
+    blocks with impact metadata."""
     term, salt = key
-    pdf = pdf.sort_values("docID")
-    doc_ids = pdf["docID"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    norms = pdf["norm"].to_numpy(dtype=np.int64)
-    positions = pdf["positions"].to_numpy()
-    has_pos = len(positions) > 0 and positions[0] is not None
-
+    pdf = pdf.sort_values("first_doc")
+    doc_parts, tf_parts, norm_parts, pos_parts = [], [], [], []
+    has_pos = False
+    for r in pdf.itertuples():
+        d = delta_decode(decode(bytes(r.docs_vb)))
+        t = decode(bytes(r.tfs_vb))
+        doc_parts.append(d)
+        tf_parts.append(t)
+        norm_parts.append(np.frombuffer(bytes(r.norms_b), dtype=np.uint8))
+        if r.pos_vb:
+            has_pos = True
+            pos_parts.append(segmented_delta_decode(decode(bytes(r.pos_vb)), t))
+    doc_ids = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    norms = np.concatenate(norm_parts)
+    if has_pos:
+        pos_flat = np.concatenate(pos_parts)
+        pos_ends = np.cumsum(tfs)
     rows = []
     for b, start in enumerate(range(0, len(doc_ids), BLOCK_SIZE)):
-        sl = slice(start, start + BLOCK_SIZE)
-        d = doc_ids[sl]
-        t = tfs[sl]
-        nb = norms[sl]
+        end = min(start + BLOCK_SIZE, len(doc_ids))
+        d = doc_ids[start:end]
+        t = tfs[start:end]
+        nb = norms[start:end]
         if has_pos:
-            plists = [np.asarray(p, dtype=np.int64) for p in positions[sl]]
-            flat = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
+            p0 = pos_ends[start - 1] if start else 0
+            flat = pos_flat[p0 : pos_ends[end - 1]]
             pos_vb = encode(segmented_delta_encode(flat, t))
         else:
             pos_vb = b""
@@ -240,18 +308,8 @@ def _encode_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         rows,
         columns=[
-            "term",
-            "salt",
-            "block_seq",
-            "ndocs",
-            "min_doc",
-            "max_doc",
-            "max_tf",
-            "min_norm",
-            "docs_vb",
-            "tfs_vb",
-            "norms_b",
-            "pos_vb",
+            "term", "salt", "block_seq", "ndocs", "min_doc", "max_doc",
+            "max_tf", "min_norm", "docs_vb", "tfs_vb", "norms_b", "pos_vb",
         ],
     )
 
@@ -265,6 +323,7 @@ def build_index(
     hot_df_threshold: int = 1 << 16,
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
+    flush_docs: int = FLUSH_DOCS,
 ) -> dict:
     """Build the full index at ``out_dir`` and return build metrics.
 
@@ -293,28 +352,25 @@ def build_index(
         acc += sizes[pid]
     doc_count = acc
 
-    # --- invert ----------------------------------------------------------
+    # --- invert + map-side segment flush ---------------------------------
     inverted = sorted_docs.mapInPandas(
-        _invert_partition(offsets, store_positions), schema=INVERT_SCHEMA
+        _invert_partition(offsets, store_positions, flush_docs),
+        schema=INVERT_SCHEMA,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    docmap = inverted.filter(F.col("term").isNull()).select(
-        "docID", "repo", "path", "commit", "lang", "content_sha256", "dl", "norm"
-    )
+    docmap = inverted.filter(F.col("term").isNull()).select(*_META_COLS)
     docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
 
-    term_rows = inverted.filter(F.col("term").isNotNull()).select(
-        "docID", "term", "tf", "positions", "norm"
-    )
+    runs = inverted.filter(F.col("term").isNotNull()).select(*_RUN_COLS)
 
-    # --- term dictionary + stats ----------------------------------------
+    # --- term dictionary + stats (cheap agg over run headers) ------------
     terms_df = (
-        term_rows.groupBy("term")
+        runs.groupBy("term")
         .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
-            F.min("norm").alias("min_norm"),
+            F.sum("ndocs").cast("long").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_norm").alias("min_norm"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -329,19 +385,19 @@ def build_index(
         .collect()
     ]
 
-    # --- shuffle 2: postings blocks (salted for hot terms) ---------------
+    # --- shuffle 2: merge runs into postings blocks (salted hot terms) ---
     if hot_terms:
         salt_col = F.when(
             F.col("term").isin(hot_terms),
-            (F.col("docID") / F.lit(hot_salt_span)).cast("long"),
+            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     else:
         salt_col = F.lit(0).cast("long")
 
     blocks = (
-        term_rows.withColumn("salt", salt_col)
+        runs.withColumn("salt", salt_col)
         .groupBy("term", "salt")
-        .applyInPandas(_encode_blocks, schema=BLOCK_SCHEMA)
+        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
     )
     (
         blocks.repartitionByRange(n_part, "term")
@@ -386,7 +442,7 @@ def build_index(
 
     elapsed = time.time() - t0
     manifest = {
-        "version": 1,
+        "version": 2,
         "doc_count": stats["doc_count"],
         "sum_total_term_freq": stats["sum_total_term_freq"],
         "sum_doc_freq": stats["sum_doc_freq"],
@@ -396,6 +452,7 @@ def build_index(
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "block_size": BLOCK_SIZE,
+        "flush_docs": flush_docs,
         "partitions": n_part,
         "build_wall_sec": elapsed,
         "docs_per_sec": stats["doc_count"] / elapsed if elapsed > 0 else 0.0,

@@ -16,6 +16,15 @@ def get_spark(
     UDFs are Arrow-batched), AQE on (skew joins / shuffle coalescing),
     ZSTD parquet. On a real cluster the same confs apply; only master
     changes (spark-submit provides it)."""
+    # Make the package importable inside Spark's Python workers regardless
+    # of the driver's cwd (local-mode workers inherit the JVM env; on a real
+    # cluster spark-submit --py-files serves the same purpose).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cpus)
     builder = (
@@ -30,5 +39,6 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
