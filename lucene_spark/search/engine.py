@@ -374,96 +374,100 @@ class IndexSearcher:
         term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
         uniq_terms = list(term_order)
 
-        pos_schema = StructType(
-            [
-                StructField("docID", LongType()),
-                StructField("tidx", IntegerType()),
-                StructField("tf", IntegerType()),
-                StructField("norm", IntegerType()),
-                StructField("pos_start", LongType()),
-            ]
-        )
-
-        def decode_positions(batches):
-            # emit one row per (docID, term) with offsets into a
-            # per-(docID,term) reconstructed positions array; positions are
-            # re-encoded as arrays for the pandas cogroup below
-            for pdf in batches:
-                rows = {
-                    "docID": [],
-                    "tidx": [],
-                    "tf": [],
-                    "norm": [],
-                    "positions": [],
-                }
-                for term, docs_vb, tfs_vb, norms_b, pos_vb in zip(
-                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"], pdf["pos_vb"]
-                ):
-                    doc_ids = delta_decode(decode(bytes(docs_vb)))
-                    tfs = decode(bytes(tfs_vb))
-                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
-                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
-                    offs = np.concatenate(([0], np.cumsum(tfs)))
-                    ti = term_order[term]
-                    for j in range(doc_ids.size):
-                        rows["docID"].append(int(doc_ids[j]))
-                        rows["tidx"].append(ti)
-                        rows["tf"].append(int(tfs[j]))
-                        rows["norm"].append(int(norms[j]))
-                        rows["positions"].append(
-                            flat[offs[j] : offs[j + 1]].tolist()
-                        )
-                yield pd.DataFrame(rows)
-
+        # one (docID, norm, positions) DataFrame per unique term
         pos_row_schema = StructType(
             [
                 StructField("docID", LongType()),
-                StructField("tidx", IntegerType()),
-                StructField("tf", IntegerType()),
                 StructField("norm", IntegerType()),
                 StructField("positions", ArrayType(LongType())),
             ]
         )
 
-        blocks = self._postings.filter(F.col("term").isin(uniq_terms))
-        posrows = blocks.mapInPandas(decode_positions, schema=pos_row_schema)
+        def decode_positions(batches):
+            for pdf in batches:
+                frames = []
+                for docs_vb, tfs_vb, norms_b, pos_vb in zip(
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"], pdf["pos_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "docID": doc_ids,
+                                "norm": norms.astype(np.int32),
+                                "positions": np.split(flat, np.cumsum(tfs)[:-1]),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32"), "positions": []}
+                )
 
-        n_uniq = len(uniq_terms)
+        # conjunction: n-way inner join on docID (candidate docs must
+        # contain every phrase term — ConjunctionDISI analog), aligning all
+        # position lists on one row per doc
+        joined = None
+        for i, t in enumerate(uniq_terms):
+            side = (
+                self._postings.filter(F.col("term") == t)
+                .mapInPandas(decode_positions, schema=pos_row_schema)
+            )
+            side = side.select(
+                "docID",
+                *(["norm"] if i == 0 else []),
+                F.col("positions").alias(f"pos{i}"),
+            )
+            joined = side if joined is None else joined.join(side, "docID")
+
         # phrase offsets per unique term (a term may repeat in the phrase)
         offsets_by_tidx: dict[int, list[int]] = {}
         for i, t in enumerate(terms):
             offsets_by_tidx.setdefault(term_order[t], []).append(i)
+        base_t = term_order[terms[0]]
 
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
         )
 
-        def match_phrase(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf["tidx"].nunique() != n_uniq:
-                return pd.DataFrame({"docID": [], "score": []})
-            plists = {
-                int(r.tidx): np.asarray(r.positions, dtype=np.int64)
-                for r in pdf.itertuples()
-            }
-            base_t = term_order[terms[0]]
-            base = plists[base_t]
-            ok = np.ones(base.shape, dtype=bool)
-            for tidx, offs in offsets_by_tidx.items():
-                arr = plists[tidx]
-                for off in offs:
-                    if tidx == base_t and off == 0:
-                        continue
-                    ok &= np.isin(base + off, arr)
-            freq = int(ok.sum())
-            if freq == 0:
-                return pd.DataFrame({"docID": [], "score": []})
-            norm = int(pdf["norm"].iloc[0])
-            wv = np.float32(weight)
-            inv = cache[norm]
-            score = np.float32(wv - wv / (np.float32(1.0) + np.float32(freq) * inv))
-            return pd.DataFrame({"docID": [key[0]], "score": [np.float32(score)]})
+        def match_batch(batches):
+            # Vectorized across the whole Arrow batch: encode (doc,
+            # position) pairs as docID<<21 | pos keys and test phrase
+            # alignment with np.isin per (term, offset) — no per-doc loop.
+            # (ExactPhraseMatcher.java:37-167 semantics; positions < 2^21
+            # is guaranteed far above any real doc length.)
+            SHIFT = np.int64(1) << np.int64(21)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"docID": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")})
+                    continue
+                docids = pdf["docID"].to_numpy(np.int64)
+                cols = {}
+                for i in range(len(uniq_terms)):
+                    arrs = [np.asarray(a, dtype=np.int64) for a in pdf[f"pos{i}"]]
+                    lens = np.array([a.size for a in arrs], dtype=np.int64)
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    keys = np.repeat(docids, lens) * SHIFT + flat
+                    cols[i] = (keys, lens)
+                base_keys, base_lens = cols[base_t]
+                ok = np.ones(base_keys.shape, dtype=bool)
+                for tidx, offs in offsets_by_tidx.items():
+                    keys_t = cols[tidx][0]
+                    for off in offs:
+                        if tidx == base_t and off == 0:
+                            continue
+                        ok &= np.isin(base_keys + off, keys_t)
+                starts = np.concatenate(([0], np.cumsum(base_lens)[:-1]))
+                freq = np.add.reduceat(ok, starts) if base_keys.size else np.zeros(0, np.int64)
+                freq = np.where(base_lens > 0, freq, 0)
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
+                yield pd.DataFrame({"docID": docids[hit], "score": scores})
 
-        matched = posrows.groupBy("docID").applyInPandas(
-            match_phrase, schema=out_schema
-        )
+        matched = joined.mapInPandas(match_batch, schema=out_schema)
         return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
