@@ -44,7 +44,7 @@ def _sf_value(sf_dir: str) -> float:
 
 def main() -> None:
     from lucene_spark import gate
-    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.corpus import corpus_spark_df, key_sample
     from lucene_spark.index.builder import build_index
     from lucene_spark.session import get_spark
 
@@ -57,7 +57,10 @@ def main() -> None:
     shutil.rmtree(corpus_dir, ignore_errors=True)
     docs = corpus_spark_df(spark, CORPUS_DOCS, partitions=CPUS)
     t0 = time.time()
-    manifest = build_index(spark, docs, corpus_dir, store_positions=True)
+    manifest = build_index(
+        spark, docs, corpus_dir, store_positions=True,
+        key_sample=key_sample(CORPUS_DOCS),
+    )
     corpus_build_sec = time.time() - t0
     corpus_docs_per_sec = CORPUS_DOCS / corpus_build_sec
 

@@ -87,12 +87,27 @@ def _doc_length(rng: random.Random) -> int:
     return rng.randint(4000, 20000)
 
 
+def make_key(i: int, seed: int = SEED) -> tuple[str, str, str]:
+    """(repo, path, commit) of row i — cheap (no content generation), used
+    to derive range-partition boundaries analytically for builds over the
+    synthetic corpus (builder.build_index key_sample)."""
+    ext, _ = _EXTS[i % len(_EXTS)]
+    return (
+        f"org{i % 7}/repo{i % 23}",
+        f"src/dir{i % 13}/file_{i}.{ext}",
+        hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12],
+    )
+
+
+def key_sample(n_docs: int, max_keys: int = 4096, seed: int = SEED) -> list[tuple[str, str, str]]:
+    step = max(1, n_docs // max_keys)
+    return [make_key(i, seed) for i in range(0, n_docs, step)]
+
+
 def make_doc(i: int, seed: int = SEED) -> dict:
     rng = random.Random((seed << 32) ^ (i * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFF))
-    ext, lang = _EXTS[i % len(_EXTS)]
-    repo = f"org{i % 7}/repo{i % 23}"
-    path = f"src/dir{i % 13}/file_{i}.{ext}"
-    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12]
+    _, lang = _EXTS[i % len(_EXTS)]
+    repo, path, commit = make_key(i, seed)
 
     n_tokens = _doc_length(rng)
     parts: list[str] = []

@@ -134,6 +134,65 @@ _META_COLS = [
     "docID", "repo", "path", "commit", "lang", "content_sha256", "dl", "norm",
 ]
 
+# ---------------------------------------------------------------------------
+# Explicit range partitioning (sampling-free on the heavy path)
+#
+# Spark's repartitionByRange samples the FULL upstream computation to pick
+# boundaries — an extra complete pass (for us: a second corpus generation /
+# parquet scan, or a second run of the postings merge). Instead we sample
+# keys once on the driver (column-pruned — cheap on parquet; analytic for
+# the synthetic corpus), broadcast the sorted boundary list, assign a range
+# id with np.searchsorted inside an Arrow batch UDF, and hash-shuffle on
+# that id: ONE pass, deterministic boundaries (reused across resume /
+# cluster sizes). Python str comparison (code points) == Spark's UTF-8
+# binary string ordering, so range ids are monotone under Spark's sort.
+# ---------------------------------------------------------------------------
+
+# Separator must sort below every character that can appear in the key
+# columns for flattened order == tuple order. \x01 (not \x00: pandas 2.x
+# object-string concat silently DROPS NUL bytes) — keys containing \x00 or
+# \x01 are not supported (no real repo/path/commit does).
+_KEY_SEP = "\x01"
+
+
+def _flatten_key(repo: str, path: str, commit: str) -> str:
+    return f"{repo}{_KEY_SEP}{path}{_KEY_SEP}{commit}"
+
+
+def _quantile_bounds(sorted_keys: list, n_part: int) -> list:
+    """n_part-1 deduped split points from a sorted sample."""
+    if n_part <= 1 or not sorted_keys:
+        return []
+    out, seen = [], set()
+    for i in range(1, n_part):
+        k = sorted_keys[min(len(sorted_keys) - 1, i * len(sorted_keys) // n_part)]
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
+def _with_range_id(df: DataFrame, bounds: list[str], key_cols: list[str], out_col: str = "rpid"):
+    """Add a range-partition id column via broadcast boundaries +
+    np.searchsorted (no sampling job, no extra pass)."""
+    barr = np.array(bounds, dtype=object)
+
+    if len(key_cols) == 3:
+        @F.pandas_udf(IntegerType())
+        def rid(repo: pd.Series, path: pd.Series, commit: pd.Series) -> pd.Series:
+            keys = (repo + _KEY_SEP + path + _KEY_SEP + commit).to_numpy(dtype=object)
+            return pd.Series(np.searchsorted(barr, keys, side="right").astype(np.int32))
+
+        return df.withColumn(out_col, rid(*[F.col(c) for c in key_cols]))
+
+    @F.pandas_udf(IntegerType())
+    def rid1(key: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(barr, key.to_numpy(dtype=object), side="right").astype(np.int32)
+        )
+
+    return df.withColumn(out_col, rid1(F.col(key_cols[0])))
+
 
 def _invert_partition(
     offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
@@ -185,22 +244,43 @@ def _invert_partition(
         return frame[_RUN_COLS + _META_COLS]
 
     def fn(batches):
-        next_id = None
+        # docIDs: each range id (rpid) owns the dense docID range
+        # [offsets[rpid], offsets[rpid]+count); rows arrive key-sorted, so
+        # rpid groups are contiguous within the partition. A physical
+        # partition may hold several NON-adjacent rpid ranges (hash
+        # placement), so runs must not span rpid boundaries — each run's
+        # doc range has to be disjoint from every other run's for the
+        # merge-by-first_doc concatenation to stay sorted.
+        next_ids: dict[int, int] = {}
         buf: dict[str, list] = {}
         buffered = 0
+        cur_rp: int | None = None
         for pdf in batches:
-            if next_id is None:
-                pid = int(pdf["pid"].iloc[0])
-                next_id = offsets[pid]
             n = len(pdf)
-            ids = range(next_id, next_id + n)
-            next_id += n
+            rpids = pdf["rpid"].to_numpy()
+            ids = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                rp = int(rpids[i])
+                nid = next_ids.get(rp)
+                if nid is None:
+                    nid = offsets[rp]
+                ids[i] = nid
+                next_ids[rp] = nid + 1
 
+            flushes = []
             meta = {c: [] for c in _META_COLS}
-            for did, repo, path, commit, lang, text in zip(
+            for row_i, (did, repo, path, commit, lang, text) in enumerate(zip(
                 ids, pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
                 pdf["content"],
-            ):
+            )):
+                did = int(did)
+                rp = int(rpids[row_i])
+                if rp != cur_rp:
+                    if buf:
+                        flushes.append(_flush(buf))
+                        buf = {}
+                        buffered = 0
+                    cur_rp = rp
                 toks = analyze(text)
                 dl = len(toks)
                 norm = int(int_to_byte4(np.int64(dl)))
@@ -234,6 +314,11 @@ def _invert_partition(
                     ent[2].append(norm)
                     if store_positions:
                         ent[3].extend(plist)
+                buffered += 1
+                if buffered >= flush_docs:
+                    flushes.append(_flush(buf))
+                    buf = {}
+                    buffered = 0
             meta_pdf = pd.DataFrame(meta)
             meta_pdf["docID"] = meta_pdf["docID"].astype("int64")
             meta_pdf["dl"] = meta_pdf["dl"].astype("int32")
@@ -241,12 +326,8 @@ def _invert_partition(
             for c in _RUN_COLS:
                 meta_pdf[c] = None
             yield meta_pdf[_RUN_COLS + _META_COLS]
-
-            buffered += n
-            if buffered >= flush_docs:
-                yield _flush(buf)
-                buf = {}
-                buffered = 0
+            for fl in flushes:
+                yield fl
         if buf:
             yield _flush(buf)
 
@@ -324,8 +405,16 @@ def build_index(
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
     flush_docs: int = FLUSH_DOCS,
+    key_sample: list[tuple[str, str, str]] | None = None,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
 ) -> dict:
     """Build the full index at ``out_dir`` and return build metrics.
+
+    ``key_sample``: optional pre-computed (repo, path, commit) sample used
+    for range boundaries (skips the sampling scan entirely — e.g. the
+    synthetic corpus derives keys analytically; on parquet the default
+    column-pruned sample scan is already cheap).
 
     Output layout: {out_dir}/{docmap,terms,postings,stats,lineage}/ parquet
     + manifest.json (written last = commit point)."""
@@ -333,17 +422,27 @@ def build_index(
     n_part = partitions or spark.sparkContext.defaultParallelism
 
     # --- shuffle 1: deterministic doc order ------------------------------
+    if key_sample is None:
+        key_sample = [
+            (r["repo"], r["path"], r["commit"])
+            for r in docs.select("repo", "path", "commit")
+            .sample(fraction=min(1.0, sample_fraction), seed=seed)
+            .collect()
+        ]
+    bounds = _quantile_bounds(
+        sorted(_flatten_key(*k) for k in key_sample), n_part
+    )
     sorted_docs = (
-        docs.repartitionByRange(n_part, "repo", "path", "commit")
+        _with_range_id(docs, bounds, ["repo", "path", "commit"])
+        .repartition(n_part, "rpid")
         .sortWithinPartitions("repo", "path", "commit")
-        .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # partition sizes -> global docID offsets (zipWithIndex two-pass,
-    # but counting only (pid) — column-pruned scan)
+    # range sizes -> global docID offsets (zipWithIndex two-pass, but the
+    # counting aggregate is map-side + tiny)
     sizes = dict(
-        (r["pid"], r["cnt"])
-        for r in sorted_docs.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        (r["rpid"], r["cnt"])
+        for r in sorted_docs.groupBy("rpid").agg(F.count("*").alias("cnt")).collect()
     )
     offsets: dict[int, int] = {}
     acc = 0
@@ -399,9 +498,23 @@ def build_index(
         .groupBy("term", "salt")
         .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
     )
+    # range-partition the output by term (the parquet file/rowgroup min-max
+    # stats ARE our term dictionary) — boundaries come from the cached
+    # terms table, so the expensive merge runs exactly once
+    term_bounds = _quantile_bounds(
+        sorted(
+            r["term"]
+            for r in terms_df.select("term")
+            .sample(fraction=min(1.0, 0.2), seed=seed)
+            .collect()
+        ),
+        n_part,
+    )
     (
-        blocks.repartitionByRange(n_part, "term")
+        _with_range_id(blocks, term_bounds, ["term"])
+        .repartition(n_part, "rpid")
         .sortWithinPartitions("term", "salt", "block_seq")
+        .drop("rpid")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )

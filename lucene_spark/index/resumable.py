@@ -155,12 +155,12 @@ def build_segment(
     sorted_docs = (
         seg_docs.repartitionByRange(n_part, *_KEY)
         .sortWithinPartitions(*_KEY)
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("rpid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = dict(
-        (r["pid"], r["cnt"])
-        for r in sorted_docs.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        (r["rpid"], r["cnt"])
+        for r in sorted_docs.groupBy("rpid").agg(F.count("*").alias("cnt")).collect()
     )
     offsets: dict[int, int] = {}
     acc = plan["offsets"][seg]

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: the identical index-build job at two
+parallelism levels (sandbox proxy for N vs 4N executors, per BASELINE.md).
+
+Runs scripts/build_index_job.py in fresh processes (fresh JVM each) at
+local[LOW] and local[HIGH] on the same deterministic corpus, then reports
+throughput at both and efficiency = (rate_high / rate_low) / (high / low).
+Writes BENCH/scaling.json and prints the JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_build(cpus: int, docs: int, queries: str) -> dict:
+    out_dir = os.path.join(REPO, ".build", f"scale_{cpus}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "build_index_job.py"),
+        "--cpus", str(cpus),
+        "--gen-docs", str(docs),
+        "--out", out_dir,
+    ]
+    if queries:
+        cmd += ["--queries", queries]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    if res.returncode != 0:
+        sys.stderr.write(res.stdout[-2000:] + res.stderr[-4000:])
+        raise SystemExit(f"build at local[{cpus}] failed")
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000")))
+    ap.add_argument("--queries", default="query table scan,return value,spark merge batch")
+    args = ap.parse_args()
+
+    lo = run_build(args.low, args.docs, args.queries)
+    hi = run_build(args.high, args.docs, args.queries)
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    eff = speedup / (args.high / args.low)
+    out = {
+        "docs": args.docs,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "low_docs_per_sec": round(lo["docs_per_sec"], 1),
+        "high_docs_per_sec": round(hi["docs_per_sec"], 1),
+        "low_wall_sec": round(lo["build_wall_sec"], 2),
+        "high_wall_sec": round(hi["build_wall_sec"], 2),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "low_query_sec": lo.get("query_sec"),
+        "high_query_sec": hi.get("query_sec"),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
