@@ -123,7 +123,12 @@ def byte4_sql(col: str) -> str:
 
 def _bm25_sql(terms: list[str], mode: str, k: int = 10) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
-    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    if mode == "and":
+        having = f"HAVING count(*) = {len(terms)}"
+    elif mode.startswith("msm"):
+        having = f"HAVING count(*) >= {int(mode[3:])}"
+    else:
+        having = ""
     return f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
@@ -173,6 +178,8 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, terms: list[str], mode: str, k
     )
     if mode == "and":
         agg = agg.filter(F.col("nm") == len(terms))
+    elif mode.startswith("msm"):
+        agg = agg.filter(F.col("nm") >= int(mode[3:]))
     return (
         agg.select("doc_id", F.round(F.col("ssum"), ROUND).alias("score"), F.col("ssum"))
         .orderBy(F.desc("ssum"), F.asc("doc_id"))
@@ -342,6 +349,279 @@ def q_cosine_top10(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# extended boolean / multi-term query operators (SURVEY §2.B5-B7, B15-B23)
+# all scored in double precision against the decoded index
+# --------------------------------------------------------------------------
+
+FUZZY_TARGET = "scan"     # fuzzy ~2 expansion target
+RANGE_LO, RANGE_HI = "scan", "table"
+WILDCARD_PREFIX, WILDCARD_SUFFIX = "val", "9"
+SYN_TERMS = ["table", "scan"]  # SynonymQuery pseudo-term
+
+
+def q_bm25_msm2(spark, sf_dir):
+    """minimumShouldMatch=2 of the 3 OR terms (WANDScorer freq >=
+    minShouldMatch semantics, search/WANDScorer.java:40)."""
+    return _bm25_spark(spark, sf_dir, TERMS_OR, "msm2")
+
+
+def q_bm25_must_not(spark, sf_dir):
+    """MUST term + MUST_NOT term (ReqExclScorer): score only the required
+    clause, exclude docs containing the prohibited term."""
+    s = searcher_for(spark, sf_dir)
+    excl = s.postings_tf([TERMS_AND[1]]).select("docID")
+    base = (
+        _bm25_spark_scored(spark, sf_dir, [TERM_1])
+        .groupBy("docID", "doc_id")
+        .agg(F.sum("s").alias("s"))
+    )
+    return (
+        base.join(excl, "docID", "left_anti")
+        .select("doc_id", F.round(F.col("s"), ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_dismax_top10(spark, sf_dir):
+    """DisjunctionMaxQuery (tieBreaker=0.1): score = max + 0.1*(sum-max)
+    (search/DisjunctionMaxQuery.java:357)."""
+    scored = _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+    agg = scored.groupBy("doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    dm = F.col("mx") + 0.1 * (F.col("sm") - F.col("mx"))
+    return (
+        agg.select("doc_id", F.round(dm, ROUND).alias("score"), dm.alias("raw"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_fuzzy_expand(spark, sf_dir):
+    """FuzzyQuery term expansion: dictionary terms within edit distance 2
+    of the target (AutomatonTermsEnum analog via levenshtein on the terms
+    table)."""
+    s = searcher_for(spark, sf_dir)
+    return (
+        s.terms_table.where(F.levenshtein(F.col("term"), F.lit(FUZZY_TARGET)) <= 2)
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+
+
+def q_term_range_df(spark, sf_dir):
+    """TermRangeQuery: dictionary slice [lo, hi] (inclusive)."""
+    s = searcher_for(spark, sf_dir)
+    return s.terms_table.where(
+        (F.col("term") >= RANGE_LO) & (F.col("term") <= RANGE_HI)
+    ).select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_wildcard_count(spark, sf_dir):
+    """WildcardQuery val*9: expand against the dictionary, count distinct
+    matching docs (MultiTermQuery rewrite to a doc-set union)."""
+    s = searcher_for(spark, sf_dir)
+    terms = [
+        r["term"]
+        for r in s.terms_table.where(
+            F.col("term").like(f"{WILDCARD_PREFIX}%{WILDCARD_SUFFIX}")
+        ).select("term").collect()
+    ]
+    if not terms:
+        return spark.createDataFrame([(0,)], "cnt long")
+    cnt = s.postings_tf(terms).select("docID").distinct().count()
+    return spark.createDataFrame([(cnt,)], "cnt long")
+
+
+def q_synonym_top10(spark, sf_dir):
+    """SynonymQuery({table, scan}): union of postings scored as ONE
+    pseudo-term — tf = sum of tfs, df = |union of doc sets|
+    (search/SynonymQuery.java:719)."""
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    tf = (
+        s.postings_tf(SYN_TERMS)
+        .groupBy("docID")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    df_union = tf.count()
+    dm = _docid_map(s)
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - df_union + 0.5) / (df_union + 0.5))
+    scored = tf.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        idf * F.col("tf")
+        / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_facet_source(spark, sf_dir):
+    """FacetsCollector analog: among docs matching TERM_1, value counts of
+    the `source` metadata column."""
+    s = searcher_for(spark, sf_dir)
+    hits = s.postings_tf([TERM_1]).select("docID")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dm = _docid_map(s)
+    return (
+        hits.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def q_group_top2(spark, sf_dir):
+    """Grouping: top-2 docs by BM25(TERM_1) per `source` group
+    (FirstPassGroupingCollector analog via a rank window)."""
+    from pyspark.sql import Window
+
+    scored = _bm25_spark_scored(spark, sf_dir, [TERM_1])
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("source", "doc_id", F.round("s", ROUND).alias("score"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_search_after(spark, sf_dir):
+    """searchAfter pagination: results ranked 11..20 of the OR query."""
+    from pyspark.sql import Window
+
+    scored = _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("ssum"))
+    w = Window.orderBy(F.desc("ssum"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") > 10) & (F.col("rk") <= 20))
+        .select("doc_id", F.round("ssum", ROUND).alias("score"))
+    )
+
+
+def _bm25_spark_scored(spark, sf_dir, terms: list[str]):
+    """(docID, doc_id, term, s): per-(doc,term) double-precision BM25
+    partial scores from the decoded index."""
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    stats = s.term_stats(terms)
+    tf = s.postings_tf(terms)
+    df_map = F.create_map(
+        *[F.lit(x) for t in set(terms) if t in stats for x in (t, float(stats[t].df))]
+    )
+    dm = _docid_map(s)
+    return (
+        tf.join(F.broadcast(dm), "docID")
+        .withColumn("dfv", df_map[F.col("term")])
+        .withColumn(
+            "s",
+            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("dfv") + 0.5) / (F.col("dfv") + 0.5))
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .select("docID", "doc_id", "term", "s")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline entries (dedup / text analysis / similarity)
+# --------------------------------------------------------------------------
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(spark, _documents(spark, sf_dir), k=3, threshold=0.8)
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import minhash_near_dup
+
+    return minhash_near_dup(spark, _documents(spark, sf_dir), k=3, threshold=0.8)
+
+
+def q_simhash(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import simhash64
+
+    return simhash64(spark, _documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from lucene_spark.pipeline.text import lang_id
+
+    return lang_id(spark, _documents(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from lucene_spark.pipeline.text import token_stats
+
+    return token_stats(spark, _documents(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from lucene_spark.pipeline.text import winnow_fingerprints
+
+    return winnow_fingerprints(spark, _documents(spark, sf_dir), k=5, window=4)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    from lucene_spark.pipeline.ann import emb_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_near_dup_pairs(spark, emb, threshold=0.95)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> md5-derived feature vector
+    (deterministic stand-in for a real decoder; see pipeline/media.py).
+    First 4 feature dims unpacked for the SQL duel."""
+    from lucene_spark.pipeline.media import media_features, synth_media_df
+
+    media = synth_media_df(spark, _documents(spark, sf_dir))
+    feats = media_features(spark, media, fake_decode=True)
+    # u/256 with u uint8 is exactly representable in both float32 and
+    # double, so the duel compares exact values (cast, don't round)
+    return feats.select(
+        F.col("media_id"),
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_ann_ivf_top10(spark, sf_dir):
+    """IVF approximate nearest neighbours (rows-only: approximate by
+    design; recall vs brute force is pytest-asserted)."""
+    import numpy as np
+
+    from lucene_spark.pipeline.ann import ann_ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ivf_topk(
+        spark, emb, np.asarray(qrow, dtype=np.float32), k=10, exclude_id=0
+    )
+
+
 # ---- rows-only entries (non-SQL-expressible: float32 Lucene ranking) -----
 
 def q_lucene_bm25_top10(spark, sf_dir):
@@ -382,7 +662,103 @@ QUERIES = {
     "cosine_top10": q_cosine_top10,
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "phrase_top10": q_phrase_top10,
+    # extended query operators
+    "bm25_msm2": q_bm25_msm2,
+    "bm25_must_not": q_bm25_must_not,
+    "dismax_top10": q_dismax_top10,
+    "fuzzy_expand": q_fuzzy_expand,
+    "term_range_df": q_term_range_df,
+    "wildcard_count": q_wildcard_count,
+    "synonym_top10": q_synonym_top10,
+    "facet_source": q_facet_source,
+    "group_top2": q_group_top2,
+    "search_after": q_search_after,
+    # training-data pipeline
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "emb_near_dup": q_emb_near_dup,
+    "media_features": q_media_features,
+    "ann_ivf_top10": q_ann_ivf_top10,
 }
+
+
+def _jaccard_pairs_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Exact all-pairs word-k-gram Jaccard >= threshold (the ground truth
+    both ngram_jaccard and the MinHash-LSH pipeline must reproduce)."""
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+g AS (SELECT doc_id, list_distinct([{gram} for i in range(1, greatest(len(a)-{k - 1}, 0) + 1)]) AS sh FROM t),
+e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+          FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id GROUP BY 1, 2)
+SELECT a, b, round(i::DOUBLE / (sa.n + sb.n - i), {ROUND}) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash from md5 nibbles, emitted as 16 hex chars."""
+    return """
+WITH tok AS (SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+h AS (SELECT doc_id, term, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h64 FROM tf),
+votes AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * ((h64 >> (63 - j)) & 1)::BIGINT - 1)) AS v
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY doc_id, j
+),
+bits AS (SELECT doc_id, j, CASE WHEN v >= 0 THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit FROM votes),
+nibbles AS (
+  SELECT doc_id, j // 4 AS ni, sum(bit << (3 - (j % 4)))::INT AS nv
+  FROM bits GROUP BY doc_id, j // 4
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY ni) AS simhash_hex
+FROM nibbles GROUP BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    from lucene_spark.pipeline.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ", ".join(
+        f"sum(CASE WHEN term IN ({', '.join(repr(w) for w in LANG_PROFILES[lang])}) THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    pred = "CASE WHEN " + " WHEN ".join(
+        f"s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH {TOKENS_CTE},
+sc AS (SELECT doc_id, {score_cols} FROM tok GROUP BY doc_id),
+b AS (SELECT doc_id, *, {best} AS best FROM sc)
+SELECT doc_id, {pred} AS lang_pred, best::BIGINT AS hits FROM b
+"""
+
+
+def _winnow_sql(k: int = 5, window: int = 4) -> str:
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+g AS (SELECT doc_id, i, ('0x' || substr(md5({gram}), 1, 8))::BIGINT AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - {k - 1}, 0))) AS i)),
+mx AS (SELECT doc_id, max(i) AS imax FROM g GROUP BY doc_id),
+wm AS (SELECT g.doc_id, i,
+              min(h) OVER (PARTITION BY g.doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+              imax
+       FROM g JOIN mx ON g.doc_id = mx.doc_id)
+SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE i <= imax - {window - 1}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -425,4 +801,131 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]) DESC, vec_id ASC
             LIMIT 10""",
     }
+
+    # --- extended boolean / multi-term operators --------------------------
+    sqls["bm25_msm2"] = _bm25_sql(TERMS_OR, "msm2")
+    sqls["bm25_must_not"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term = '{TERM_1}' GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{TERMS_AND[1]}')
+SELECT doc_id, round(s, {ROUND}) AS score FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    _or_list = ", ".join(f"'{t}'" for t in TERMS_OR)
+    sqls["dismax_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_or_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM scored GROUP BY doc_id)
+SELECT doc_id, round(mx + 0.1 * (sm - mx), {ROUND}) AS score FROM agg
+ORDER BY mx + 0.1 * (sm - mx) DESC, doc_id ASC LIMIT 10
+"""
+    sqls["fuzzy_expand"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
+        SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE levenshtein(term, '{FUZZY_TARGET}') <= 2 GROUP BY term"""
+    sqls["term_range_df"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
+        SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term >= '{RANGE_LO}' AND term <= '{RANGE_HI}' GROUP BY term"""
+    sqls["wildcard_count"] = f"""WITH {TOKENS_CTE}
+        SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM tok
+        WHERE term LIKE '{WILDCARD_PREFIX}%{WILDCARD_SUFFIX}'"""
+    _syn_list = ", ".join(f"'{t}'" for t in SYN_TERMS)
+    sqls["synonym_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+u AS (SELECT doc_id, sum(tf)::BIGINT AS tf FROM tf WHERE term IN ({_syn_list}) GROUP BY doc_id),
+dfu AS (SELECT count(*)::BIGINT AS df FROM u),
+scored AS (
+  SELECT u.doc_id,
+         ln(1 + ((SELECT n FROM n) - (SELECT df FROM dfu) + 0.5) / ((SELECT df FROM dfu) + 0.5))
+           * u.tf / (u.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM u JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(s, {ROUND}) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    sqls["facet_source"] = f"""WITH {TOKENS_CTE}
+        SELECT d.source, count(DISTINCT tok.doc_id)::BIGINT AS cnt
+        FROM tok JOIN documents d USING (doc_id)
+        WHERE tok.term = '{TERM_1}' GROUP BY d.source"""
+    sqls["group_top2"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term = '{TERM_1}' GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+rk AS (
+  SELECT d.source, scored.doc_id, s,
+         row_number() OVER (PARTITION BY d.source ORDER BY s DESC, scored.doc_id ASC) AS rk
+  FROM scored JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, round(s, {ROUND}) AS score, rk::BIGINT AS rk FROM rk WHERE rk <= 2
+"""
+    sqls["search_after"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_or_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, sum(s) AS ssum FROM scored GROUP BY doc_id),
+rk AS (SELECT doc_id, ssum, row_number() OVER (ORDER BY ssum DESC, doc_id ASC) AS rk FROM agg)
+SELECT doc_id, round(ssum, {ROUND}) AS score FROM rk WHERE rk > 10 AND rk <= 20
+"""
+
+    # --- training-data pipeline -------------------------------------------
+    sqls["ngram_jaccard"] = _jaccard_pairs_sql(3, 0.8)
+    sqls["minhash_near_dup"] = _jaccard_pairs_sql(3, 0.8)
+    sqls["simhash"] = _simhash_sql()
+    sqls["lang_id"] = _lang_id_sql()
+    from lucene_spark.pipeline.text import BPE_REGEX
+
+    sqls["token_stats"] = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT AS n_ws,
+       len(regexp_extract_all(text, '{BPE_REGEX}'))::BIGINT AS n_bpe,
+       round(length(text)::DOUBLE / len(regexp_extract_all(text, '{BPE_REGEX}')), 4) AS chars_per_bpe
+FROM documents
+"""
+    sqls["doc_fingerprint"] = _winnow_sql(5, 4)
+    sqls["emb_near_dup"] = """
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= 0.95
+"""
+    sqls["media_features"] = """
+SELECT doc_id AS media_id,
+       ('0x' || substr(md5(text), 1, 2))::INT / 256.0 AS f0,
+       ('0x' || substr(md5(text), 3, 2))::INT / 256.0 AS f1,
+       ('0x' || substr(md5(text), 5, 2))::INT / 256.0 AS f2,
+       ('0x' || substr(md5(text), 7, 2))::INT / 256.0 AS f3
+FROM documents
+"""
     return sqls
