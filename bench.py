@@ -90,10 +90,15 @@ def main() -> None:
     # the gate without hard failures if an entry is renamed
     for extra in (
         "minhash_near_dup",
-        "simhash_dedup",
+        "simhash",
         "lang_id",
         "doc_fingerprint",
-        "ann_lsh_top10",
+        "emb_near_dup",
+        "ann_ivf_top10",
+        "bm25_msm2",
+        "dismax_top10",
+        "synonym_top10",
+        "group_top2",
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

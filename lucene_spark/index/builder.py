@@ -194,6 +194,48 @@ def _with_range_id(df: DataFrame, bounds: list[str], key_cols: list[str], out_co
     return df.withColumn(out_col, rid1(F.col(key_cols[0])))
 
 
+_LABEL_CACHE: dict[int, list[int]] = {}
+
+
+def _placement_labels(spark: SparkSession, n_part: int) -> list[int]:
+    """Murmur3 pre-image labels: labels[p] is an int whose Spark hash
+    partition (pmod(hash(int), n_part)) is exactly p.
+
+    DataFrame.repartition(n, col) hashes the column, and hashing small
+    consecutive ints collides badly — with n ranges into n partitions some
+    partitions get 2 ranges and some get 0, doubling the straggler's load.
+    Mapping each range id through a pre-image label gives EXACT 1:1
+    range->partition placement (the explicit-partitioner idiom, DataFrame
+    edition). One tiny driver job per n_part, cached."""
+    if n_part in _LABEL_CACHE:
+        return _LABEL_CACHE[n_part]
+    probe = spark.range(0, max(4096, 64 * n_part)).select(
+        F.col("id").cast("int").alias("id"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_part)).alias("p"),
+    ).collect()
+    by_target: dict[int, list[int]] = {}
+    for r in probe:
+        by_target.setdefault(int(r["p"]), []).append(int(r["id"]))
+    labels = [by_target[p].pop(0) for p in range(n_part)]
+    _LABEL_CACHE[n_part] = labels
+    return labels
+
+
+def _repartition_exact(
+    spark: SparkSession, df: DataFrame, n_part: int, rid_col: str = "rpid"
+) -> DataFrame:
+    """Shuffle so range id r lands exactly on partition r % n_part."""
+    labels = _placement_labels(spark, n_part)
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    return (
+        df.withColumn(
+            "__plabel", F.element_at(lab_arr, F.pmod(F.col(rid_col), n_part) + 1)
+        )
+        .repartition(n_part, "__plabel")
+        .drop("__plabel")
+    )
+
+
 def _invert_partition(
     offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
 ):
@@ -424,6 +466,14 @@ def build_index(
     Output layout: {out_dir}/{docmap,terms,postings,stats,lineage}/ parquet
     + manifest.json (written last = commit point)."""
     t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, since: list[float]) -> None:
+        now = time.time()
+        phases[name] = round(now - since[0], 3)
+        since[0] = now
+
+    _t = [t0]
     n_part = partitions or spark.sparkContext.defaultParallelism
 
     # --- shuffle 1: deterministic doc order ------------------------------
@@ -438,11 +488,17 @@ def build_index(
         sorted(_flatten_key(*k) for k in key_sample), n_part
     )
     sorted_docs = (
-        _with_range_id(docs, bounds, ["repo", "path", "commit"])
-        .repartition(n_part, "rpid")
+        _repartition_exact(
+            spark,
+            _with_range_id(docs, bounds, ["repo", "path", "commit"]),
+            n_part,
+        )
         .sortWithinPartitions("repo", "path", "commit")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # NO persist: Spark reuses the map-side shuffle files across the two
+    # jobs below (count + invert), and reading the columnar DataFrame
+    # cache at high task concurrency measured 2-4x SLOWER than the
+    # post-shuffle recompute itself
     # range sizes -> global docID offsets (zipWithIndex two-pass, but the
     # counting aggregate is map-side + tiny)
     sizes = dict(
@@ -455,17 +511,25 @@ def build_index(
         offsets[pid] = acc
         acc += sizes[pid]
     doc_count = acc
+    _mark("shuffle_docs", _t)
 
     # --- invert + map-side segment flush ---------------------------------
-    inverted = sorted_docs.mapInPandas(
+    # one Python pass, durably written; later phases read back with
+    # column pruning (cheaper than double-storing via persist, and the
+    # parquet file doubles as the segment-run checkpoint)
+    inv_path = os.path.join(out_dir, "inverted_runs")
+    sorted_docs.mapInPandas(
         _invert_partition(offsets, store_positions, flush_docs),
         schema=INVERT_SCHEMA,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).write.mode("overwrite").parquet(inv_path)
+    inverted = spark.read.parquet(inv_path)
+    _mark("invert_write", _t)
 
     docmap = inverted.filter(F.col("term").isNull()).select(*_META_COLS)
     docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
 
     runs = inverted.filter(F.col("term").isNotNull()).select(*_RUN_COLS)
+    _mark("docmap_write", _t)
 
     # --- term dictionary + stats (cheap agg over run headers) ------------
     terms_df = (
@@ -488,6 +552,7 @@ def build_index(
         .select("term")
         .collect()
     ]
+    _mark("terms_write", _t)
 
     # --- shuffle 2: merge runs into postings blocks (salted hot terms) ---
     if hot_terms:
@@ -516,13 +581,15 @@ def build_index(
         n_part,
     )
     (
-        _with_range_id(blocks, term_bounds, ["term"])
-        .repartition(n_part, "rpid")
+        _repartition_exact(
+            spark, _with_range_id(blocks, term_bounds, ["term"]), n_part
+        )
         .sortWithinPartitions("term", "salt", "block_seq")
         .drop("rpid")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    _mark("postings_write", _t)
 
     # --- collection stats (CollectionStatistics analog) ------------------
     agg = terms_df.agg(
@@ -554,13 +621,22 @@ def build_index(
         os.path.join(out_dir, "lineage")
     )
 
-    inverted.unpersist()
     terms_df.unpersist()
-    sorted_docs.unpersist()
+    # drop the intermediate run checkpoint (merged into postings) — in the
+    # background; it gates nothing downstream
+    import shutil
+    import threading
 
+    threading.Thread(
+        target=shutil.rmtree, args=(inv_path,), kwargs={"ignore_errors": True},
+        daemon=True,
+    ).start()
+
+    _mark("stats_lineage", _t)
     elapsed = time.time() - t0
     manifest = {
         "version": 2,
+        "phases": phases,
         "doc_count": stats["doc_count"],
         "sum_total_term_freq": stats["sum_total_term_freq"],
         "sum_doc_freq": stats["sum_doc_freq"],

@@ -156,7 +156,6 @@ def build_segment(
         seg_docs.repartitionByRange(n_part, *_KEY)
         .sortWithinPartitions(*_KEY)
         .withColumn("rpid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = dict(
         (r["rpid"], r["cnt"])
@@ -176,7 +175,7 @@ def build_segment(
     inverted = sorted_docs.mapInPandas(
         _invert_partition(offsets, store_positions, flush_docs),
         schema=INVERT_SCHEMA,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # small compact rows; reused 3x
     inverted.filter(F.col("term").isNull()).select(*_META_COLS).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "docmap", f"seg={seg}"))

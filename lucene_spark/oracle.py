@@ -93,6 +93,90 @@ class OracleIndex:
             (int(self.doc_ids[rows[i]]), float(final[i])) for i in top
         ]
 
+    def search_boolean(
+        self,
+        should: list[str] | None = None,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int = 0,
+        k: int = 10,
+    ):
+        """BooleanQuery reference: MUST all required, SHOULD optional with
+        >= min_should_match, MUST_NOT excluded unscored."""
+        must = must or []
+        should = should or []
+        must_not = must_not or []
+        if any(t not in self.postings for t in must):
+            return []
+        acc = np.zeros(self.doc_count, dtype=np.float64)
+        nreq = np.zeros(self.doc_count, dtype=np.int64)
+        nopt = np.zeros(self.doc_count, dtype=np.int64)
+        for t in set(must):
+            rows, scores = self._term_scores(t)
+            acc[rows] += scores.astype(np.float64)
+            nreq[rows] += 1
+        for t in should:
+            rows, scores = self._term_scores(t)
+            acc[rows] += scores.astype(np.float64)
+            nopt[rows] += 1
+        mask = np.ones(self.doc_count, dtype=bool)
+        if must:
+            mask &= nreq == len(set(must))
+        else:
+            mask &= nopt > 0
+        if min_should_match > 0:
+            mask &= nopt >= min_should_match
+        for t in must_not:
+            if t in self.postings:
+                mask[self.postings[t][0]] = False
+        rows = np.flatnonzero(mask)
+        if rows.size == 0:
+            return []
+        final = acc[rows].astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -final))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(final[i])) for i in order]
+
+    def search_dismax(self, queries: list[list[str]], tie_breaker: float = 0.0, k: int = 10):
+        """DisjunctionMax reference: per-subquery OR sums, combined as
+        max + tieBreaker * (sum - max)."""
+        subs = np.zeros((len(queries), self.doc_count), dtype=np.float64)
+        matched = np.zeros(self.doc_count, dtype=bool)
+        for qi, terms in enumerate(queries):
+            for t in terms:
+                rows, scores = self._term_scores(t)
+                subs[qi, rows] += scores.astype(np.float64)
+                matched[rows] = True
+        rows = np.flatnonzero(matched)
+        if rows.size == 0:
+            return []
+        mx = subs[:, rows].max(axis=0)
+        sm = subs[:, rows].sum(axis=0)
+        final = (mx + tie_breaker * (sm - mx)).astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -final))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(final[i])) for i in order]
+
+    def search_synonym(self, terms: list[str], k: int = 10):
+        """SynonymQuery reference: union postings as one pseudo-term —
+        tf summed, norm = min over contributing terms' norms per doc
+        (same doc => same norm anyway), df = |union|."""
+        tf_by_row: dict[int, int] = {}
+        for t in terms:
+            if t not in self.postings:
+                continue
+            rows, tfs, _ = self.postings[t]
+            for r, f in zip(rows, tfs):
+                tf_by_row[int(r)] = tf_by_row.get(int(r), 0) + int(f)
+        if not tf_by_row:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        rows = np.array(sorted(tf_by_row.keys()), dtype=np.int64)
+        f = np.array([tf_by_row[int(r)] for r in rows], dtype=np.float32)
+        w = np.float32(idf(len(rows), self.doc_count))
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
     def phrase_freqs(self, terms: list[str]) -> dict[int, int]:
         """row -> exact-phrase occurrence count (ExactPhraseMatcher.java:37-167)."""
         if any(t not in self.postings for t in terms):

@@ -131,8 +131,11 @@ class IndexSearcher:
     def _scored_postings(
         self, terms: list[str], stats: dict[str, TermStats]
     ) -> DataFrame:
-        """(docID, term, score) rows for every posting of the query terms."""
-        weights = self._weights(stats)
+        """(docID, term, score) rows for every posting of the query terms
+        (stats may cover a superset of terms — only `terms` are scored)."""
+        weights = {
+            t: w for t, w in self._weights(stats).items() if t in set(terms)
+        }
         blocks = self._postings.filter(F.col("term").isin(list(weights)))
         return blocks.mapInPandas(
             self._decode_score_udf(weights), schema=SCORE_SCHEMA
@@ -203,6 +206,161 @@ class IndexSearcher:
             return self._search_pruned(present, stats, k, mode)
         scored = self._scored_postings(present, stats)
         return self._topk(scored, k, mode, n_terms=len(set(present)))
+
+    def search_boolean(
+        self,
+        should: str | list[str] | None = None,
+        must: str | list[str] | None = None,
+        must_not: str | list[str] | None = None,
+        min_should_match: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """General BooleanQuery: MUST clauses all required (scored),
+        SHOULD clauses optional (scored, >= min_should_match of them),
+        MUST_NOT excluded (unscored) — ReqOptSum + ReqExcl semantics
+        (search/ReqOptSumScorer.java, ReqExclScorer.java), float32 scores
+        summed in double like DisjunctionSumScorer."""
+        must_terms = self._parse(must) if must else []
+        should_terms = self._parse(should) if should else []
+        not_terms = self._parse(must_not) if must_not else []
+        stats = self.term_stats(must_terms + should_terms)
+        if any(t not in stats for t in must_terms):
+            return self._empty_topk()
+        should_present = [t for t in should_terms if t in stats]
+        if not must_terms and not should_present:
+            return self._empty_topk()
+
+        parts = []
+        if must_terms:
+            m = self._scored_postings(must_terms, stats).withColumn(
+                "req", F.lit(1)
+            )
+            parts.append(m)
+        if should_present:
+            s = self._scored_postings(should_present, stats).withColumn(
+                "req", F.lit(0)
+            )
+            parts.append(s)
+        scored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        agg = scored.groupBy("docID").agg(
+            F.sum(F.col("score").cast(DoubleType())).alias("dsum"),
+            F.sum("req").alias("nreq"),
+            F.sum(F.lit(1) - F.col("req")).alias("nopt"),
+        )
+        if must_terms:
+            agg = agg.filter(F.col("nreq") == len(set(must_terms)))
+        if min_should_match > 0:
+            agg = agg.filter(F.col("nopt") >= min_should_match)
+        if not_terms:
+            excl_stats = self.term_stats(not_terms)
+            present = [t for t in not_terms if t in excl_stats]
+            if present:
+                excl = self.postings_tf(present).select("docID").distinct()
+                agg = agg.join(excl, "docID", "left_anti")
+        return (
+            agg.select("docID", F.col("dsum").cast(FloatType()).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def search_dismax(
+        self, queries: list[str], tie_breaker: float = 0.0, k: int = 10
+    ) -> DataFrame:
+        """DisjunctionMaxQuery: score = max(sub) + tieBreaker * sum(others)
+        (search/DisjunctionMaxQuery.java:357). Sub-queries here are bags of
+        terms scored like `search(mode='or')`."""
+        all_terms: list[str] = []
+        parsed = [self._parse(q) for q in queries]
+        for p in parsed:
+            all_terms.extend(p)
+        stats = self.term_stats(all_terms)
+        subs = []
+        for qi, terms in enumerate(parsed):
+            present = [t for t in terms if t in stats]
+            if not present:
+                continue
+            sub = (
+                self._scored_postings(present, stats)
+                .groupBy("docID")
+                .agg(F.sum(F.col("score").cast(DoubleType())).alias("sub"))
+                .withColumn("qi", F.lit(qi))
+            )
+            subs.append(sub)
+        if not subs:
+            return self._empty_topk()
+        un = subs[0]
+        for s in subs[1:]:
+            un = un.unionByName(s)
+        agg = un.groupBy("docID").agg(
+            F.max("sub").alias("mx"), F.sum("sub").alias("sm")
+        )
+        score = (F.col("mx") + tie_breaker * (F.col("sm") - F.col("mx"))).cast(
+            FloatType()
+        )
+        return (
+            agg.select("docID", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def search_synonym(self, terms: list[str], k: int = 10) -> DataFrame:
+        """SynonymQuery: all terms scored as ONE pseudo-term — tf summed
+        per doc, df = |union of doc sets| (search/SynonymQuery.java:719);
+        float32 BM25 over byte4 norms like TermQuery."""
+        terms = self._parse(terms)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk()
+        blocks = self._postings.filter(F.col("term").isin(present))
+        cache = self.scorer.cache
+
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("tf", LongType()),
+                StructField("norm", IntegerType()),
+            ]
+        )
+
+        def decode_rows(batches):
+            for pdf in batches:
+                outs = []
+                for docs_vb, tfs_vb, norms_b in zip(
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    outs.append(
+                        pd.DataFrame(
+                            {"docID": doc_ids, "tf": tfs, "norm": norms.astype(np.int32)}
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "tf": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32")}
+                )
+
+        rows = blocks.mapInPandas(decode_rows, schema=schema)
+        merged = rows.groupBy("docID").agg(
+            F.sum("tf").alias("tf"), F.min("norm").alias("norm")
+        )
+        df_union = merged.count()
+        w = float(np.float32(idf(df_union, self.doc_count)))
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+
+        def score_rows(batches):
+            wv = np.float32(w)
+            for pdf in batches:
+                tfs = pdf["tf"].to_numpy(np.float32)
+                inv = cache[pdf["norm"].to_numpy(np.int64)]
+                sc = (wv - wv / (np.float32(1.0) + tfs * inv)).astype(np.float32)
+                yield pd.DataFrame({"docID": pdf["docID"], "score": sc})
+
+        scored = merged.mapInPandas(score_rows, schema=out_schema)
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector analog; single terms shortcut via df."""

@@ -121,3 +121,56 @@ def test_block_invariants(built_index, spark):
         exp_rows, exp_tfs, _ = oracle.postings[term]
         assert (doc_ids == exp_rows).all()
         assert (tfs == exp_tfs).all()
+
+
+# ---------------------------------------------------------------------------
+# Extended boolean operators: engine float32 vs oracle (added with
+# search_boolean / search_dismax / search_synonym)
+# ---------------------------------------------------------------------------
+
+BOOLEAN_CASES = [
+    dict(should=["license", "apache", "software"], min_should_match=2),
+    dict(must=["license"], must_not=["var0"]),
+    dict(must=["apache"], should=["def", "return"]),
+    dict(should=["def", "return", "import"], min_should_match=3),
+    dict(must=["license"], must_not=["zzznotaterm"]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(BOOLEAN_CASES)))
+def test_boolean_extended_rank_identity(built_index, case):
+    _, oracle, searcher = built_index
+    kw = BOOLEAN_CASES[case]
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_boolean(k=10, **kw).collect()
+    ]
+    exp = oracle.search_boolean(k=10, **kw)
+    assert_rank_identical(exp, got, msg=f"[bool {kw}]")
+
+
+def test_dismax_rank_identity(built_index):
+    _, oracle, searcher = built_index
+    queries = [["license", "apache"], ["def", "return"]]
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_dismax(
+            [" ".join(q) for q in queries], tie_breaker=0.1, k=10
+        ).collect()
+    ]
+    exp = oracle.search_dismax(queries, tie_breaker=0.1, k=10)
+    # dismax combines in float64 then casts; compare scores with tol
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) <= 1e-6 * max(1.0, abs(es))
+
+
+def test_synonym_rank_identity(built_index):
+    _, oracle, searcher = built_index
+    terms = ["license", "import"]
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_synonym(terms, k=10).collect()
+    ]
+    exp = oracle.search_synonym(terms, k=10)
+    assert_rank_identical(exp, got, msg="[synonym]")

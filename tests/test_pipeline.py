@@ -1,0 +1,115 @@
+"""Pipeline operator contracts beyond the SQL duels: ANN recall, media
+stub behavior/batch shape, LSH-vs-exact dedup equivalence, simhash
+blocking."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_ann_ivf_recall(spark, emb):
+    """IVF top-10 must reach >=80% recall vs brute force on this data."""
+    from lucene_spark.pipeline.ann import ann_ivf_topk
+
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float32,
+    )
+    approx = {r["vec_id"] for r in ann_ivf_topk(spark, emb, q, k=10, exclude_id=0).collect()}
+
+    rows = emb.filter(F.col("vec_id") != 0).collect()
+    qn = q / np.linalg.norm(q)
+    sims = sorted(
+        (
+            (
+                float(np.dot(qn, np.asarray(r["embedding"], dtype=np.float32)
+                             / np.linalg.norm(np.asarray(r["embedding"], dtype=np.float32)))),
+                r["vec_id"],
+            )
+            for r in rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    exact = {v for _, v in sims[:10]}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.8, f"IVF recall {recall} (approx={approx}, exact={exact})"
+
+
+def test_minhash_equals_exact_pairs(spark, docs):
+    """LSH candidate pruning must not lose any >=0.8 pair on this corpus
+    (CheckHits pruned-vs-complete equivalence, dedup flavor)."""
+    from lucene_spark.pipeline.dedup import minhash_near_dup, ngram_jaccard_pairs
+
+    lsh = {(r["a"], r["b"], r["jaccard"]) for r in minhash_near_dup(spark, docs).collect()}
+    exact = {(r["a"], r["b"], r["jaccard"]) for r in ngram_jaccard_pairs(spark, docs).collect()}
+    assert lsh == exact
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Docs that are >=0.9-Jaccard near-dups should collide in simhash
+    blocking with small hamming distance."""
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs, simhash_near_dup
+
+    near = simhash_near_dup(spark, docs, max_hamming=6)
+    pairs = {(r["a"], r["b"]) for r in near.collect()}
+    strong = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(spark, docs, threshold=0.95).collect()
+    }
+    missed = strong - pairs
+    assert len(missed) <= max(1, len(strong) // 5), f"simhash missed {missed}"
+
+
+def test_media_stub_contract(spark, docs):
+    from lucene_spark.pipeline.media import (
+        FEATURE_DIM,
+        decode_image,
+        media_features,
+        resize_image,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, docs.limit(50))
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = media_features(spark, media, fake_decode=True).collect()
+    assert len(feats) == 50
+    for r in feats[:5]:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8fakejpeg")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 10, 10)
+    # deterministic across calls
+    img1 = decode_image(b"payload", fake=True)
+    img2 = decode_image(b"payload", fake=True)
+    assert img1.shape == (8, 8, 3) and (img1 == img2).all()
+
+
+def test_winnow_fingerprint_overlap_detects_near_dups(spark, docs):
+    """Near-dup docs share winnowing fingerprints (MOSS property)."""
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+    from lucene_spark.pipeline.text import winnow_fingerprints
+
+    pair = ngram_jaccard_pairs(spark, docs, threshold=0.95).limit(1).collect()
+    if not pair:
+        pytest.skip("no strong near-dups at this sf")
+    a, b = pair[0]["a"], pair[0]["b"]
+    fps = winnow_fingerprints(spark, docs.filter(F.col("doc_id").isin([a, b])))
+    fa = {r["fp"] for r in fps.filter(F.col("doc_id") == a).collect()}
+    fb = {r["fp"] for r in fps.filter(F.col("doc_id") == b).collect()}
+    overlap = len(fa & fb) / max(1, min(len(fa), len(fb)))
+    assert overlap >= 0.5

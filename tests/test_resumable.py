@@ -83,3 +83,21 @@ def test_resumable_matches_oneshot_stats(spark, tmp_path, oneshot):
     recs = [json.load(open(os.path.join(lin_dir, p))) for p in sorted(os.listdir(lin_dir))]
     assert sum(r["num_docs"] for r in recs) == N_DOCS
     assert all(r["status"] == "complete" and "docs_per_sec" in r for r in recs)
+
+
+def test_exact_placement_labels(spark):
+    """_placement_labels: pmod(hash(label), n) == target partition for
+    every n we use, so range ids map 1:1 onto partitions."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.builder import _placement_labels
+
+    for n in (4, 8, 32):
+        labels = _placement_labels(spark, n)
+        assert len(set(labels)) == n
+        rows = (
+            spark.createDataFrame([(p, l) for p, l in enumerate(labels)], "p int, l int")
+            .select("p", F.pmod(F.hash(F.col("l").cast("int")), F.lit(n)).alias("h"))
+            .collect()
+        )
+        assert all(r["p"] == r["h"] for r in rows)

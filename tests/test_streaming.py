@@ -1,0 +1,104 @@
+"""Incremental (NRT) indexing contract: a file-source stream indexed
+batch-by-batch, then refreshed, must equal the one-shot batch index built
+over the same documents — postings, docmap, stats, and query results
+(DirectoryReader.openIfChanged equivalence)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.corpus import generate_corpus
+from lucene_spark.index.builder import build_index
+from lucene_spark.search.engine import IndexSearcher
+from lucene_spark.streaming.incremental import refresh, start_indexing_stream
+
+N_DOCS = 300
+N_CHUNKS = 3
+
+
+@pytest.fixture(scope="module")
+def chunks_dir(spark, tmp_path_factory):
+    """Corpus split into chunk files of contiguous KEY ranges in order, so
+    streaming arrival-order docIDs == the batch builder's sort-order
+    docIDs and the two indexes are comparable bit-for-bit."""
+    d = tmp_path_factory.mktemp("stream_chunks")
+    pdf = generate_corpus(N_DOCS)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    per = (N_DOCS + N_CHUNKS - 1) // N_CHUNKS
+    for c in range(N_CHUNKS):
+        part = pdf.iloc[c * per:(c + 1) * per]
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"chunk{c:02d}.parquet")
+        )
+    return str(d)
+
+
+def test_incremental_equals_batch(spark, tmp_path, chunks_dir):
+    out = str(tmp_path / "nrt_idx")
+    stream = (
+        spark.readStream.schema(
+            "repo string, path string, commit string, lang string, content string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir + "/*/")
+    )
+    q = start_indexing_stream(spark, stream, out, partitions=4)
+    q.awaitTermination(300)
+    manifest = refresh(spark, out, partitions=4)
+    assert manifest["doc_count"] == N_DOCS
+    assert manifest["num_segments"] >= 1
+
+    ref = str(tmp_path / "batch_idx")
+    docs = spark.createDataFrame(generate_corpus(N_DOCS))
+    build_index(spark, docs, ref, partitions=4)
+
+    def fp(idx):
+        df = spark.read.parquet(os.path.join(idx, "postings"))
+        return df.select(
+            F.sum(F.crc32("docs_vb")).alias("d"),
+            F.sum(F.crc32("tfs_vb")).alias("t"),
+            F.sum(F.crc32("pos_vb")).alias("p"),
+            F.sum("ndocs").alias("n"),
+            F.count("*").alias("r"),
+        ).collect()[0]
+
+    assert fp(out) == fp(ref)
+
+    s_inc = IndexSearcher(spark, out)
+    s_ref = IndexSearcher(spark, ref)
+    for query, mode in [("return value table", "or"), ("value table", "and")]:
+        got = [(r["docID"], r["score"]) for r in s_inc.search(query, k=10, mode=mode).collect()]
+        exp = [(r["docID"], r["score"]) for r in s_ref.search(query, k=10, mode=mode).collect()]
+        assert got == exp
+
+
+def test_refresh_visibility_boundary(spark, tmp_path, chunks_dir):
+    """Segments written after a refresh stay invisible until the next
+    refresh (NRT visibility semantics)."""
+    from lucene_spark.streaming.incremental import write_segment, _load_state, _state_path, _atomic_json
+
+    out = str(tmp_path / "vis_idx")
+    os.makedirs(out)
+    pdf = generate_corpus(100).sort_values(["repo", "path", "commit"])
+    first, second = pdf.iloc[:60], pdf.iloc[60:]
+
+    n1 = write_segment(spark, spark.createDataFrame(first), out, "s0", 0, partitions=2)
+    state = _load_state(out)
+    state["next_doc"] = n1
+    state["segments"].append({"seg": "s0", "num_docs": n1})
+    _atomic_json(_state_path(out), state)
+    m1 = refresh(spark, out, partitions=2)
+    assert m1["doc_count"] == 60
+
+    n2 = write_segment(spark, spark.createDataFrame(second), out, "s1", n1, partitions=2)
+    # not yet refreshed: manifest still shows 60 docs
+    s = IndexSearcher(spark, out)
+    assert s.manifest["doc_count"] == 60
+
+    state = _load_state(out)
+    state["next_doc"] = n1 + n2
+    state["segments"].append({"seg": "s1", "num_docs": n2})
+    _atomic_json(_state_path(out), state)
+    m2 = refresh(spark, out, partitions=2)
+    assert m2["doc_count"] == 100
