@@ -64,8 +64,8 @@ def run_build(cpus: int, docs: int, queries: str, corpus_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--docs", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000")))
     ap.add_argument("--queries", default="query table scan,return value,spark merge batch")
