@@ -608,6 +608,18 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_content_sha256(spark, sf_dir):
+    """Per-row invariant (north rule): the sha256 each doc carried through
+    the whole distributed build (docmap.content_sha256) must equal the
+    digest of the source table's content — dueled against DuckDB hashing
+    the raw parquet directly."""
+    s = searcher_for(spark, sf_dir)
+    return s.docmap.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.lower(F.hex(F.col("content_sha256"))).alias("sha_hex"),
+    )
+
+
 def q_ann_ivf_top10(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only: approximate by
     design; recall vs brute force is pytest-asserted)."""
@@ -682,6 +694,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "emb_near_dup": q_emb_near_dup,
     "media_features": q_media_features,
+    "content_sha256": q_content_sha256,
     "ann_ivf_top10": q_ann_ivf_top10,
 }
 
@@ -928,4 +941,5 @@ SELECT doc_id AS media_id,
        ('0x' || substr(md5(text), 7, 2))::INT / 256.0 AS f3
 FROM documents
 """
+    sqls["content_sha256"] = "SELECT doc_id, sha256(text) AS sha_hex FROM documents"
     return sqls
