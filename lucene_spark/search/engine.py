@@ -136,7 +136,11 @@ class IndexSearcher:
         weights = {
             t: w for t, w in self._weights(stats).items() if t in set(terms)
         }
-        blocks = self._postings.filter(F.col("term").isin(list(weights)))
+        # select only the scoring columns so the parquet scan prunes
+        # pos_vb (positions are ~half the index bytes; ReadSchema shows it)
+        blocks = self._postings.filter(F.col("term").isin(list(weights))).select(
+            "term", "docs_vb", "tfs_vb", "norms_b"
+        )
         return blocks.mapInPandas(
             self._decode_score_udf(weights), schema=SCORE_SCHEMA
         )
@@ -171,7 +175,9 @@ class IndexSearcher:
         blocks = self._postings
         if terms is not None:
             blocks = blocks.filter(F.col("term").isin(list(set(terms))))
-        return blocks.mapInPandas(fn, schema=schema)
+        return blocks.select("term", "docs_vb", "tfs_vb").mapInPandas(
+            fn, schema=schema
+        )
 
     @property
     def docmap(self) -> DataFrame:
@@ -312,7 +318,9 @@ class IndexSearcher:
         present = [t for t in terms if t in stats]
         if not present:
             return self._empty_topk()
-        blocks = self._postings.filter(F.col("term").isin(present))
+        blocks = self._postings.filter(F.col("term").isin(present)).select(
+            "docs_vb", "tfs_vb", "norms_b"
+        )
         cache = self.scorer.cache
 
         schema = StructType(
@@ -472,9 +480,9 @@ class IndexSearcher:
                 .filter((F.col("cum").isNull()) | (F.col("cum") < k))
                 .drop("cum")
             )
-            scored1 = cand.mapInPandas(
-                self._decode_score_udf(weights), schema=SCORE_SCHEMA
-            )
+            scored1 = cand.select(
+                "term", "docs_vb", "tfs_vb", "norms_b"
+            ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
             n_terms = len(set(terms))
             theta_rows = (
                 self._topk(scored1, k, mode, n_terms)
@@ -498,9 +506,9 @@ class IndexSearcher:
             surviving = blocks.filter(
                 (F.col("ub") + slack[F.col("term")]) >= F.lit(theta - pad)
             )
-            scored = surviving.mapInPandas(
-                self._decode_score_udf(weights), schema=SCORE_SCHEMA
-            )
+            scored = surviving.select(
+                "term", "docs_vb", "tfs_vb", "norms_b"
+            ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
             out = self._topk(scored, k, mode, n_terms)
             out = self.spark.createDataFrame(out.collect(), out.schema)
             return out
