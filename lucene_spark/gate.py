@@ -648,6 +648,20 @@ def q_lucene_bm25_top10(spark, sf_dir):
     )
 
 
+def q_parsed_query_top10(spark, sf_dir):
+    """Classic query-string parser end-to-end (reference benchmark query
+    shape '(a OR b) AND c'): float32 engine path, rows-only check —
+    rank-identity is pytest-asserted against the numpy oracle."""
+    from lucene_spark.search.queryparser import execute
+
+    s = searcher_for(spark, sf_dir)
+    dm = _docid_map(s)
+    res = execute(s, f"({TERMS_OR[0]} OR {TERMS_OR[1]}) AND {TERMS_AND[0]}", k=10)
+    return res.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
+        "doc_id", "score"
+    )
+
+
 def q_phrase_top10(spark, sf_dir):
     s = searcher_for(spark, sf_dir)
     dm = _docid_map(s)
@@ -674,6 +688,7 @@ QUERIES = {
     "cosine_top10": q_cosine_top10,
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "phrase_top10": q_phrase_top10,
+    "parsed_query_top10": q_parsed_query_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
     "bm25_must_not": q_bm25_must_not,

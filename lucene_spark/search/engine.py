@@ -518,17 +518,29 @@ class IndexSearcher:
     # -- phrase queries ---------------------------------------------------
 
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
-        """Exact PhraseQuery: conjunction on docID + relative-position
+        """Exact PhraseQuery top-k: conjunction on docID + relative-position
         intersection; freq = #occurrences; weight = sum of per-term idf
         (search/PhraseQuery.java, ExactPhraseMatcher.java:37-167)."""
         terms = self._parse(phrase)
-        if not terms:
+        scored = self.phrase_scores(terms)
+        if scored is None:
             return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def phrase_scores(self, terms: list[str]) -> DataFrame | None:
+        """Full (docID, score float32) set for an exact phrase, or None if
+        the phrase can match nothing (used by the query parser to compose
+        phrases into boolean trees)."""
+        if not terms:
+            return None
         if len(terms) == 1:
-            return self.search(terms, k=k)
+            stats = self.term_stats(terms)
+            if terms[0] not in stats:
+                return None
+            return self._scored_postings(terms, stats).select("docID", "score")
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
-            return self._empty_topk()
+            return None
         if not self.manifest.get("store_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
 
@@ -635,5 +647,4 @@ class IndexSearcher:
                 scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
                 yield pd.DataFrame({"docID": docids[hit], "score": scores})
 
-        matched = joined.mapInPandas(match_batch, schema=out_schema)
-        return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+        return joined.mapInPandas(match_batch, schema=out_schema)

@@ -1,60 +1,90 @@
 """Classic query parser: grammar unit tests + end-to-end equivalence of
-parsed execution vs direct engine calls."""
+parsed execution vs direct engine/oracle calls, including the reference
+benchmark query SHAPES (lucene/benchmark/conf/query-{terms,phrases,
+wildcards}.txt: a AND b, (a OR b) AND c, "phrase" OR term, wild* AND x)."""
+
+import numpy as np
+import pytest
 
 from lucene_spark.oracle import assert_rank_identical
-from lucene_spark.search.queryparser import execute, parse
+from lucene_spark.search.queryparser import MUST, MUST_NOT, SHOULD, execute, parse
+
+
+def occurs(node):
+    return [(c.occur, c.node.kind, tuple(c.node.terms)) for c in node.clauses]
 
 
 def test_bare_terms_implicit_or():
-    p = parse("license apache software")
-    assert p.should == ["license", "apache", "software"]
-    assert not p.must and not p.must_not and not p.phrases
+    n = parse("license apache software")
+    assert n.kind == "bool"
+    assert occurs(n) == [
+        (SHOULD, "term", ("license",)),
+        (SHOULD, "term", ("apache",)),
+        (SHOULD, "term", ("software",)),
+    ]
 
 
 def test_and_promotes_both():
-    p = parse("license AND apache")
-    assert p.must == ["license", "apache"]
-    assert p.should == []
+    n = parse("license AND apache")
+    assert occurs(n) == [(MUST, "term", ("license",)), (MUST, "term", ("apache",))]
 
 
 def test_mixed_and_or():
-    p = parse("a AND b c")
-    assert p.must == ["a", "b"]
-    assert p.should == ["c"]
+    n = parse("a AND b c")
+    assert occurs(n) == [
+        (MUST, "term", ("a",)),
+        (MUST, "term", ("b",)),
+        (SHOULD, "term", ("c",)),
+    ]
 
 
 def test_not_and_minus():
-    p = parse("license NOT apache -software")
-    assert p.should == ["license"]
-    assert p.must_not == ["apache", "software"]
+    n = parse("license NOT apache -software")
+    assert occurs(n) == [
+        (SHOULD, "term", ("license",)),
+        (MUST_NOT, "term", ("apache",)),
+        (MUST_NOT, "term", ("software",)),
+    ]
 
 
-def test_plus_required():
-    p = parse("+license apache")
-    assert p.must == ["license"]
-    assert p.should == ["apache"]
+def test_parens_reference_shape():
+    n = parse("(field OR set) AND theory")
+    assert len(n.clauses) == 2
+    grp, theory = n.clauses
+    assert grp.occur == MUST and grp.node.kind == "bool"
+    assert occurs(grp.node) == [(SHOULD, "term", ("field",)), (SHOULD, "term", ("set",))]
+    assert theory.occur == MUST and theory.node.terms == ["theory"]
 
 
-def test_phrase():
-    p = parse('"Apache Software Foundation"')
-    assert p.phrases == [["apache", "software", "foundation"]]
+def test_nested_and_in_parens():
+    n = parse("(planes AND trains AND automobiles) OR ships")
+    grp, ships = n.clauses
+    assert grp.occur == SHOULD
+    assert [c.occur for c in grp.node.clauses] == [MUST, MUST, MUST]
+    assert ships.occur == SHOULD
 
 
-def test_field_prefix_stripped():
-    p = parse("content:license")
-    assert p.should == ["license"]
+def test_phrase_or_term():
+    n = parse('"field theory" OR sets')
+    ph, t = n.clauses
+    assert ph.node.kind == "phrase" and ph.node.terms == ["field", "theory"]
+    assert t.occur == SHOULD
 
 
-def test_symbol_operators():
-    p = parse("a && b || c")
-    assert p.must == ["a", "b"]
-    assert p.should == ["c"]
+def test_wildcard():
+    n = parse("abrah* AND linc*")
+    assert [c.node.kind for c in n.clauses] == ["wild", "wild"]
+    assert [c.occur for c in n.clauses] == [MUST, MUST]
 
 
-def test_analyzer_applied():
-    p = parse("LiCeNsE Don't")
-    assert p.should[0] == "license"
-    assert "don't" in p.should
+def test_field_prefix_and_analyzer():
+    n = parse("content:LiCeNsE")
+    assert n.kind == "term" and n.terms == ["license"]
+
+
+# ---------------------------------------------------------------------------
+# execution equivalence on the built index
+# ---------------------------------------------------------------------------
 
 
 def test_parsed_execution_matches_engine(built_index):
@@ -74,3 +104,80 @@ def test_parsed_execution_matches_engine(built_index):
     got = [(r["docID"], r["score"]) for r in execute(searcher, '"apache software foundation"', k=10).collect()]
     exp = oracle.search_phrase(["apache", "software", "foundation"], k=10)
     assert_rank_identical(exp, got, msg="[parser phrase]")
+
+
+def _oracle_group_and_term(oracle, group_terms, term, k=10):
+    """(g1 OR g2) AND t reference: doc matches iff (any gi) and t; score =
+    sum of matching gi scores + t score."""
+    acc = np.zeros(oracle.doc_count, dtype=np.float64)
+    gmatch = np.zeros(oracle.doc_count, dtype=bool)
+    for g in group_terms:
+        rows, scores = oracle._term_scores(g)
+        acc[rows] += scores.astype(np.float64)
+        gmatch[rows] = True
+    trows, tscores = oracle._term_scores(term)
+    tmask = np.zeros(oracle.doc_count, dtype=bool)
+    tmask[trows] = True
+    acc[trows] += tscores.astype(np.float64)
+    mask = gmatch & tmask
+    rows = np.flatnonzero(mask)
+    final = acc[rows].astype(np.float32)
+    order = np.lexsort((oracle.doc_ids[rows], -final))[:k]
+    return [(int(oracle.doc_ids[rows[i]]), float(final[i])) for i in order]
+
+
+def test_parens_execution(built_index):
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, "(def OR return) AND license", k=10).collect()
+    ]
+    exp = _oracle_group_and_term(oracle, ["def", "return"], "license", k=10)
+    assert_rank_identical(exp, got, msg="[parser parens]")
+
+
+def test_wildcard_execution(built_index):
+    """wild* = scoring-boolean rewrite over dictionary expansion."""
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, "getvalue1* AND license", k=10).collect()
+    ]
+    expanded = sorted(t for t in oracle.postings if t.startswith("getvalue1"))
+    assert expanded, "fixture vocabulary changed"
+    acc = np.zeros(oracle.doc_count, dtype=np.float64)
+    wmatch = np.zeros(oracle.doc_count, dtype=bool)
+    for t in expanded:
+        rows, scores = oracle._term_scores(t)
+        acc[rows] += scores.astype(np.float64)
+        wmatch[rows] = True
+    lrows, lscores = oracle._term_scores("license")
+    lmask = np.zeros(oracle.doc_count, dtype=bool)
+    lmask[lrows] = True
+    acc[lrows] += lscores.astype(np.float64)
+    rows = np.flatnonzero(wmatch & lmask)
+    final = acc[rows].astype(np.float32)
+    order = np.lexsort((oracle.doc_ids[rows], -final))[:10]
+    exp = [(int(oracle.doc_ids[rows[i]]), float(final[i])) for i in order]
+    assert_rank_identical(exp, got, msg="[parser wildcard]")
+
+
+def test_phrase_or_execution(built_index):
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, '"apache software" OR var0', k=10).collect()
+    ]
+    ph = dict(oracle.search_phrase(["apache", "software"], k=10**9))
+    acc = {}
+    for d, s in ph.items():
+        acc[d] = acc.get(d, 0.0) + s
+    rows, scores = oracle._term_scores("var0")
+    for r, s in zip(rows, scores):
+        d = int(oracle.doc_ids[r])
+        acc[d] = acc.get(d, 0.0) + float(s)
+    exp = sorted(acc.items(), key=lambda t: (-np.float32(t[1]), t[0]))[:10]
+    exp = [(d, float(np.float32(s))) for d, s in exp]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) <= 1e-5 * max(1.0, abs(es))

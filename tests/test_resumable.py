@@ -101,3 +101,48 @@ def test_exact_placement_labels(spark):
             .collect()
         )
         assert all(r["p"] == r["h"] for r in rows)
+
+
+def test_salted_and_multiflush_build_identical(spark, tmp_path, oneshot):
+    """Force the scale paths — hot-term salting (tiny df threshold) and
+    multiple run flushes per partition (tiny flush_docs) — and require a
+    bit-identical queryable index vs the default build. Postings blocks
+    differ physically (salt groups split block runs), so compare the
+    DECODED posting lists and query results instead."""
+    from lucene_spark.search.engine import IndexSearcher
+
+    out = str(tmp_path / "salted")
+    docs = corpus_spark_df(spark, N_DOCS, partitions=8)
+    manifest = build_index(
+        spark, docs, out, partitions=8,
+        hot_df_threshold=50,      # most frequent terms become "hot"
+        hot_salt_span=64,         # many salt groups per hot term
+        flush_docs=64,            # many runs per partition
+    )
+    assert manifest["hot_terms"], "salting was not triggered"
+
+    s_ref = IndexSearcher(spark, oneshot)
+    s_alt = IndexSearcher(spark, out)
+
+    ref_rows = {
+        (r["doc_id"] if "doc_id" in r else r["docID"], r["term"], r["tf"])
+        for r in s_ref.postings_tf().collect()
+    }
+    alt_rows = {
+        (r["docID"], r["term"], r["tf"]) for r in s_alt.postings_tf().collect()
+    }
+    ref_rows = {(int(a), b, int(c)) for a, b, c in ref_rows}
+    assert alt_rows == ref_rows
+
+    for q, mode in [("license apache", "or"), ("def return", "and"), ("var0", "or")]:
+        exp = [(r["docID"], r["score"]) for r in s_ref.search(q, k=10, mode=mode).collect()]
+        got = [(r["docID"], r["score"]) for r in s_alt.search(q, k=10, mode=mode).collect()]
+        assert exp == got, f"{q} {mode}"
+        got_p = [(r["docID"], r["score"]) for r in s_alt.search(q, k=10, mode=mode, prune=True).collect()]
+        assert exp == got_p, f"{q} {mode} pruned-on-salted"
+
+    # doc-level invariants survive the salted/multiflush path
+    assert manifest["doc_count"] == N_DOCS
+    ph = [(r["docID"], r["score"]) for r in s_ref.search_phrase("apache software foundation", k=5).collect()]
+    ph2 = [(r["docID"], r["score"]) for r in s_alt.search_phrase("apache software foundation", k=5).collect()]
+    assert ph == ph2
