@@ -648,6 +648,17 @@ def q_lucene_bm25_top10(spark, sf_dir):
     )
 
 
+def q_sloppy_phrase_top10(spark, sf_dir):
+    """Sloppy PhraseQuery (slop=2) — rows-only; rank-identity vs the
+    numpy oracle is pytest-asserted."""
+    s = searcher_for(spark, sf_dir)
+    dm = _docid_map(s)
+    res = s.search_sloppy_phrase(f"{TERMS_AND[0]} {TERMS_AND[1]}", slop=2, k=10)
+    return res.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
+        "doc_id", "score"
+    )
+
+
 def q_parsed_query_top10(spark, sf_dir):
     """Classic query-string parser end-to-end (reference benchmark query
     shape '(a OR b) AND c'): float32 engine path, rows-only check —
@@ -689,6 +700,7 @@ QUERIES = {
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "phrase_top10": q_phrase_top10,
     "parsed_query_top10": q_parsed_query_top10,
+    "sloppy_phrase_top10": q_sloppy_phrase_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
     "bm25_must_not": q_bm25_must_not,

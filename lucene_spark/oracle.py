@@ -177,6 +177,50 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def sloppy_freqs(self, terms: list[str], slop: int) -> dict[int, float]:
+        """row -> sloppy float freq: greedy minimal-window matcher over
+        offset-adjusted positions (independent re-implementation of the
+        spec in engine._sloppy_freq; slop=0 == exact freqs)."""
+        if any(t not in self.postings for t in terms):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        cand = set.intersection(*rowsets)
+        out: dict[int, float] = {}
+        for r in cand:
+            lists = [
+                (self.postings[t][2][r] - i).tolist()
+                for i, t in enumerate(terms)
+            ]
+            ptr = [0] * len(lists)
+            freq = 0.0
+            while True:
+                vals = [lists[i][ptr[i]] for i in range(len(lists))]
+                span = max(vals) - min(vals)
+                if span <= slop:
+                    freq += 1.0 / (1.0 + float(span))
+                adv = min(range(len(lists)), key=lambda i: vals[i])
+                ptr[adv] += 1
+                if ptr[adv] >= len(lists[adv]):
+                    break
+            if freq > 0:
+                out[r] = freq
+        return out
+
+    def search_sloppy(self, terms: list[str], slop: int, k: int = 10):
+        freqs = self.sloppy_freqs(terms, slop)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
     def phrase_freqs(self, terms: list[str]) -> dict[int, int]:
         """row -> exact-phrase occurrence count (ExactPhraseMatcher.java:37-167)."""
         if any(t not in self.postings for t in terms):

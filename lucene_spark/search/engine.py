@@ -527,32 +527,11 @@ class IndexSearcher:
             return self._empty_topk()
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
-    def phrase_scores(self, terms: list[str]) -> DataFrame | None:
-        """Full (docID, score float32) set for an exact phrase, or None if
-        the phrase can match nothing (used by the query parser to compose
-        phrases into boolean trees)."""
-        if not terms:
-            return None
-        if len(terms) == 1:
-            stats = self.term_stats(terms)
-            if terms[0] not in stats:
-                return None
-            return self._scored_postings(terms, stats).select("docID", "score")
-        stats = self.term_stats(terms)
-        if any(t not in stats for t in terms):
-            return None
-        if not self.manifest.get("store_positions", True):
-            raise ValueError("index built without positions; phrase queries unavailable")
 
-        w = np.float32(0.0)
-        for t in terms:
-            w = np.float32(w + idf(stats[t].df, self.doc_count))
-        weight = float(w)
-        cache = self.scorer.cache
-        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-        uniq_terms = list(term_order)
-
-        # one (docID, norm, positions) DataFrame per unique term
+    def _phrase_join(self, uniq_terms: list[str]) -> DataFrame:
+        """n-way inner join on docID of per-term (docID, norm, positions)
+        rows — candidate docs contain every phrase term (ConjunctionDISI
+        analog); one row per doc with pos0..posN array columns."""
         pos_row_schema = StructType(
             [
                 StructField("docID", LongType()),
@@ -584,13 +563,11 @@ class IndexSearcher:
                     {"docID": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32"), "positions": []}
                 )
 
-        # conjunction: n-way inner join on docID (candidate docs must
-        # contain every phrase term — ConjunctionDISI analog), aligning all
-        # position lists on one row per doc
         joined = None
         for i, t in enumerate(uniq_terms):
             side = (
                 self._postings.filter(F.col("term") == t)
+                .select("docs_vb", "tfs_vb", "norms_b", "pos_vb")
                 .mapInPandas(decode_positions, schema=pos_row_schema)
             )
             side = side.select(
@@ -599,6 +576,34 @@ class IndexSearcher:
                 F.col("positions").alias(f"pos{i}"),
             )
             joined = side if joined is None else joined.join(side, "docID")
+        return joined
+
+    def phrase_scores(self, terms: list[str]) -> DataFrame | None:
+        """Full (docID, score float32) set for an exact phrase, or None if
+        the phrase can match nothing (used by the query parser to compose
+        phrases into boolean trees)."""
+        if not terms:
+            return None
+        if len(terms) == 1:
+            stats = self.term_stats(terms)
+            if terms[0] not in stats:
+                return None
+            return self._scored_postings(terms, stats).select("docID", "score")
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return None
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; phrase queries unavailable")
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        uniq_terms = list(term_order)
+
+        joined = self._phrase_join(uniq_terms)
 
         # phrase offsets per unique term (a term may repeat in the phrase)
         offsets_by_tidx: dict[int, list[int]] = {}
@@ -648,3 +653,96 @@ class IndexSearcher:
                 yield pd.DataFrame({"docID": docids[hit], "score": scores})
 
         return joined.mapInPandas(match_batch, schema=out_schema)
+
+    # -- sloppy phrase ----------------------------------------------------
+
+    def search_sloppy_phrase(self, phrase: str, slop: int, k: int = 10) -> DataFrame:
+        """Sloppy PhraseQuery: terms may match within an edit window of
+        `slop` total displacement; each minimal match window contributes
+        sloppyWeight = 1/(1+matchLength) to a float freq scored by BM25
+        (search/SloppyPhraseMatcher.java:693 semantics via the classic
+        greedy minimal-window matcher; slop=0 reduces to the exact
+        matcher — equivalence is tested). Candidate docs come from the
+        same n-way position join as the exact phrase."""
+        terms = self._parse(phrase)
+        if not terms:
+            return self._empty_topk()
+        if len(terms) == 1:
+            return self.search(terms, k=k)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_topk()
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; phrase queries unavailable")
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        uniq_terms = list(term_order)
+        offsets_by_tidx: dict[int, list[int]] = {}
+        for i, t in enumerate(terms):
+            offsets_by_tidx.setdefault(term_order[t], []).append(i)
+        if any(len(v) > 1 for v in offsets_by_tidx.values()):
+            raise NotImplementedError("sloppy phrase with repeating terms")
+        joined = self._phrase_join(uniq_terms)
+
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+        n_uniq = len(uniq_terms)
+        offs = [offsets_by_tidx[i][0] for i in range(n_uniq)]
+        slop_i = int(slop)
+
+        def match_batch(batches):
+            for pdf in batches:
+                ids, scores = [], []
+                for row in pdf.itertuples():
+                    plists = [
+                        np.asarray(getattr(row, f"pos{i}"), dtype=np.int64) - offs[i]
+                        for i in range(n_uniq)
+                    ]
+                    freq = _sloppy_freq(plists, slop_i)
+                    if freq <= 0.0:
+                        continue
+                    inv = cache[int(row.norm)]
+                    wv = np.float32(weight)
+                    sc = np.float32(
+                        wv - wv / (np.float32(1.0) + np.float32(freq) * inv)
+                    )
+                    ids.append(int(row.docID))
+                    scores.append(sc)
+                yield pd.DataFrame(
+                    {"docID": pd.array(ids, dtype="int64"),
+                     "score": pd.array(scores, dtype="float32")}
+                )
+
+        matched = joined.mapInPandas(match_batch, schema=out_schema)
+        return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+def _sloppy_freq(plists: list, slop: int) -> float:
+    """Greedy minimal-window sloppy matcher over offset-adjusted position
+    lists: repeatedly evaluate the current window (one pointer per term);
+    if max-min <= slop it is a match with matchLength = max-min and
+    weight 1/(1+matchLength); always advance the minimum pointer.
+    slop=0 degenerates to counting exact alignments (all pointers equal),
+    matching ExactPhraseMatcher freqs."""
+    import heapq
+
+    idx = [0] * len(plists)
+    heads = [pl[0] for pl in plists]
+    freq = 0.0
+    while True:
+        mx = max(heads)
+        mn = min(heads)
+        if mx - mn <= slop:
+            freq += 1.0 / (1.0 + float(mx - mn))
+        # advance the min pointer
+        mi = heads.index(mn)
+        idx[mi] += 1
+        if idx[mi] >= len(plists[mi]):
+            return freq
+        heads[mi] = plists[mi][idx[mi]]

@@ -174,3 +174,48 @@ def test_synonym_rank_identity(built_index):
     ]
     exp = oracle.search_synonym(terms, k=10)
     assert_rank_identical(exp, got, msg="[synonym]")
+
+
+# ---------------------------------------------------------------------------
+# Sloppy phrase (B13): slop=0 == exact phrase; engine == oracle at slop>0
+# ---------------------------------------------------------------------------
+
+SLOPPY_CASES = [
+    ("apache software", 0),
+    ("apache software", 2),
+    ("apache foundation", 2),   # one-apart in the license header
+    ("software license", 4),
+    ("def return", 1),
+]
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY_CASES)
+def test_sloppy_phrase_rank_identity(built_index, phrase, slop):
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_sloppy_phrase(phrase, slop=slop, k=10).collect()
+    ]
+    exp = oracle.search_sloppy(_terms(phrase), slop=slop, k=10)
+    assert_rank_identical(exp, got, msg=f"[sloppy {phrase}~{slop}]")
+
+
+def test_sloppy_zero_equals_exact(built_index):
+    _, _, searcher = built_index
+    exact = [
+        (r["docID"], r["score"])
+        for r in searcher.search_phrase("apache software foundation", k=10).collect()
+    ]
+    sloppy0 = [
+        (r["docID"], r["score"])
+        for r in searcher.search_sloppy_phrase("apache software foundation", slop=0, k=10).collect()
+    ]
+    assert exact == sloppy0
+
+
+def test_sloppy_monotone_in_slop(built_index):
+    _, oracle, _ = built_index
+    f0 = oracle.sloppy_freqs(["apache", "software"], 0)
+    f2 = oracle.sloppy_freqs(["apache", "software"], 2)
+    assert set(f0) <= set(f2)
+    assert all(f2[r] >= f0[r] for r in f0)
