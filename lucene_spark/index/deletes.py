@@ -1,0 +1,203 @@
+"""Deletes: tombstones applied at read + expunge merge.
+
+Lucene model (index/PendingDeletes.java, IndexWriter.updateDocument at
+index/IndexWriter.java:1488-1553): deletes mark a per-segment bitset;
+queries skip deleted docs but collection/term statistics stay stale
+until segments merge ("maxDoc vs numDocs"); merges rewrite postings
+without the deleted docs.
+
+Spark translation:
+  - delete_by_keys / delete_by_query append docIDs to a `deletes/`
+    tombstone table (atomic per-batch parquet write). IndexSearcher
+    loads the tombstone set and every decode kernel drops those docIDs
+    (np.isin against a broadcast sorted array — the bitset analog).
+    Scores of surviving docs are UNCHANGED (stale stats, faithful to
+    Lucene's pre-merge behavior).
+  - expunge_deletes rewrites postings/docmap/terms/stats without the
+    tombstoned docs (the merge that applies deletes). Surviving docIDs
+    are kept (sparse docID space — valid: all query paths treat docID
+    as an opaque ordered key), stats are recomputed, manifest republished.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.builder import (
+    BLOCK_SCHEMA,
+    BLOCK_SIZE,
+    _merge_runs_to_blocks,
+)
+from lucene_spark.util.varbyte import (
+    decode,
+    delta_decode,
+    delta_encode,
+    encode,
+    segmented_delta_decode,
+    segmented_delta_encode,
+)
+
+
+def _deletes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes")
+
+
+def load_deleted_ids(spark: SparkSession, index_dir: str) -> np.ndarray:
+    d = _deletes_dir(index_dir)
+    if not os.path.isdir(d) or not os.listdir(d):
+        return np.empty(0, dtype=np.int64)
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(d)
+        .select("docID")
+        .distinct()
+        .collect()
+    )
+    return np.array(sorted(r["docID"] for r in rows), dtype=np.int64)
+
+
+def delete_by_keys(
+    spark: SparkSession, index_dir: str, keys: list[tuple[str, str]]
+) -> int:
+    """Delete documents by (repo, path) — deleteDocuments(Term) analog.
+    Returns the number of newly tombstoned docs."""
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    kdf = spark.createDataFrame(keys, "repo string, path string")
+    hit = docmap.join(F.broadcast(kdf), ["repo", "path"]).select("docID")
+    return _append_tombstones(spark, index_dir, hit)
+
+
+def delete_by_query(spark: SparkSession, searcher, term: str) -> int:
+    """Delete every doc containing `term` — deleteDocuments(Query)."""
+    hit = searcher.postings_tf([term]).select("docID").distinct()
+    return _append_tombstones(spark, searcher.index_dir, hit)
+
+
+def _append_tombstones(spark: SparkSession, index_dir: str, hit: DataFrame) -> int:
+    n = hit.count()
+    if n:
+        out = os.path.join(_deletes_dir(index_dir), f"batch_{uuid.uuid4().hex[:12]}")
+        hit.coalesce(1).write.mode("overwrite").parquet(out)
+    return int(n)
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite the index without tombstoned docs and republish the
+    manifest (forceMergeDeletes analog). No-op when nothing is deleted."""
+    deleted = load_deleted_ids(spark, index_dir)
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if deleted.size == 0:
+        return manifest
+    t0 = time.time()
+    del_b = spark.sparkContext.broadcast(deleted)
+
+    def filter_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dele = del_b.value
+        rows = []
+        term, salt = key
+        for r in pdf.sort_values("block_seq").itertuples():
+            d = delta_decode(decode(bytes(r.docs_vb)))
+            keep = ~np.isin(d, dele)
+            if keep.all():
+                rows.append((term, int(salt), int(r.block_seq), int(r.ndocs),
+                             int(r.min_doc), int(r.max_doc), int(r.max_tf),
+                             int(r.min_norm), bytes(r.docs_vb), bytes(r.tfs_vb),
+                             bytes(r.norms_b), bytes(r.pos_vb)))
+                continue
+            if not keep.any():
+                continue
+            t = decode(bytes(r.tfs_vb))
+            nb = np.frombuffer(bytes(r.norms_b), dtype=np.uint8)
+            d2, t2, nb2 = d[keep], t[keep], nb[keep]
+            if r.pos_vb:
+                flat = segmented_delta_decode(decode(bytes(r.pos_vb)), t)
+                ends = np.cumsum(t)
+                parts = [flat[(ends[i] - t[i]): ends[i]] for i in np.flatnonzero(keep)]
+                flat2 = np.concatenate(parts) if parts else np.empty(0, np.int64)
+                pos_vb = encode(segmented_delta_encode(flat2, t2))
+            else:
+                pos_vb = b""
+            rows.append((term, int(salt), int(r.block_seq), int(d2.size),
+                         int(d2[0]), int(d2[-1]), int(t2.max()), int(nb2.min()),
+                         encode(delta_encode(d2)), encode(t2),
+                         nb2.tobytes(), pos_vb))
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    tmp = os.path.join(index_dir, "postings_expunged")
+    (
+        postings.groupBy("term", "salt")
+        .applyInPandas(filter_blocks, schema=BLOCK_SCHEMA)
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .write.mode("overwrite").parquet(tmp)
+    )
+
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    ddf = spark.createDataFrame([(int(x),) for x in deleted], "docID long")
+    docmap2 = docmap.join(F.broadcast(ddf), "docID", "left_anti")
+    dm_tmp = os.path.join(index_dir, "docmap_expunged")
+    docmap2.write.mode("overwrite").parquet(dm_tmp)
+
+    # recompute term dictionary + stats from the surviving blocks
+    new_posts = spark.read.parquet(tmp)
+    terms2 = new_posts.groupBy("term").agg(
+        F.sum("ndocs").cast("long").alias("df"),
+        F.sum("ndocs").cast("long").alias("_nd"),  # placeholder order
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_norm").alias("min_norm"),
+    ).drop("_nd")
+    # cf needs decoded tf sums
+    def cf_rows(batches):
+        for pdf in batches:
+            terms, cfs = [], []
+            for term, tfs_vb in zip(pdf["term"], pdf["tfs_vb"]):
+                terms.append(term)
+                cfs.append(int(decode(bytes(tfs_vb)).sum()))
+            yield pd.DataFrame({"term": terms, "cf": pd.array(cfs, dtype="int64")})
+
+    cf_df = new_posts.select("term", "tfs_vb").mapInPandas(
+        cf_rows, schema="term string, cf long"
+    ).groupBy("term").agg(F.sum("cf").alias("cf"))
+    terms_final = terms2.join(cf_df, "term").select(
+        "term", "df", "cf", "max_tf", "min_norm"
+    )
+    t_tmp = os.path.join(index_dir, "terms_expunged")
+    terms_final.sortWithinPartitions("term").write.mode("overwrite").parquet(t_tmp)
+
+    agg = terms_final.agg(
+        F.sum("cf").alias("sttf"), F.sum("df").alias("sdf"), F.count("*").alias("nt")
+    ).collect()[0]
+    n_docs = docmap2.count()
+
+    # publish: swap directories, clear tombstones, rewrite manifest last
+    import shutil
+
+    for name, tmp_dir in (("postings", tmp), ("docmap", dm_tmp), ("terms", t_tmp)):
+        final = os.path.join(index_dir, name)
+        shutil.rmtree(final)
+        os.replace(tmp_dir, final)
+    shutil.rmtree(_deletes_dir(index_dir), ignore_errors=True)
+
+    manifest.update(
+        doc_count=int(n_docs),
+        sum_total_term_freq=int(agg["sttf"] or 0),
+        sum_doc_freq=int(agg["sdf"] or 0),
+        distinct_terms=int(agg["nt"] or 0),
+        expunged_at=time.time(),
+        expunge_wall_sec=round(time.time() - t0, 3),
+    )
+    tmp_m = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp_m, os.path.join(index_dir, "manifest.json"))
+    del_b.unpersist()
+    return manifest

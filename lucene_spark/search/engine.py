@@ -74,6 +74,16 @@ class IndexSearcher:
         )
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self.reload_deletes()
+
+    def reload_deletes(self) -> int:
+        """Load the tombstone set (PendingDeletes bitset analog); every
+        decode kernel drops these docIDs. Scores of surviving docs keep
+        the stale pre-merge statistics, like Lucene until a merge."""
+        from lucene_spark.index.deletes import load_deleted_ids
+
+        self._deleted = load_deleted_ids(self.spark, self.index_dir)
+        return int(self._deleted.size)
 
     # -- planning ---------------------------------------------------------
 
@@ -98,6 +108,7 @@ class IndexSearcher:
 
     def _decode_score_udf(self, weights: dict[str, float]):
         cache = self.scorer.cache
+        dele = self._deleted
 
         def fn(batches):
             for pdf in batches:
@@ -108,6 +119,9 @@ class IndexSearcher:
                     doc_ids = delta_decode(decode(bytes(docs_vb)))
                     tfs = decode(bytes(tfs_vb))
                     norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
                     w = np.float32(weights[term])
                     inv = cache[norms]
                     scores = (
@@ -157,6 +171,8 @@ class IndexSearcher:
             ]
         )
 
+        dele = self._deleted
+
         def fn(batches):
             for pdf in batches:
                 outs = []
@@ -165,6 +181,9 @@ class IndexSearcher:
                 ):
                     doc_ids = delta_decode(decode(bytes(docs_vb)))
                     tfs = decode(bytes(tfs_vb))
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tfs = doc_ids[keep], tfs[keep]
                     outs.append(
                         pd.DataFrame({"docID": doc_ids, "term": term, "tf": tfs})
                     )
@@ -331,6 +350,8 @@ class IndexSearcher:
             ]
         )
 
+        dele = self._deleted
+
         def decode_rows(batches):
             for pdf in batches:
                 outs = []
@@ -340,6 +361,9 @@ class IndexSearcher:
                     doc_ids = delta_decode(decode(bytes(docs_vb)))
                     tfs = decode(bytes(tfs_vb))
                     norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
                     outs.append(
                         pd.DataFrame(
                             {"docID": doc_ids, "tf": tfs, "norm": norms.astype(np.int32)}
@@ -374,7 +398,7 @@ class IndexSearcher:
         """TotalHitCountCollector analog; single terms shortcut via df."""
         terms = self._parse(query)
         stats = self.term_stats(terms)
-        if len(terms) == 1:
+        if len(terms) == 1 and not self._deleted.size:
             return stats[terms[0]].df if terms[0] in stats else 0
         present = [t for t in terms if t in stats]
         if not present:
@@ -540,6 +564,8 @@ class IndexSearcher:
             ]
         )
 
+        dele = self._deleted
+
         def decode_positions(batches):
             for pdf in batches:
                 frames = []
@@ -550,6 +576,13 @@ class IndexSearcher:
                     tfs = decode(bytes(tfs_vb))
                     norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
                     flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        if not keep.all():
+                            ends = np.cumsum(tfs)
+                            parts = [flat[(ends[i] - tfs[i]):ends[i]] for i in np.flatnonzero(keep)]
+                            flat = np.concatenate(parts) if parts else np.empty(0, np.int64)
+                            doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
                     frames.append(
                         pd.DataFrame(
                             {

@@ -191,3 +191,47 @@ def refresh(
     }
     _atomic_json(os.path.join(out_dir, "manifest.json"), manifest)
     return manifest
+
+
+def update_documents(
+    spark: SparkSession,
+    out_dir: str,
+    docs_df: DataFrame,
+    *,
+    partitions: int | None = None,
+    store_positions: bool = True,
+    do_refresh: bool = True,
+) -> dict:
+    """updateDocument analog (index/IndexWriter.java:1488-1553): atomically
+    delete any existing docs with the same (repo, path) keys and append
+    the new versions as a fresh segment with NEW docIDs (exactly Lucene's
+    delete-by-term + add). Statistics stay stale until a rebuild, like
+    Lucene until merge; tombstones persist across refresh() because the
+    segment runs still contain the old docs.
+
+    Requires the incremental (runs/seg=*) layout produced by
+    start_indexing_stream / write_segment."""
+    from lucene_spark.index.deletes import delete_by_keys
+
+    keys = [
+        (r["repo"], r["path"])
+        for r in docs_df.select("repo", "path").distinct().collect()
+    ]
+    n_deleted = delete_by_keys(spark, out_dir, keys)
+    state = _load_state(out_dir)
+    seg_name = f"u{len(state['segments']):06d}"
+    n = write_segment(
+        spark, docs_df, out_dir, seg_name, state["next_doc"],
+        partitions=partitions, store_positions=store_positions,
+    )
+    state["next_doc"] += n
+    state["segments"].append(
+        {"seg": seg_name, "num_docs": n, "updated": True, "ts": time.time()}
+    )
+    _atomic_json(_state_path(out_dir), state)
+    out = {"deleted": int(n_deleted), "added": int(n)}
+    if do_refresh:
+        out["manifest"] = refresh(
+            spark, out_dir, partitions=partitions, store_positions=store_positions
+        )
+    return out

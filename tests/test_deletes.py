@@ -1,0 +1,120 @@
+"""Delete semantics (index/PendingDeletes.java analog):
+  - tombstoned docs vanish from every query path; survivors keep their
+    exact pre-delete scores (stale stats until merge, like Lucene)
+  - count() switches to live-doc counting under deletes
+  - expunge rewrites the index; results then match a fresh oracle built
+    on the surviving docs (stats recomputed)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.corpus import corpus_spark_df, generate_corpus
+from lucene_spark.index.builder import build_index
+from lucene_spark.index.deletes import delete_by_keys, delete_by_query, expunge_deletes
+from lucene_spark.oracle import OracleIndex, assert_rank_identical
+from lucene_spark.search.engine import IndexSearcher
+
+N_DOCS = 300
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    out = str(tmp_path / "del_idx")
+    docs = corpus_spark_df(spark, N_DOCS, partitions=4)
+    build_index(spark, docs, out, partitions=4)
+    return out
+
+
+def test_delete_filters_all_paths_and_expunge(spark, idx):
+    s = IndexSearcher(spark, idx)
+    before = [(r["docID"], r["score"]) for r in s.search("license apache", k=20).collect()]
+    assert before
+
+    # delete the top-5 docs by their (repo, path) keys
+    victim_ids = {d for d, _ in before[:5]}
+    dm = s.docmap.filter(F.col("docID").isin([int(x) for x in victim_ids]))
+    keys = [(r["repo"], r["path"]) for r in dm.collect()]
+    n = delete_by_keys(spark, idx, keys)
+    assert n == 5
+    assert s.reload_deletes() == 5
+
+    after = [(r["docID"], r["score"]) for r in s.search("license apache", k=20).collect()]
+    assert not ({d for d, _ in after} & victim_ids)
+    # survivors keep identical scores and relative order (stale stats)
+    surviving_before = [(d, sc) for d, sc in before if d not in victim_ids]
+    assert after[: len(surviving_before)] == surviving_before[:len(after)]
+
+    # phrase + synonym + count paths also honor tombstones
+    ph = {r["docID"] for r in s.search_phrase("apache software foundation", k=50).collect()}
+    assert not (ph & victim_ids)
+    syn = {r["docID"] for r in s.search_synonym(["license", "apache"], k=50).collect()}
+    assert not (syn & victim_ids)
+    assert s.count("license") == len(
+        {r["docID"] for r in s.postings_tf(["license"]).select("docID").collect()}
+    )
+
+    # delete-by-query and expunge
+    n2 = delete_by_query(spark, s, "var0")
+    s.reload_deletes()
+    total_deleted = s._deleted.size
+    assert total_deleted >= 5
+
+    manifest = expunge_deletes(spark, idx)
+    assert manifest["doc_count"] == N_DOCS - total_deleted
+
+    s2 = IndexSearcher(spark, idx)
+    assert s2._deleted.size == 0
+    # post-expunge the index equals a fresh oracle over surviving docs
+    # (docIDs preserved, stats recomputed)
+    surviving = sorted(r["docID"] for r in s2.docmap.select("docID").collect())
+    pdf = generate_corpus(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    contents = [pdf.iloc[i]["content"] for i in surviving]
+    oracle = OracleIndex(contents, doc_ids=surviving)
+    for q, mode in [("license apache", "or"), ("def return", "and"), ("table", "or")]:
+        got = [(r["docID"], r["score"]) for r in s2.search(q, k=10, mode=mode).collect()]
+        exp = oracle.search([t for t in q.split()], k=10, mode=mode)
+        assert_rank_identical(exp, got, msg=f"[post-expunge {q} {mode}]")
+
+
+def test_update_documents_incremental(spark, tmp_path):
+    """updateDocument: same-key re-add replaces the old version in query
+    results (old docID tombstoned, new docID appended)."""
+    import pandas as pd
+
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        refresh,
+        update_documents,
+        write_segment,
+    )
+
+    out = str(tmp_path / "upd_idx")
+    os.makedirs(out)
+    pdf = generate_corpus(120).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    n0 = write_segment(spark, spark.createDataFrame(pdf), out, "s0", 0, partitions=4)
+    state = _load_state(out)
+    state["next_doc"] = n0
+    state["segments"].append({"seg": "s0", "num_docs": n0})
+    _atomic_json(_state_path(out), state)
+    refresh(spark, out, partitions=4)
+
+    victim = pdf.iloc[0]
+    new_row = dict(victim)
+    new_row["content"] = "zzzupdated sentinel content only here"
+    res = update_documents(
+        spark, out, spark.createDataFrame(pd.DataFrame([new_row])), partitions=2
+    )
+    assert res["deleted"] == 1 and res["added"] == 1
+
+    s = IndexSearcher(spark, out)
+    assert s._deleted.size == 1
+    hits = [r["docID"] for r in s.search("zzzupdated", k=5).collect()]
+    assert hits == [120]  # appended docID
+    # the OLD docID is tombstoned out of every decoded posting
+    old_hit_ids = {r["docID"] for r in s.postings_tf().select("docID").distinct().collect()}
+    assert 0 not in old_hit_ids  # docID 0 was the sorted-first victim
