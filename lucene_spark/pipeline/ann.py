@@ -216,3 +216,118 @@ def ann_ivf_topk(
         .limit(k)
         .select(id_col, F.round("raw", round_to).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: train once, write vectors partitioned by cell,
+# answer queries by reading only the probed cells (partition pruning).
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train a spherical-k-means coarse quantizer (deterministic strided
+    init) and write the vector table partitioned by cell; centroids go to
+    centroids.json. At 10^9+ vectors this is the standard IVF layout —
+    a query touches nprobe/n_cells of the data via partition pruning."""
+    import json as _json
+    import os as _os
+
+    n_total = emb.count()
+    stride = max(1, n_total // n_cells)
+    seed_rows = (
+        emb.withColumn("rk", F.col(id_col) % stride)
+        .where(F.col("rk") == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float32) for r in seed_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    def assign_udf(cents_arr):
+        @F.pandas_udf(IntegerType())
+        def assign(v: pd.Series) -> pd.Series:
+            mat = np.stack([np.asarray(x, dtype=np.float32) for x in v])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            return pd.Series(np.argmax(mat @ cents_arr.T, axis=1).astype(np.int32))
+
+        return assign
+
+    for _ in range(kmeans_iters):
+        assigned = emb.withColumn("cell", assign_udf(cents)(F.col(vec_col)))
+        sums = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        new = np.zeros_like(cents)
+        for r in sums:
+            new[r["cell"], r["dim"]] = r["s"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        nonzero = norms[:, 0] > 1e-30
+        cents[nonzero] = (new / np.maximum(norms, 1e-30))[nonzero]
+
+    assigned = emb.withColumn("cell", assign_udf(cents)(F.col(vec_col)))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(out_dir, "vectors")
+    )
+    meta = {"n_cells": int(n_cells), "dim": int(cents.shape[1]), "count": int(n_total)}
+    with open(_os.path.join(out_dir, "centroids.json"), "w") as f:
+        _json.dump({"meta": meta, "centroids": cents.tolist()}, f)
+    return meta
+
+
+def ivf_search(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: pick the nprobe nearest centroids and
+    scan ONLY those cell partitions (`cell IN (...)` prunes at the file
+    listing level), exact cosine re-rank inside."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "centroids.json")) as f:
+        data = _json.load(f)
+    cents = np.asarray(data["centroids"], dtype=np.float32)
+    q = np.asarray(query_vec, dtype=np.float32)
+    q = q / max(float(np.linalg.norm(q)), 1e-30)
+    probe = [int(x) for x in np.argsort(-(cents @ q))[:nprobe]]
+
+    vecs = spark.read.parquet(_os.path.join(out_dir, "vectors"))
+    cand = vecs.where(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda a: a.cast("double") * a),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.select(F.col(id_col), (dot / F.greatest(nrm, F.lit(1e-30))).alias("raw"))
+        .orderBy(F.desc("raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("raw", round_to).alias("cos"))
+    )

@@ -113,3 +113,34 @@ def test_winnow_fingerprint_overlap_detects_near_dups(spark, docs):
     fb = {r["fp"] for r in fps.filter(F.col("doc_id") == b).collect()}
     overlap = len(fa & fb) / max(1, min(len(fa), len(fb)))
     assert overlap >= 0.5
+
+
+def test_persisted_ivf_index(spark, emb, tmp_path):
+    """Build-once IVF layout: partition-pruned query reads only probed
+    cells; recall vs brute force >= 0.8; results stable across reloads."""
+    from lucene_spark.pipeline.ann import build_ivf_index, ivf_search
+
+    out = str(tmp_path / "ivf")
+    meta = build_ivf_index(spark, emb, out, n_cells=8, kmeans_iters=4)
+    assert meta["count"] == emb.count()
+
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float32,
+    )
+    res1 = [(r["vec_id"], r["cos"]) for r in ivf_search(spark, out, q, k=10, nprobe=3, exclude_id=0).collect()]
+    res2 = [(r["vec_id"], r["cos"]) for r in ivf_search(spark, out, q, k=10, nprobe=3, exclude_id=0).collect()]
+    assert res1 == res2 and len(res1) == 10
+
+    rows = emb.filter(F.col("vec_id") != 0).collect()
+    qn = q / np.linalg.norm(q)
+    sims = sorted(
+        ((float(np.dot(qn, np.asarray(r["embedding"], np.float32) / np.linalg.norm(np.asarray(r["embedding"], np.float32)))), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    exact = {v for _, v in sims[:10]}
+    assert len({v for v, _ in res1} & exact) / 10 >= 0.8
+
+    # partition pruning shows in the scan: only probed cells listed
+    plan = ivf_search(spark, out, q, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
