@@ -151,10 +151,9 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     new_posts = spark.read.parquet(tmp)
     terms2 = new_posts.groupBy("term").agg(
         F.sum("ndocs").cast("long").alias("df"),
-        F.sum("ndocs").cast("long").alias("_nd"),  # placeholder order
         F.max("max_tf").alias("max_tf"),
         F.min("min_norm").alias("min_norm"),
-    ).drop("_nd")
+    )
     # cf needs decoded tf sums
     def cf_rows(batches):
         for pdf in batches:

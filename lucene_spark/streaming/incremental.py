@@ -76,12 +76,18 @@ def write_segment(
     [doc_id_start, doc_id_start + n) in (repo, path, commit) order within
     the batch — arrival order across batches, Lucene's NRT docID model."""
     n_part = partitions or spark.sparkContext.defaultParallelism
+    n_batch = batch_df.count()
+    if n_batch == 0:
+        return 0
+    # boundary sample is bounded (driver never holds the full batch key
+    # set); boundaries affect only balance, not correctness
+    frac = min(1.0, 8192.0 / n_batch)
     keys = [
         (r["repo"], r["path"], r["commit"])
-        for r in batch_df.select("repo", "path", "commit").collect()
+        for r in batch_df.select("repo", "path", "commit")
+        .sample(fraction=frac, seed=42)
+        .collect()
     ]
-    if not keys:
-        return 0
     bounds = _quantile_bounds(sorted(_flatten_key(*k) for k in keys), n_part)
     sorted_docs = (
         _repartition_exact(
