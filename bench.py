@@ -114,6 +114,16 @@ def main() -> None:
     total = round(sum(queries.values()), 4)
     p50 = round(statistics.median(queries.values()), 4)
 
+    def _du(path: str) -> int:
+        t = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                t += os.path.getsize(os.path.join(root, fn))
+        return t
+
+    idx_bytes = _du(idx_dir)
+    src_bytes = os.path.getsize(os.path.join(SF_DIR, "documents.parquet")) if os.path.isfile(os.path.join(SF_DIR, "documents.parquet")) else _du(os.path.join(SF_DIR, "documents.parquet"))
+
     out = {
         "metric": "headline query suite wall time (index prebuilt)",
         "value": total,
@@ -128,6 +138,9 @@ def main() -> None:
         "sf_build_docs": sf_doc_count,
         "sf_build_sec": round(sf_build_sec, 3),
         "sf_build_docs_per_sec": round(sf_doc_count / sf_build_sec, 1),
+        "index_bytes": idx_bytes,
+        "source_parquet_bytes": src_bytes,
+        "index_to_source_ratio": round(idx_bytes / max(1, src_bytes), 3),
         "cpus": CPUS,
     }
     print(json.dumps(out))
