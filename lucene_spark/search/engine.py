@@ -481,11 +481,19 @@ class IndexSearcher:
         )
         blocks = blocks.persist()
         try:
-            # per-term global max upper bound (for the cross-term slack)
-            per_term = {
-                r["term"]: r["mub"]
-                for r in blocks.groupBy("term").agg(F.max("ub").alias("mub")).collect()
-            }
+            # per-term global upper bound for the cross-term slack, computed
+            # DRIVER-SIDE from the terms table's (max_tf, min_norm) — no
+            # Spark job. It dominates every block ub (same score expression
+            # over term-global maxima), so the prune stays score-safe.
+            cache = self.scorer.cache
+            per_term = {}
+            for t in set(terms):
+                st = stats[t]
+                w = np.float32(weights[t])
+                inv = cache[st.min_norm]
+                per_term[t] = float(
+                    w - w / (np.float32(1.0) + np.float32(st.max_tf) * inv)
+                )
             total_ub = {
                 t: sum(v for t2, v in per_term.items() if t2 != t)
                 for t in per_term
