@@ -412,6 +412,34 @@ def q_fuzzy_expand(spark, sf_dir):
     )
 
 
+def q_regexp_df(spark, sf_dir):
+    """RegexpQuery term expansion: dictionary terms matching a regex
+    (AutomatonTermsEnum analog via RLIKE — Catalyst pushes the predicate
+    to the sorted terms scan)."""
+    s = searcher_for(spark, sf_dir)
+    return s.terms_table.where(F.col("term").rlike("^get[a-z]*[0-9]$")).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def q_sort_by_field(spark, sf_dir):
+    """Sort-by-field (B23): docs matching TERM_1 ordered by the n_chars
+    metadata column DESC, doc_id ASC, top 15 (SortField.LONG analog)."""
+    s = searcher_for(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dm = _docid_map(s)
+    hits = (
+        s.postings_tf([TERM_1]).select("docID")
+        .join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    return (
+        hits.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 def q_term_range_df(spark, sf_dir):
     """TermRangeQuery: dictionary slice [lo, hi] (inclusive)."""
     s = searcher_for(spark, sf_dir)
@@ -707,6 +735,8 @@ QUERIES = {
     "dismax_top10": q_dismax_top10,
     "fuzzy_expand": q_fuzzy_expand,
     "term_range_df": q_term_range_df,
+    "regexp_df": q_regexp_df,
+    "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
     "facet_source": q_facet_source,
@@ -879,6 +909,13 @@ ORDER BY mx + 0.1 * (sm - mx) DESC, doc_id ASC LIMIT 10
     sqls["fuzzy_expand"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
         SELECT term, count(*)::BIGINT AS df FROM tf
         WHERE levenshtein(term, '{FUZZY_TARGET}') <= 2 GROUP BY term"""
+    sqls["regexp_df"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
+        SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE regexp_matches(term, '^get[a-z]*[0-9]$') GROUP BY term"""
+    sqls["sort_by_field"] = f"""WITH {TOKENS_CTE}
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{TERM_1}')
+        ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15"""
     sqls["term_range_df"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
         SELECT term, count(*)::BIGINT AS df FROM tf
         WHERE term >= '{RANGE_LO}' AND term <= '{RANGE_HI}' GROUP BY term"""
