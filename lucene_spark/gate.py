@@ -613,8 +613,12 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_emb_near_dup(spark, sf_dir):
     from lucene_spark.pipeline.ann import emb_near_dup_pairs
 
+    # 0.45 (not 0.95): the synthetic embeddings are near-orthogonal, so a
+    # high threshold makes the duel vacuous (0 vs 0 rows). At 0.45 sf0.01
+    # yields pairs whose smaller vec_id sits in a HIGHER tile, exercising
+    # the off-diagonal orientation path of the tile join.
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return emb_near_dup_pairs(spark, emb, threshold=0.95)
+    return emb_near_dup_pairs(spark, emb, threshold=0.45)
 
 
 def q_media_features(spark, sf_dir):
@@ -995,7 +999,7 @@ FROM documents
 SELECT e1.vec_id AS a, e2.vec_id AS b,
        round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS cos
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= 0.95
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= 0.45
 """
     sqls["media_features"] = """
 SELECT doc_id AS media_id,

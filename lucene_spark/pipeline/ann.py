@@ -108,10 +108,19 @@ def emb_near_dup_pairs(
                 sims = (ma @ mb.T).astype(np.float64)
                 ai, bi = np.nonzero(sims >= thr)
                 a_ids, b_ids = ia[ai], ib[bi]
-                keep = a_ids < b_ids  # dedupe diagonal tile + orient pairs
-                rows_a.append(a_ids[keep])
-                rows_b.append(b_ids[keep])
-                rows_c.append(sims[ai, bi][keep])
+                if t.ta == t.tb:
+                    # diagonal tile: each unordered pair appears twice
+                    # (and self-pairs on the diagonal) — keep a < b once
+                    keep = a_ids < b_ids
+                    rows_a.append(a_ids[keep])
+                    rows_b.append(b_ids[keep])
+                    rows_c.append(sims[ai, bi][keep])
+                else:
+                    # off-diagonal tile pair appears exactly once under the
+                    # l.tile < r.tile join: orient (min, max), never filter
+                    rows_a.append(np.minimum(a_ids, b_ids))
+                    rows_b.append(np.maximum(a_ids, b_ids))
+                    rows_c.append(sims[ai, bi])
             if rows_a:
                 yield pd.DataFrame(
                     {

@@ -115,6 +115,40 @@ def test_winnow_fingerprint_overlap_detects_near_dups(spark, docs):
     assert overlap >= 0.5
 
 
+def test_emb_near_dup_cross_tile_orientation(spark):
+    """Regression: off-diagonal tile pairs appear once under the
+    l.tile <= r.tile join; pairs whose SMALLER vec_id lives in the
+    HIGHER tile must still be emitted (oriented, not filtered).
+    Planted pairs {1,8} and {7,17} with num_tiles=8: 1%8=1 < 8%8=0 is
+    false (1 > 0), 7%8=7 > 17%8=1 — both have the smaller id in the
+    higher-or-equal-numbered side depending on join order."""
+    from lucene_spark.pipeline.ann import emb_near_dup_pairs
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    # plant near-identical pairs across tiles: (1, 8) and (7, 17)
+    base[8] = base[1] + 1e-4
+    base[17] = base[7] + 1e-4
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    got = {
+        (r["a"], r["b"])
+        for r in emb_near_dup_pairs(spark, df, threshold=0.95, num_tiles=8).collect()
+    }
+    # brute-force oracle
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = {
+        (a, b)
+        for a in range(20)
+        for b in range(a + 1, 20)
+        if sims[a, b] >= 0.95
+    }
+    assert {(1, 8), (7, 17)} <= want
+    assert got == want
+
+
 def test_persisted_ivf_index(spark, emb, tmp_path):
     """Build-once IVF layout: partition-pruned query reads only probed
     cells; recall vs brute force >= 0.8; results stable across reloads."""
