@@ -119,6 +119,8 @@ BLOCK_SCHEMA = StructType(
         StructField("max_doc", LongType()),
         StructField("max_tf", IntegerType()),
         StructField("min_norm", IntegerType()),
+        StructField("min_tf", IntegerType()),
+        StructField("max_norm", IntegerType()),
         StructField("docs_vb", BinaryType()),
         StructField("tfs_vb", BinaryType()),
         StructField("norms_b", BinaryType()),
@@ -427,6 +429,8 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 int(d[-1]),
                 int(t.max()),
                 int(nb.min()),
+                int(t.min()),
+                int(nb.max()),
                 encode(delta_encode(d)),
                 encode(t),
                 nb.astype(np.uint8).tobytes(),
@@ -437,8 +441,56 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows,
         columns=[
             "term", "salt", "block_seq", "ndocs", "min_doc", "max_doc",
-            "max_tf", "min_norm", "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+            "max_tf", "min_norm", "min_tf", "max_norm",
+            "docs_vb", "tfs_vb", "norms_b", "pos_vb",
         ],
+    )
+
+
+TOPK_LB = 10  # k for the build-time theta floor stored per term
+
+
+def lb10_by_term(spark: SparkSession, postings_path: str, cache) -> DataFrame:
+    """Per-term build-time WAND threshold floor: `lb_key10` = the tf*inv
+    product of the TOPK_LB-th best per-doc score LOWER bound.
+
+    Every doc in a block scores >= w - w/(1 + min_tf * cache[max_norm])
+    (the BM25 expression is monotone in tf and in 1/norm-length, the
+    shape Lucene chose for exactly this property —
+    lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:221-238).
+    Blocks of one term hold disjoint docs, so sorting a term's blocks by
+    that bound descending and walking ndocs gives >= TOPK_LB distinct
+    docs whose true scores are each >= the bound where the cumulative
+    count reaches TOPK_LB. That bound is therefore a valid
+    minCompetitiveScore for any top-k query with k <= TOPK_LB — known
+    BEFORE scoring anything, so block-max pruning needs no bootstrap job
+    (WANDScorer.java:262-340 obtains it progressively instead).
+
+    Stored as the raw `min_tf * cache[max_norm]` product; the searcher
+    applies the per-term idf weight (which depends on the query only
+    through the term). NULL when df < TOPK_LB (no pruning allowed: the
+    result set may have fewer than k docs). Scan is narrow — parquet
+    prunes the vbyte payload columns."""
+    from pyspark.sql import Window
+
+    meta = spark.read.parquet(postings_path).select(
+        "term", "ndocs", "min_tf", "max_norm"
+    )
+    cache_arr = F.array(*[F.lit(float(x)) for x in cache])
+    lbk = F.col("min_tf").cast("double") * F.element_at(
+        cache_arr, F.col("max_norm") + 1
+    )
+    win = (
+        Window.partitionBy("term")
+        .orderBy(F.desc("lb_key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        meta.withColumn("lb_key", lbk)
+        .withColumn("cum", F.sum("ndocs").over(win))
+        .filter(F.col("cum") >= TOPK_LB)
+        .groupBy("term")
+        .agg(F.max("lb_key").alias("lb_key10"))
     )
 
 
@@ -542,17 +594,27 @@ def build_index(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    terms_df.repartitionByRange(max(1, n_part // 4), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
-
     hot_terms = [
         r["term"]
         for r in terms_df.filter(F.col("df") > hot_df_threshold)
         .select("term")
         .collect()
     ]
-    _mark("terms_write", _t)
+
+    # collection stats now (terms write happens after postings, because the
+    # per-term lb_key10 threshold floor is derived from block metadata)
+    agg = terms_df.agg(
+        F.sum("cf").alias("sttf"),
+        F.sum("df").alias("sdf"),
+        F.count("*").alias("nterms"),
+    ).collect()[0]
+    stats = {
+        "doc_count": int(doc_count),
+        "sum_total_term_freq": int(agg["sttf"] or 0),
+        "sum_doc_freq": int(agg["sdf"] or 0),
+        "distinct_terms": int(agg["nterms"] or 0),
+    }
+    _mark("terms_agg", _t)
 
     # --- shuffle 2: merge runs into postings blocks (salted hot terms) ---
     if hot_terms:
@@ -591,18 +653,22 @@ def build_index(
     )
     _mark("postings_write", _t)
 
-    # --- collection stats (CollectionStatistics analog) ------------------
-    agg = terms_df.agg(
-        F.sum("cf").alias("sttf"),
-        F.sum("df").alias("sdf"),
-        F.count("*").alias("nterms"),
-    ).collect()[0]
-    stats = {
-        "doc_count": int(doc_count),
-        "sum_total_term_freq": int(agg["sttf"] or 0),
-        "sum_doc_freq": int(agg["sdf"] or 0),
-        "distinct_terms": int(agg["nterms"] or 0),
-    }
+    # --- terms table: run-header aggregates + block-derived lb_key10 -----
+    from lucene_spark.search.bm25 import BM25Scorer
+
+    cache = BM25Scorer.build(
+        max(1, doc_count), max(1, stats["sum_total_term_freq"])
+    ).cache
+    lb10 = lb10_by_term(spark, os.path.join(out_dir, "postings"), cache)
+    terms_out = terms_df.join(lb10, "term", "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    terms_out.repartitionByRange(max(1, n_part // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    terms_out.unpersist()
+    _mark("terms_write", _t)
+
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats")
     )

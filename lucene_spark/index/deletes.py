@@ -110,7 +110,10 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             if keep.all():
                 rows.append((term, int(salt), int(r.block_seq), int(r.ndocs),
                              int(r.min_doc), int(r.max_doc), int(r.max_tf),
-                             int(r.min_norm), bytes(r.docs_vb), bytes(r.tfs_vb),
+                             int(r.min_norm),
+                             int(getattr(r, "min_tf", 1)),
+                             int(getattr(r, "max_norm", 255)),
+                             bytes(r.docs_vb), bytes(r.tfs_vb),
                              bytes(r.norms_b), bytes(r.pos_vb)))
                 continue
             if not keep.any():
@@ -128,6 +131,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
                 pos_vb = b""
             rows.append((term, int(salt), int(r.block_seq), int(d2.size),
                          int(d2[0]), int(d2[-1]), int(t2.max()), int(nb2.min()),
+                         int(t2.min()), int(nb2.max()),
                          encode(delta_encode(d2)), encode(t2),
                          nb2.tobytes(), pos_vb))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
@@ -166,24 +170,39 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     cf_df = new_posts.select("term", "tfs_vb").mapInPandas(
         cf_rows, schema="term string, cf long"
     ).groupBy("term").agg(F.sum("cf").alias("cf"))
-    terms_final = terms2.join(cf_df, "term").select(
+    terms_joined = terms2.join(cf_df, "term").select(
         "term", "df", "cf", "max_tf", "min_norm"
     )
-    t_tmp = os.path.join(index_dir, "terms_expunged")
-    terms_final.sortWithinPartitions("term").write.mode("overwrite").parquet(t_tmp)
-
-    agg = terms_final.agg(
+    agg = terms_joined.agg(
         F.sum("cf").alias("sttf"), F.sum("df").alias("sdf"), F.count("*").alias("nt")
     ).collect()[0]
     n_docs = docmap2.count()
 
-    # publish: swap directories, clear tombstones, rewrite manifest last
+    # re-derive the lb_key10 threshold floor from the surviving blocks
+    # (deletes are now physically gone, so the block slot argument holds)
+    from lucene_spark.index.builder import lb10_by_term
+    from lucene_spark.search.bm25 import BM25Scorer
+
+    cache = BM25Scorer.build(max(1, n_docs), max(1, int(agg["sttf"] or 0))).cache
+    terms_final = terms_joined.join(lb10_by_term(spark, tmp, cache), "term", "left")
+    t_tmp = os.path.join(index_dir, "terms_expunged")
+    terms_final.sortWithinPartitions("term").write.mode("overwrite").parquet(t_tmp)
+
+    # publish: rename each live dir aside, move the new generation in, and
+    # delete the old generations only after the manifest republish — a
+    # crash mid-swap leaves every generation recoverable on disk
+    # (IndexWriter two-phase commit discipline: nothing is destroyed
+    # before the new commit point is durable)
     import shutil
 
+    olds = []
     for name, tmp_dir in (("postings", tmp), ("docmap", dm_tmp), ("terms", t_tmp)):
         final = os.path.join(index_dir, name)
-        shutil.rmtree(final)
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(final, old)
         os.replace(tmp_dir, final)
+        olds.append(old)
     shutil.rmtree(_deletes_dir(index_dir), ignore_errors=True)
 
     manifest.update(
@@ -198,5 +217,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     with open(tmp_m, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp_m, os.path.join(index_dir, "manifest.json"))
+    for old in olds:
+        shutil.rmtree(old, ignore_errors=True)
     del_b.unpersist()
     return manifest

@@ -45,7 +45,11 @@ from lucene_spark.index.builder import (
     _invert_partition,
     _merge_runs_to_blocks,
     _META_COLS,
+    _quantile_bounds,
+    _repartition_exact,
     _RUN_COLS,
+    _with_range_id,
+    lb10_by_term,
 )
 
 _KEY = ["repo", "path", "commit"]
@@ -225,32 +229,10 @@ def merge_segments(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    terms_df.repartitionByRange(max(1, n_part // 4), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
-
     hot_terms = [
         r["term"]
         for r in terms_df.filter(F.col("df") > hot_df_threshold).select("term").collect()
     ]
-    if hot_terms:
-        salt_col = F.when(
-            F.col("term").isin(hot_terms),
-            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        salt_col = F.lit(0).cast("long")
-
-    (
-        runs.withColumn("salt", salt_col)
-        .groupBy("term", "salt")
-        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
-        .repartitionByRange(n_part, "term")
-        .sortWithinPartitions("term", "salt", "block_seq")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings"))
-    )
-
     agg = terms_df.agg(
         F.sum("cf").alias("sttf"),
         F.sum("df").alias("sdf"),
@@ -262,6 +244,56 @@ def merge_segments(
         "sum_doc_freq": int(agg["sdf"] or 0),
         "distinct_terms": int(agg["nterms"] or 0),
     }
+
+    if hot_terms:
+        salt_col = F.when(
+            F.col("term").isin(hot_terms),
+            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        salt_col = F.lit(0).cast("long")
+
+    # range-place blocks via a driver-side boundary sample from the cached
+    # terms table (repartitionByRange would re-run the whole expensive
+    # merge once more just to sample boundaries — builder.build_index
+    # avoids that the same way)
+    term_bounds = _quantile_bounds(
+        sorted(
+            r["term"]
+            for r in terms_df.select("term").sample(fraction=0.2, seed=7).collect()
+        ),
+        n_part,
+    )
+    blocks = (
+        runs.withColumn("salt", salt_col)
+        .groupBy("term", "salt")
+        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
+    )
+    (
+        _repartition_exact(
+            spark, _with_range_id(blocks, term_bounds, ["term"]), n_part
+        )
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .drop("rpid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    # terms table last: join in the block-derived lb_key10 threshold floor
+    from lucene_spark.search.bm25 import BM25Scorer
+
+    cache = BM25Scorer.build(
+        max(1, stats["doc_count"]), max(1, stats["sum_total_term_freq"])
+    ).cache
+    lb10 = lb10_by_term(spark, os.path.join(out_dir, "postings"), cache)
+    terms_out = terms_df.join(lb10, "term", "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    terms_out.repartitionByRange(max(1, n_part // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    terms_out.unpersist()
+
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats")
     )

@@ -60,6 +60,10 @@ class TermStats:
     cf: int
     max_tf: int
     min_norm: int
+    # build-time theta floor: tf*inv product of the TOPK_LB-th best
+    # per-doc lower bound over this term's blocks (builder.lb10_by_term);
+    # None when df < 10 or the index predates the column
+    lb_key10: float | None = None
 
 
 class IndexSearcher:
@@ -92,9 +96,12 @@ class IndexSearcher:
         if not terms:
             return {}
         rows = self._terms.filter(F.col("term").isin(list(set(terms)))).collect()
+        has_lb = "lb_key10" in self._terms.columns
         return {
             r["term"]: TermStats(
-                r["term"], r["df"], r["cf"], r["max_tf"], r["min_norm"]
+                r["term"], r["df"], r["cf"], r["max_tf"], r["min_norm"],
+                (None if not has_lb or r["lb_key10"] is None
+                 else float(r["lb_key10"])),
             )
             for r in rows
         }
@@ -476,76 +483,120 @@ class IndexSearcher:
         (WANDScorer.java:90-124 head/tail invariant, block-granular).
         """
         weights = self._weights(stats)
-        blocks = self._postings.filter(F.col("term").isin(list(weights))).withColumn(
-            "ub", self._block_ub_col(weights)
+        n_terms = len(set(terms))
+        # per-term global upper bound for the cross-term slack, computed
+        # DRIVER-SIDE from the terms table's (max_tf, min_norm) — no
+        # Spark job. It dominates every block ub (same score expression
+        # over term-global maxima), so the prune stays score-safe.
+        cache = self.scorer.cache
+        per_term = {}
+        for t in set(terms):
+            st = stats[t]
+            w = np.float32(weights[t])
+            inv = cache[st.min_norm]
+            per_term[t] = float(
+                w - w / (np.float32(1.0) + np.float32(st.max_tf) * inv)
+            )
+        total_ub = {
+            t: sum(v for t2, v in per_term.items() if t2 != t)
+            for t in per_term
+        }
+        slack = F.create_map(
+            *[F.lit(x) for kv in total_ub.items() for x in (kv[0], float(kv[1]))]
         )
-        blocks = blocks.persist()
-        try:
-            # per-term global upper bound for the cross-term slack, computed
-            # DRIVER-SIDE from the terms table's (max_tf, min_norm) — no
-            # Spark job. It dominates every block ub (same score expression
-            # over term-global maxima), so the prune stays score-safe.
-            cache = self.scorer.cache
-            per_term = {}
-            for t in set(terms):
-                st = stats[t]
-                w = np.float32(weights[t])
-                inv = cache[st.min_norm]
-                per_term[t] = float(
-                    w - w / (np.float32(1.0) + np.float32(st.max_tf) * inv)
-                )
-            total_ub = {
-                t: sum(v for t2, v in per_term.items() if t2 != t)
-                for t in per_term
-            }
-            # phase 1: top blocks per term by ub covering >= k docs
-            from pyspark.sql import Window
+        blocks = self._postings.filter(F.col("term").isin(list(weights)))
 
-            win = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_seq"))
-            cand = (
-                blocks.withColumn(
-                    "cum",
-                    F.sum("ndocs").over(
-                        win.rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                )
-                .filter((F.col("cum").isNull()) | (F.col("cum") < k))
-                .drop("cum")
+        # FAST PATH — zero-bootstrap theta from the terms table. lb_key10
+        # proves >= 10 distinct docs score >= theta for that term alone,
+        # so for OR-mode (or single-term) top-k with k <= 10 it is a valid
+        # minCompetitiveScore before anything is scored: the whole pruned
+        # search is ONE job, same shape as the unpruned plan but decoding
+        # only surviving blocks. Invalid under deletes (slots may count
+        # tombstoned docs) and under AND mode (slot docs may not match the
+        # other required terms) — those fall through to the bootstrap path.
+        if (
+            k <= 10
+            and (mode == "or" or n_terms == 1)
+            and not self._deleted.size
+        ):
+            theta = float("-inf")
+            for t in set(terms):
+                lbk = stats[t].lb_key10
+                if lbk is not None:
+                    w = np.float32(weights[t])
+                    theta = max(
+                        theta,
+                        float(w - w / (np.float32(1.0) + np.float32(lbk))),
+                    )
+            thr = theta - 1e-5 * (abs(theta) + 1.0)  # -inf stays -inf
+            if thr > float("-inf"):
+                surviving = blocks.withColumn(
+                    "ub", self._block_ub_col(weights)
+                ).filter((F.col("ub") + slack[F.col("term")]) >= F.lit(thr))
+                scored = surviving.select(
+                    "term", "docs_vb", "tfs_vb", "norms_b"
+                ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
+                return self._topk(scored, k, mode, n_terms)
+
+        # phase 1 candidates: top blocks per term by ub, covering >= k docs.
+        # The window runs over the NARROW metadata columns only (parquet
+        # prunes the vbyte blobs from this scan) so the shuffle is a few
+        # dozen bytes per block row, never the postings payload.
+        from pyspark.sql import Window
+
+        meta = self._postings.filter(F.col("term").isin(list(weights))).select(
+            "term", "salt", "block_seq", "ndocs", "max_tf", "min_norm"
+        ).withColumn("ub", self._block_ub_col(weights))
+        win = Window.partitionBy("term").orderBy(
+            F.desc("ub"), F.asc("salt"), F.asc("block_seq")
+        )
+        cand_keys = (
+            meta.withColumn(
+                "cum",
+                F.sum("ndocs").over(win.rowsBetween(Window.unboundedPreceding, -1)),
             )
-            scored1 = cand.select(
-                "term", "docs_vb", "tfs_vb", "norms_b"
-            ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
-            n_terms = len(set(terms))
-            theta_rows = (
-                self._topk(scored1, k, mode, n_terms)
-                .select(F.min("score").alias("m"), F.count("*").alias("c"))
-                .collect()
+            .filter((F.col("cum").isNull()) | (F.col("cum") < k))
+            .select("term", "salt", "block_seq")
+        )
+
+        # theta bootstrap: exact doc scores of the candidate blocks; the
+        # k-th best partial score is a LOWER bound of the true k-th score
+        # (docs can only gain from unscored blocks). Computed as a
+        # broadcast single-row DataFrame instead of a driver collect, so
+        # the whole pruned search is ONE action: Spark evaluates the two
+        # broadcast subtrees (cand_keys, theta) then the main scan.
+        cand = blocks.join(
+            F.broadcast(cand_keys), ["term", "salt", "block_seq"]
+        )
+        scored1 = cand.select(
+            "term", "docs_vb", "tfs_vb", "norms_b"
+        ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
+        theta_df = (
+            self._topk(scored1, k, mode, n_terms)
+            .agg(F.min("score").alias("m"), F.count("*").alias("c"))
+            .select(
+                F.when(F.col("c") == k, F.col("m").cast("double"))
+                .otherwise(F.lit(float("-inf")))
+                .alias("theta")
             )
-            theta = (
-                float(theta_rows[0]["m"])
-                if theta_rows and theta_rows[0]["c"] == k
-                else float("-inf")
-            )
-            # phase 2: score-safe filter. The doc score is
-            # float32(double-sum of float32 per-term scores) while ub is a
-            # double-precision bound, so pad theta by a few float32 ulps
-            # (MathUtil.sumUpperBound analog) to keep the prune provably
-            # score-safe under rounding.
-            pad = 1e-5 * (abs(theta) + 1.0) if theta != float("-inf") else 0.0
-            slack = F.create_map(
-                *[F.lit(x) for kv in total_ub.items() for x in (kv[0], float(kv[1]))]
-            )
-            surviving = blocks.filter(
-                (F.col("ub") + slack[F.col("term")]) >= F.lit(theta - pad)
-            )
-            scored = surviving.select(
-                "term", "docs_vb", "tfs_vb", "norms_b"
-            ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
-            out = self._topk(scored, k, mode, n_terms)
-            out = self.spark.createDataFrame(out.collect(), out.schema)
-            return out
-        finally:
-            blocks.unpersist()
+        )
+
+        # phase 2: score-safe filter. The doc score is float32(double-sum
+        # of float32 per-term scores) while ub is a double-precision
+        # bound, so pad theta by a few float32 ulps (MathUtil.sumUpperBound
+        # analog) to keep the prune provably score-safe under rounding.
+        # theta - pad is -inf when theta is -inf (no prune), since
+        # -inf - inf = -inf in IEEE double.
+        thr = F.col("theta") - F.lit(1e-5) * (F.abs(F.col("theta")) + F.lit(1.0))
+        surviving = (
+            blocks.withColumn("ub", self._block_ub_col(weights))
+            .crossJoin(F.broadcast(theta_df))
+            .filter((F.col("ub") + slack[F.col("term")]) >= thr)
+        )
+        scored = surviving.select(
+            "term", "docs_vb", "tfs_vb", "norms_b"
+        ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
+        return self._topk(scored, k, mode, n_terms)
 
     # -- phrase queries ---------------------------------------------------
 

@@ -69,6 +69,55 @@ def test_pruned_equals_unpruned(built_index, q):
     assert_rank_identical(got_u, got_p, msg=f"[prune {q}]")
 
 
+def test_pruned_actually_prunes_on_skewed_corpus(spark, tmp_path):
+    """On a tf-skewed corpus (whole blocks of tf=1 long docs vs a block of
+    high-tf short docs) the build-time lb_key10 theta must let the fast
+    path drop blocks BEFORE decoding — and the top-k must still be
+    rank-identical to the unpruned path."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.engine import IndexSearcher
+
+    # docID order follows (repo, path, commit); group high-tf docs into
+    # the lexicographically-first paths so they fill whole 256-doc blocks
+    rows = []
+    for i in range(1024):
+        if i < 256:
+            # short docs stuffed with the term -> high tf, low norm
+            content = "zoo " * 20
+        else:
+            # one occurrence buried in a long doc -> tf=1, high norm
+            content = "zoo " + "filler pad word item " * 60
+        rows.append(("r", f"p{i:05d}", "c0", "py", content))
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "skew_idx")
+    build_index(spark, docs, out, partitions=4)
+    s = IndexSearcher(spark, out)
+
+    stats = s.term_stats(["zoo"])
+    st = stats["zoo"]
+    assert st.lb_key10 is not None
+    weights = s._weights(stats)
+    w = np.float32(weights["zoo"])
+    theta = float(w - w / (np.float32(1.0) + np.float32(st.lb_key10)))
+    blocks = s._postings.filter(F.col("term") == "zoo")
+    total = blocks.count()
+    surviving = (
+        blocks.withColumn("ub", s._block_ub_col(weights))
+        .filter(F.col("ub") >= F.lit(theta - 1e-5 * (abs(theta) + 1.0)))
+        .count()
+    )
+    assert total >= 4
+    assert surviving < total, f"no blocks pruned ({surviving}/{total})"
+
+    got_p = [(r["docID"], r["score"]) for r in s.search("zoo", k=10, prune=True).collect()]
+    got_u = [(r["docID"], r["score"]) for r in s.search("zoo", k=10).collect()]
+    assert_rank_identical(got_u, got_p, msg="[skewed prune]")
+
+
 def test_count(built_index):
     _, oracle, searcher = built_index
     assert searcher.count("license") == len(oracle.postings["license"][0])
