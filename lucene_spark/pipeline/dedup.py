@@ -19,22 +19,10 @@ reproducible by the DuckDB oracle SQL in lucene_spark.gate.
 
 from __future__ import annotations
 
-import hashlib
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 # MinHash modulus: 2^31-1 keeps (a*h+b) inside uint64 for fully
 # vectorized numpy modmul (31-bit coeffs x 28-bit shingle hashes)
@@ -49,19 +37,31 @@ def tokens_col(text_col: str = "text"):
     )
 
 
+def _shingle_array(tok_col: str, k: int):
+    """Distinct word-k-gram array from a token-array column — per-row
+    Catalyst expression. Guards n < k: sequence(1, 0) would DESCEND
+    ([1, 0]) and touch array index 0."""
+    n = F.size(tok_col)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(tok_col, (i + j).cast("int")) for j in range(k)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_df(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) rows: distinct word k-grams per doc — pure
     DataFrame ops (transform over a sequence of slice joins)."""
     toks = docs.select(F.col(id_col), tokens_col().alias("t"))
-    n = F.size("t")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("t", (i + j).cast("int")) for j in range(k)]
-        ),
-    )
     return (
-        toks.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        toks.select(id_col, F.explode(_shingle_array("t", k)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -108,35 +108,46 @@ def minhash_signatures(
     docs: DataFrame, k: int = 3, num_perm: int = 64, seed: int = 7,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — MinHash signature over md5-derived
-    28-bit word-k-shingle hashes, (a*h+b) mod (2^31-1) permutations; one
-    (num_perm x n_shingles) uint64 matrix op per doc, no per-value
-    Python."""
-    import re
+    """(doc_id, sig: array<long>) — MinHash signature, MAP-ONLY (no
+    shuffle): the shingle construction + 28-bit xxhash64 hashing run
+    JVM-side (one per-row transform), then ONE Arrow-batched pandas UDF
+    computes all num_perm permutation minima vectorized across the
+    whole batch (flatten -> one (a*h+b) mod p pass + minimum.reduceat
+    per permutation — no per-doc or per-gram Python). Docs with no
+    k-gram produce no row (same as the previous kernel). The LSH recall
+    contract vs exact Jaccard is asserted in tests/test_pipeline.py
+    regardless of the hash choice."""
+    from pyspark.sql.types import ArrayType, LongType
 
     A, B = _perm_coeffs(num_perm, seed)
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("sig", ArrayType(LongType()))]
+    m31 = np.uint64(MERSENNE31)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.uint64) for a in hs]
+        if not arrs:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate(arrs) if lens.sum() else np.empty(0, np.uint64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = np.empty((len(arrs), num_perm), dtype=np.int64)
+        for i in range(num_perm):
+            v = (A[i] * flat + B[i]) % m31
+            out[:, i] = np.minimum.reduceat(v, starts).astype(np.int64)
+        return pd.Series(list(out))
+
+    # filter on the cheap token count, NOT on size(<gram expr>): a filter
+    # over the gram array would force a SECOND full evaluation of the
+    # shingle construction (filter and project do not share
+    # subexpressions — measured 0.5s -> 9.5s at sf0.1). n >= k implies
+    # at least one shingle, so the semantics are identical.
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("t"))
+    hs = F.transform(
+        _shingle_array("t", k), lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 28))
     )
-
-    def fn(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col], pdf["text"]):
-                toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
-                grams = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-                if not grams:
-                    continue
-                h = np.fromiter(
-                    (int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams),
-                    dtype=np.uint64,
-                )
-                sig = ((A[:, None] * h[None, :] + B[:, None]) % np.uint64(MERSENNE31)).min(axis=1)
-                ids.append(int(did))
-                sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
-
-    return docs.select(id_col, "text").mapInPandas(fn, schema=schema)
+    return toks.where(F.size("t") >= k).select(
+        "doc_id", sig_udf(hs).alias("sig")
+    )
 
 
 def minhash_candidates(
@@ -157,12 +168,31 @@ def minhash_candidates(
             ])
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    l, r = band_rows.alias("l"), band_rows.alias("r")
+    # bucket-group instead of self-join: ONE shuffle of the band rows
+    # (a self-join shuffles them twice), pairs expanded per bucket.
+    # Buckets are collision groups — tiny by construction; a degenerate
+    # all-docs-identical corpus makes one giant bucket, which is the
+    # same O(n^2) the self-join would produce.
+    buckets = (
+        band_rows.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice("ids", 1, i),
+                lambda x: F.struct(
+                    F.least(x, F.element_at("ids", (i + 1).cast("int"))).alias("a"),
+                    F.greatest(x, F.element_at("ids", (i + 1).cast("int"))).alias("b"),
+                ),
+            ),
+        )
+    )
     return (
-        l.join(r, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.bh") == F.col("r.bh"))
-               & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -177,6 +207,11 @@ def minhash_near_dup(
     is 1 (P[miss] <= (1-t^rows)^bands ~ 2e-4 at t=0.8 with 16x4)."""
     cands = minhash_candidates(minhash_signatures(docs, k, num_perm), bands, rows)
     sh = shingles_df(docs, k)
+    # NOTE: a "cheaper" map-only size(_shingle_array) projection here is
+    # 8x SLOWER in practice: CollapseProject inlines the tokenizer into
+    # every element_at site of the interpreted gram lambda, re-splitting
+    # the document per shingle position. The explode+groupBy form keeps
+    # the tokenizer evaluated once per row.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # exact intersection via shingle join restricted to candidate pairs
     a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
@@ -202,47 +237,76 @@ def minhash_near_dup(
 # ---------------------------------------------------------------------------
 
 def simhash64(spark: SparkSession, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash_hex): 64-bit SimHash — per token, md5-derived 64
-    bits vote +tf/-tf per bit position; sign of the vote is the bit.
-    Emitted as a 16-hex-char string (value exceeds signed int64)."""
+    """(doc_id, simhash_hex): 64-bit SimHash — per term, the first 8 md5
+    bytes vote +tf/-tf per bit position; sign of the vote is the bit.
+    Emitted as a 16-hex-char string (value exceeds signed int64).
+
+    Map-only (NO shuffle — the scalable shape: output is one tiny row
+    per doc) and vectorized across the whole Arrow batch: one np.unique
+    builds the batch vocabulary, md5 runs once per never-seen vocab
+    entry (cached across batches), votes accumulate via 64 C-side
+    bincounts — no per-doc Python loop. Docs with zero tokens produce no
+    row (matching the SQL oracle)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     shifts = np.arange(63, -1, -1, dtype=np.uint64)
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("simhash_hex", StringType())]
     )
 
     def fn(batches):
+        import hashlib
         import re
 
+        split = re.compile(r"[^a-z0-9]+")
         hcache: dict[str, int] = {}
         for pdf in batches:
-            ids, hexes = [], []
-            for did, text in zip(pdf[id_col], pdf["text"]):
-                toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
-                if not toks:
-                    ids.append(int(did))
-                    hexes.append("0" * 16)
-                    continue
-                tf: dict[str, int] = {}
-                for t in toks:
-                    tf[t] = tf.get(t, 0) + 1
-                terms = list(tf)
-                hs = np.empty(len(terms), dtype=np.uint64)
-                for j, t in enumerate(terms):
-                    v = hcache.get(t)
-                    if v is None:
-                        v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
-                        hcache[t] = v
-                    hs[j] = v
-                w = np.fromiter((tf[t] for t in terms), dtype=np.int64)
-                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
-                out = np.uint64(0)
-                for bit, v in enumerate(votes):
-                    if v >= 0:
-                        out |= np.uint64(1) << shifts[bit]
-                ids.append(int(did))
-                hexes.append(format(int(out), "016x"))
-            yield pd.DataFrame({"doc_id": ids, "simhash_hex": hexes})
+            tok_lists = [
+                [t for t in split.split(s.lower()) if t] for s in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            kept = np.flatnonzero(lens > 0)
+            if kept.size == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pd.array([], dtype="int64"), "simhash_hex": []}
+                )
+                continue
+            n = kept.size
+            all_terms = np.array(
+                [t for i in kept for t in tok_lists[i]], dtype=object
+            )
+            row_idx = np.repeat(np.arange(n), lens[kept])
+            vocab, term_idx = np.unique(all_terms, return_inverse=True)
+            for t in vocab:
+                if t not in hcache:
+                    hcache[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            hs = np.fromiter(
+                (hcache[t] for t in vocab), dtype=np.uint64, count=vocab.size
+            )
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.float64
+            )  # (V, 64)
+            # vote_j = sum tf*(2*bit-1) = 2*S_j - total_tokens, with
+            # S_j = per-doc sum of bit_j over token OCCURRENCES (per-token
+            # summing IS the tf weighting)
+            total = lens[kept].astype(np.float64)
+            votes = np.empty((n, 64), dtype=np.float64)
+            for j in range(64):
+                s_j = np.bincount(
+                    row_idx, weights=bits[:, j][term_idx], minlength=n
+                )
+                votes[:, j] = 2.0 * s_j - total
+            vals = (
+                (votes >= 0).astype(np.uint64) << shifts[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64)[kept],
+                    "simhash_hex": [format(int(v), "016x") for v in vals],
+                }
+            )
 
     return docs.select(id_col, "text").mapInPandas(fn, schema=schema)
 
