@@ -452,12 +452,7 @@ def q_wildcard_count(spark, sf_dir):
     """WildcardQuery val*9: expand against the dictionary, count distinct
     matching docs (MultiTermQuery rewrite to a doc-set union)."""
     s = searcher_for(spark, sf_dir)
-    terms = [
-        r["term"]
-        for r in s.terms_table.where(
-            F.col("term").like(f"{WILDCARD_PREFIX}%{WILDCARD_SUFFIX}")
-        ).select("term").collect()
-    ]
+    terms = s.expand_terms(like=f"{WILDCARD_PREFIX}%{WILDCARD_SUFFIX}")
     if not terms:
         return spark.createDataFrame([(0,)], "cnt long")
     cnt = s.postings_tf(terms).select("docID").distinct().count()

@@ -50,17 +50,24 @@ def _deletes_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "deletes")
 
 
-def load_deleted_ids(spark: SparkSession, index_dir: str) -> np.ndarray:
+def tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Lazy distinct tombstone docIDs, or None when nothing is deleted."""
     d = _deletes_dir(index_dir)
     if not os.path.isdir(d) or not os.listdir(d):
-        return np.empty(0, dtype=np.int64)
-    rows = (
+        return None
+    return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(d)
         .select("docID")
         .distinct()
-        .collect()
     )
+
+
+def load_deleted_ids(spark: SparkSession, index_dir: str) -> np.ndarray:
+    tdf = tombstones_df(spark, index_dir)
+    if tdf is None:
+        return np.empty(0, dtype=np.int64)
+    rows = tdf.collect()
     return np.array(sorted(r["docID"] for r in rows), dtype=np.int64)
 
 
@@ -87,6 +94,34 @@ def _append_tombstones(spark: SparkSession, index_dir: str, hit: DataFrame) -> i
         out = os.path.join(_deletes_dir(index_dir), f"batch_{uuid.uuid4().hex[:12]}")
         hit.coalesce(1).write.mode("overwrite").parquet(out)
     return int(n)
+
+
+def stage_tombstones(
+    spark: SparkSession, index_dir: str, hit: DataFrame
+) -> tuple[str | None, int]:
+    """Materialize a tombstone batch OUTSIDE deletes/ (invisible to
+    readers). Returns (staging_path, count); publish later with
+    publish_tombstones. Lets updateDocument make the replacement segment
+    durable BEFORE the deletes become visible — a crash in between
+    leaves both versions visible (benign) instead of silently dropping
+    the documents."""
+    batch = f"batch_{uuid.uuid4().hex[:12]}"
+    staging = os.path.join(index_dir, "deletes_staging", batch)
+    hit.coalesce(1).write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return None, 0
+    return staging, int(n)
+
+
+def publish_tombstones(index_dir: str, staging_path: str) -> None:
+    """Atomically move a staged tombstone batch into deletes/."""
+    d = _deletes_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    os.replace(staging_path, os.path.join(d, os.path.basename(staging_path)))
 
 
 def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:

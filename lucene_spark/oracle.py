@@ -68,7 +68,13 @@ class OracleIndex:
         """Top-k [(docID, float32 score)] for an OR/AND bag of terms.
 
         Per-term float32 scores accumulate in float64 then cast to float32
-        (DisjunctionSumScorer.java:40-46 / ConjunctionScorer.java:57-63)."""
+        (DisjunctionSumScorer.java:40-46 / ConjunctionScorer.java:57-63).
+
+        CONTRACT: repeated query terms are deduplicated and score ONCE —
+        same as the engine (which weights by the unique-term dict). This
+        diverges from Lucene's BooleanQuery, which keeps duplicate SHOULD
+        clauses; asserted in tests/test_e2e_spark.py."""
+        terms = list(dict.fromkeys(terms))
         acc = np.zeros(self.doc_count, dtype=np.float64)
         nmatch = np.zeros(self.doc_count, dtype=np.int64)
         present = [t for t in terms if t in self.postings]

@@ -80,14 +80,48 @@ class IndexSearcher:
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self.reload_deletes()
 
-    def reload_deletes(self) -> int:
-        """Load the tombstone set (PendingDeletes bitset analog); every
-        decode kernel drops these docIDs. Scores of surviving docs keep
-        the stale pre-merge statistics, like Lucene until a merge."""
-        from lucene_spark.index.deletes import load_deleted_ids
+    # above this many tombstones the set is no longer shipped to tasks at
+    # all: decode kernels skip filtering and an anti-join strips deleted
+    # docs instead (10^9 deletes would be a multi-GB broadcast)
+    ANTIJOIN_DELETES_THRESHOLD = 5_000_000
 
-        self._deleted = load_deleted_ids(self.spark, self.index_dir)
-        return int(self._deleted.size)
+    def reload_deletes(self) -> int:
+        """Load the tombstone set (PendingDeletes bitset analog). Small
+        sets are broadcast ONCE (torrent-distributed; the previous design
+        captured the array in every kernel closure, re-serializing it per
+        task) and dropped inside the decode kernels; sets above
+        ANTIJOIN_DELETES_THRESHOLD stay distributed and are removed by a
+        left_anti join on the decoded rows. Scores of surviving docs keep
+        the stale pre-merge statistics, like Lucene until a merge."""
+        from lucene_spark.index.deletes import tombstones_df
+
+        tdf = tombstones_df(self.spark, self.index_dir)
+        n = 0 if tdf is None else tdf.count()
+        self._n_deleted = int(n)
+        if n and n <= self.ANTIJOIN_DELETES_THRESHOLD:
+            arr = np.array(
+                sorted(r["docID"] for r in tdf.collect()), dtype=np.int64
+            )
+            self._tombstones = None
+        else:
+            arr = np.empty(0, dtype=np.int64)
+            self._tombstones = tdf if n else None
+        old = getattr(self, "_deleted_bc", None)
+        if old is not None:
+            old.unpersist()
+        self._deleted = arr  # driver-side view (size checks, tests)
+        self._deleted_bc = self.spark.sparkContext.broadcast(arr)
+        return self._n_deleted
+
+    def _strip_deleted(self, df: DataFrame, col: str = "docID") -> DataFrame:
+        """Anti-join fallback for tombstone sets too large to broadcast
+        (kernels received an empty array in that mode)."""
+        if self._tombstones is None:
+            return df
+        tomb = self._tombstones
+        if col != "docID":
+            tomb = tomb.select(F.col("docID").alias(col))
+        return df.join(tomb, col, "left_anti")
 
     # -- planning ---------------------------------------------------------
 
@@ -106,6 +140,50 @@ class IndexSearcher:
             for r in rows
         }
 
+    MAX_EXPANSIONS = 1024  # IndexSearcher.maxClauseCount analog
+
+    def expand_terms(
+        self,
+        *,
+        prefix: str | None = None,
+        like: str | None = None,
+        regex: str | None = None,
+        max_expansions: int | None = None,
+        top_terms: bool = False,
+    ) -> list[str]:
+        """Bounded multi-term dictionary expansion (MultiTermQuery rewrite
+        analog). A pathological pattern (`e*`) must never collect an
+        unbounded term list to the driver:
+
+        - top_terms=True keeps the max_expansions highest-df terms
+          (TopTermsRewrite, lucene/core/src/java/org/apache/lucene/search/TopTermsRewrite.java)
+        - top_terms=False raises like BooleanQuery.TooManyClauses when the
+          expansion exceeds the cap (ScoringRewrite over maxClauseCount)
+        """
+        cap = max_expansions or self.MAX_EXPANSIONS
+        t = self._terms
+        if prefix is not None:
+            t = t.filter(F.col("term").startswith(prefix))
+        if like is not None:
+            t = t.filter(F.col("term").like(like))
+        if regex is not None:
+            t = t.filter(F.col("term").rlike(regex))
+        if top_terms:
+            rows = (
+                t.orderBy(F.desc("df"), F.asc("term"))
+                .select("term")
+                .limit(cap)
+                .collect()
+            )
+            return [r["term"] for r in rows]
+        rows = t.select("term").limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"term expansion exceeds {cap} terms (TooManyClauses); "
+                "narrow the pattern or pass top_terms=True"
+            )
+        return [r["term"] for r in rows]
+
     def _weights(self, stats: dict[str, TermStats]) -> dict[str, float]:
         return {
             t: float(self.scorer.term_weight(s.df)) for t, s in stats.items()
@@ -115,9 +193,10 @@ class IndexSearcher:
 
     def _decode_score_udf(self, weights: dict[str, float]):
         cache = self.scorer.cache
-        dele = self._deleted
+        dele_bc = self._deleted_bc
 
         def fn(batches):
+            dele = dele_bc.value
             for pdf in batches:
                 outs = []
                 for term, tfs_vb, norms_b, docs_vb in zip(
@@ -162,8 +241,8 @@ class IndexSearcher:
         blocks = self._postings.filter(F.col("term").isin(list(weights))).select(
             "term", "docs_vb", "tfs_vb", "norms_b"
         )
-        return blocks.mapInPandas(
-            self._decode_score_udf(weights), schema=SCORE_SCHEMA
+        return self._strip_deleted(
+            blocks.mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
         )
 
     def postings_tf(self, terms: list[str] | None = None) -> DataFrame:
@@ -178,9 +257,10 @@ class IndexSearcher:
             ]
         )
 
-        dele = self._deleted
+        dele_bc = self._deleted_bc
 
         def fn(batches):
+            dele = dele_bc.value
             for pdf in batches:
                 outs = []
                 for term, docs_vb, tfs_vb in zip(
@@ -201,8 +281,8 @@ class IndexSearcher:
         blocks = self._postings
         if terms is not None:
             blocks = blocks.filter(F.col("term").isin(list(set(terms))))
-        return blocks.select("term", "docs_vb", "tfs_vb").mapInPandas(
-            fn, schema=schema
+        return self._strip_deleted(
+            blocks.select("term", "docs_vb", "tfs_vb").mapInPandas(fn, schema=schema)
         )
 
     @property
@@ -228,6 +308,10 @@ class IndexSearcher:
         mode='and' -> BooleanQuery of MUST clauses (leapfrog == count filter)
         prune=True -> block-max WAND pruning (score-safe; see
                       search_pruned for the bound derivation)
+
+        CONTRACT: repeated query terms score ONCE (deduplicated) — the
+        oracle dedups identically; Lucene's BooleanQuery would keep
+        duplicate SHOULD clauses and double the contribution.
         """
         terms = self._parse(query)
         stats = self.term_stats(terms)
@@ -357,9 +441,10 @@ class IndexSearcher:
             ]
         )
 
-        dele = self._deleted
+        dele_bc = self._deleted_bc
 
         def decode_rows(batches):
+            dele = dele_bc.value
             for pdf in batches:
                 outs = []
                 for docs_vb, tfs_vb, norms_b in zip(
@@ -380,32 +465,42 @@ class IndexSearcher:
                     {"docID": pd.array([], dtype="int64"), "tf": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32")}
                 )
 
-        rows = blocks.mapInPandas(decode_rows, schema=schema)
+        rows = self._strip_deleted(blocks.mapInPandas(decode_rows, schema=schema))
+        # df of the pseudo-term (|union of doc sets|) gates the weight, so
+        # two actions touch `merged` — persist the NARROW (docID, tf,
+        # norm) aggregate so the block decode + groupBy run exactly once
+        # (persisting narrow aggregates is fine; the measured persist trap
+        # is wide columnar rows), and finalize the k-row result eagerly so
+        # the cache can be released before returning.
         merged = rows.groupBy("docID").agg(
             F.sum("tf").alias("tf"), F.min("norm").alias("norm")
-        )
-        df_union = merged.count()
-        w = float(np.float32(idf(df_union, self.doc_count)))
+        ).persist()
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
         )
+        try:
+            df_union = merged.count()
+            w = float(np.float32(idf(df_union, self.doc_count)))
 
-        def score_rows(batches):
-            wv = np.float32(w)
-            for pdf in batches:
-                tfs = pdf["tf"].to_numpy(np.float32)
-                inv = cache[pdf["norm"].to_numpy(np.int64)]
-                sc = (wv - wv / (np.float32(1.0) + tfs * inv)).astype(np.float32)
-                yield pd.DataFrame({"docID": pdf["docID"], "score": sc})
+            def score_rows(batches):
+                wv = np.float32(w)
+                for pdf in batches:
+                    tfs = pdf["tf"].to_numpy(np.float32)
+                    inv = cache[pdf["norm"].to_numpy(np.int64)]
+                    sc = (wv - wv / (np.float32(1.0) + tfs * inv)).astype(np.float32)
+                    yield pd.DataFrame({"docID": pdf["docID"], "score": sc})
 
-        scored = merged.mapInPandas(score_rows, schema=out_schema)
-        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+            scored = merged.mapInPandas(score_rows, schema=out_schema)
+            top = scored.orderBy(F.desc("score"), F.asc("docID")).limit(k).collect()
+            return self.spark.createDataFrame(top, out_schema)
+        finally:
+            merged.unpersist()
 
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector analog; single terms shortcut via df."""
         terms = self._parse(query)
         stats = self.term_stats(terms)
-        if len(terms) == 1 and not self._deleted.size:
+        if len(terms) == 1 and not self._n_deleted:
             return stats[terms[0]].df if terms[0] in stats else 0
         present = [t for t in terms if t in stats]
         if not present:
@@ -517,7 +612,7 @@ class IndexSearcher:
         if (
             k <= 10
             and (mode == "or" or n_terms == 1)
-            and not self._deleted.size
+            and not self._n_deleted
         ):
             theta = float("-inf")
             for t in set(terms):
@@ -568,9 +663,11 @@ class IndexSearcher:
         cand = blocks.join(
             F.broadcast(cand_keys), ["term", "salt", "block_seq"]
         )
-        scored1 = cand.select(
-            "term", "docs_vb", "tfs_vb", "norms_b"
-        ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
+        scored1 = self._strip_deleted(
+            cand.select("term", "docs_vb", "tfs_vb", "norms_b").mapInPandas(
+                self._decode_score_udf(weights), schema=SCORE_SCHEMA
+            )
+        )
         theta_df = (
             self._topk(scored1, k, mode, n_terms)
             .agg(F.min("score").alias("m"), F.count("*").alias("c"))
@@ -593,9 +690,11 @@ class IndexSearcher:
             .crossJoin(F.broadcast(theta_df))
             .filter((F.col("ub") + slack[F.col("term")]) >= thr)
         )
-        scored = surviving.select(
-            "term", "docs_vb", "tfs_vb", "norms_b"
-        ).mapInPandas(self._decode_score_udf(weights), schema=SCORE_SCHEMA)
+        scored = self._strip_deleted(
+            surviving.select("term", "docs_vb", "tfs_vb", "norms_b").mapInPandas(
+                self._decode_score_udf(weights), schema=SCORE_SCHEMA
+            )
+        )
         return self._topk(scored, k, mode, n_terms)
 
     # -- phrase queries ---------------------------------------------------
@@ -623,9 +722,10 @@ class IndexSearcher:
             ]
         )
 
-        dele = self._deleted
+        dele_bc = self._deleted_bc
 
         def decode_positions(batches):
+            dele = dele_bc.value
             for pdf in batches:
                 frames = []
                 for docs_vb, tfs_vb, norms_b, pos_vb in zip(
@@ -668,7 +768,7 @@ class IndexSearcher:
                 F.col("positions").alias(f"pos{i}"),
             )
             joined = side if joined is None else joined.join(side, "docID")
-        return joined
+        return self._strip_deleted(joined)
 
     def phrase_scores(self, terms: list[str]) -> DataFrame | None:
         """Full (docID, score float32) set for an exact phrase, or None if

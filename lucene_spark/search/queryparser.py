@@ -156,13 +156,10 @@ def _leaf_scores(searcher, node: Node) -> DataFrame | None:
             .select("docID", F.col("score").cast(DoubleType()).alias("score"))
         )
     if node.kind == "wild":
-        prefix = node.terms[0]
-        expanded = [
-            r["term"]
-            for r in searcher.terms_table.filter(
-                F.col("term").startswith(prefix)
-            ).select("term").collect()
-        ]
+        # bounded expansion: keep the highest-df terms under the clause
+        # cap instead of collecting an unbounded dictionary slice
+        # (TopTermsRewrite behavior for scoring multi-term queries)
+        expanded = searcher.expand_terms(prefix=node.terms[0], top_terms=True)
         if not expanded:
             return None
         stats = searcher.term_stats(expanded)

@@ -216,14 +216,25 @@ def update_documents(
     segment runs still contain the old docs.
 
     Requires the incremental (runs/seg=*) layout produced by
-    start_indexing_stream / write_segment."""
-    from lucene_spark.index.deletes import delete_by_keys
+    start_indexing_stream / write_segment.
+
+    Crash-safety ordering: the tombstone docIDs are COMPUTED before the
+    replacement segment exists (so new docs can never be tombstoned) but
+    only PUBLISHED after the segment and state.json are durable — a
+    crash in between leaves both versions visible (benign duplicate)
+    rather than permanently deleting the documents without their
+    replacements."""
+    from lucene_spark.index.deletes import publish_tombstones, stage_tombstones
 
     keys = [
         (r["repo"], r["path"])
         for r in docs_df.select("repo", "path").distinct().collect()
     ]
-    n_deleted = delete_by_keys(spark, out_dir, keys)
+    docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+    kdf = spark.createDataFrame(keys, "repo string, path string")
+    hit = docmap.join(F.broadcast(kdf), ["repo", "path"]).select("docID")
+    staging, n_deleted = stage_tombstones(spark, out_dir, hit)
+
     state = _load_state(out_dir)
     seg_name = f"u{len(state['segments']):06d}"
     n = write_segment(
@@ -235,6 +246,8 @@ def update_documents(
         {"seg": seg_name, "num_docs": n, "updated": True, "ts": time.time()}
     )
     _atomic_json(_state_path(out_dir), state)
+    if staging is not None:
+        publish_tombstones(out_dir, staging)
     out = {"deleted": int(n_deleted), "added": int(n)}
     if do_refresh:
         out["manifest"] = refresh(

@@ -79,6 +79,32 @@ def test_delete_filters_all_paths_and_expunge(spark, idx):
         assert_rank_identical(exp, got, msg=f"[post-expunge {q} {mode}]")
 
 
+def test_antijoin_tombstone_mode(spark, idx):
+    """Above ANTIJOIN_DELETES_THRESHOLD the tombstone set must not ship
+    to tasks at all: kernels see an empty array and a left_anti join
+    strips deleted docs — results identical to broadcast mode."""
+    s = IndexSearcher(spark, idx)
+    before = [(r["docID"], r["score"]) for r in s.search("license apache", k=20).collect()]
+    victim_ids = {d for d, _ in before[:5]}
+    dm = s.docmap.filter(F.col("docID").isin([int(x) for x in victim_ids]))
+    delete_by_keys(spark, idx, [(r["repo"], r["path"]) for r in dm.collect()])
+
+    s.ANTIJOIN_DELETES_THRESHOLD = 0  # force anti-join mode
+    assert s.reload_deletes() == 5
+    assert s._tombstones is not None and s._deleted.size == 0
+
+    after = [(r["docID"], r["score"]) for r in s.search("license apache", k=20).collect()]
+    assert not ({d for d, _ in after} & victim_ids)
+    surviving_before = [(d, sc) for d, sc in before if d not in victim_ids]
+    assert after[: len(surviving_before)] == surviving_before[: len(after)]
+    ph = {r["docID"] for r in s.search_phrase("apache software foundation", k=50).collect()}
+    assert not (ph & victim_ids)
+    syn = {r["docID"] for r in s.search_synonym(["license", "apache"], k=50).collect()}
+    assert not (syn & victim_ids)
+    pr = [(r["docID"], r["score"]) for r in s.search("license apache", k=10, prune=True).collect()]
+    assert pr == after[:10]
+
+
 def test_update_documents_incremental(spark, tmp_path):
     """updateDocument: same-key re-add replaces the old version in query
     results (old docID tombstoned, new docID appended)."""

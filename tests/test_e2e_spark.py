@@ -124,6 +124,30 @@ def test_count(built_index):
     assert searcher.count("zzznotaterm") == 0
 
 
+def test_duplicate_query_terms_dedup_contract(built_index):
+    """Repeated query terms score once in BOTH engine and oracle (stated
+    contract; Lucene's BooleanQuery would keep duplicate clauses)."""
+    _, oracle, searcher = built_index
+    got_dup = [(r["docID"], r["score"]) for r in searcher.search(["license", "license"], k=10).collect()]
+    got_one = [(r["docID"], r["score"]) for r in searcher.search(["license"], k=10).collect()]
+    assert got_dup == got_one
+    exp = oracle.search(["license", "license"], k=10)
+    assert_rank_identical(exp, got_dup, msg="[dup terms]")
+
+
+def test_expansion_cap(built_index):
+    """A pathological multi-term pattern must never collect an unbounded
+    dictionary slice: error under the clause cap (TooManyClauses analog)
+    or bounded top-df rewrite (TopTermsRewrite analog)."""
+    _, _, searcher = built_index
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        searcher.expand_terms(prefix="", max_expansions=10)
+    top = searcher.expand_terms(prefix="", max_expansions=10, top_terms=True)
+    assert len(top) == 10
+    stats = searcher.term_stats(top)
+    assert min(s.df for s in stats.values()) >= 1
+
+
 def test_content_sha256_invariant(built_index, spark):
     """Per-row invariant vs the source table (BASELINE.json input_hint)."""
     import hashlib
