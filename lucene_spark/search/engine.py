@@ -852,10 +852,23 @@ class IndexSearcher:
         """Sloppy PhraseQuery: terms may match within an edit window of
         `slop` total displacement; each minimal match window contributes
         sloppyWeight = 1/(1+matchLength) to a float freq scored by BM25
-        (search/SloppyPhraseMatcher.java:693 semantics via the classic
+        (search/SloppyPhraseMatcher.java semantics via the classic
         greedy minimal-window matcher; slop=0 reduces to the exact
-        matcher — equivalence is tested). Candidate docs come from the
-        same n-way position join as the exact phrase."""
+        matcher — equivalence is tested). Repeating phrase terms get one
+        offset-adjusted pointer list PER PHRASE POSITION (a window may
+        reuse a source token for two slots — simpler than Lucene's
+        repeat-group machinery; the numpy oracle implements the identical
+        spec and rank-identity is asserted). Candidate docs come from the
+        same n-way position join as the exact phrase.
+
+        The matcher is fully vectorized across the Arrow batch: in the
+        greedy sweep every element becomes the window minimum exactly
+        once (elements are consumed in global sorted order, ties by list
+        index), so each element's window is computable independently —
+        head_j(e from list i) = first element of list j > e for j < i,
+        >= e for j > i — one batched np.searchsorted per list pair over
+        doc-keyed flattened positions; windows wider than slop (or with
+        a head missing / in another doc) contribute 0 either way."""
         terms = self._parse(phrase)
         if not terms:
             return self._empty_topk()
@@ -874,41 +887,62 @@ class IndexSearcher:
         cache = self.scorer.cache
         term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
         uniq_terms = list(term_order)
-        offsets_by_tidx: dict[int, list[int]] = {}
-        for i, t in enumerate(terms):
-            offsets_by_tidx.setdefault(term_order[t], []).append(i)
-        if any(len(v) > 1 for v in offsets_by_tidx.values()):
-            raise NotImplementedError("sloppy phrase with repeating terms")
+        tidx_of_pos = [term_order[t] for t in terms]  # list index -> pos col
         joined = self._phrase_join(uniq_terms)
 
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
         )
-        n_uniq = len(uniq_terms)
-        offs = [offsets_by_tidx[i][0] for i in range(n_uniq)]
+        n_pos = len(terms)
         slop_i = int(slop)
+        SHIFT = np.int64(1) << np.int64(22)  # > max position + max offset
+        BASE = np.int64(n_pos)  # keeps offset-adjusted values non-negative
 
         def match_batch(batches):
             for pdf in batches:
-                ids, scores = [], []
-                for row in pdf.itertuples():
-                    plists = [
-                        np.asarray(getattr(row, f"pos{i}"), dtype=np.int64) - offs[i]
-                        for i in range(n_uniq)
-                    ]
-                    freq = _sloppy_freq(plists, slop_i)
-                    if freq <= 0.0:
-                        continue
-                    inv = cache[int(row.norm)]
-                    wv = np.float32(weight)
-                    sc = np.float32(
-                        wv - wv / (np.float32(1.0) + np.float32(freq) * inv)
+                n_docs = len(pdf)
+                if n_docs == 0:
+                    yield pd.DataFrame(
+                        {"docID": pd.array([], dtype="int64"),
+                         "score": pd.array([], dtype="float32")}
                     )
-                    ids.append(int(row.docID))
-                    scores.append(sc)
+                    continue
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys, starts = [], []
+                for li in range(n_pos):
+                    arrs = [
+                        np.asarray(a, dtype=np.int64)
+                        for a in pdf[f"pos{tidx_of_pos[li]}"]
+                    ]
+                    lens = np.fromiter(
+                        (a.size for a in arrs), dtype=np.int64, count=n_docs
+                    )
+                    flat = np.concatenate(arrs) + np.int64(BASE - li)
+                    keys.append(np.repeat(doc_key, lens) + flat)
+                    starts.append(np.concatenate(([0], np.cumsum(lens)[:-1])))
+                freq = np.zeros(n_docs, dtype=np.float64)
+                big = np.int64(1) << np.int64(60)
+                for i in range(n_pos):
+                    e = keys[i]
+                    wmax = e.copy()
+                    for j in range(n_pos):
+                        if j == i:
+                            continue
+                        side = "right" if j < i else "left"
+                        idx = np.searchsorted(keys[j], e, side=side)
+                        ok = idx < keys[j].size
+                        head = np.where(ok, keys[j][np.minimum(idx, keys[j].size - 1)], big)
+                        np.maximum(wmax, head, out=wmax)
+                    L = wmax - e
+                    contrib = np.where(L <= slop_i, 1.0 / (1.0 + L.astype(np.float64)), 0.0)
+                    freq += np.add.reduceat(contrib, starts[i])
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
                 yield pd.DataFrame(
-                    {"docID": pd.array(ids, dtype="int64"),
-                     "score": pd.array(scores, dtype="float32")}
+                    {"docID": pdf["docID"].to_numpy(np.int64)[hit], "score": scores}
                 )
 
         matched = joined.mapInPandas(match_batch, schema=out_schema)

@@ -259,6 +259,8 @@ SLOPPY_CASES = [
     ("apache foundation", 2),   # one-apart in the license header
     ("software license", 4),
     ("def return", 1),
+    ("license license", 3),     # repeating term
+    ("the license the", 4),     # repeating term, 3 slots
 ]
 
 
@@ -284,6 +286,43 @@ def test_sloppy_zero_equals_exact(built_index):
         for r in searcher.search_sloppy_phrase("apache software foundation", slop=0, k=10).collect()
     ]
     assert exact == sloppy0
+
+
+def test_sloppy_repeating_terms_crafted(spark, tmp_path):
+    """Repeated phrase terms get one pointer list per phrase position
+    (previously NotImplementedError); engine == oracle on a corpus built
+    to exercise real repeat windows."""
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.search.engine import IndexSearcher
+
+    contents = [
+        "x y x z w",
+        "x q q x",
+        "y x x y x",
+        "nothing relevant here",
+        "x y z x y x tail",
+        "x x x",
+    ]
+    rows = [
+        ("r", f"p{i:03d}", "c", "py", c) for i, c in enumerate(contents)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "rep_idx")
+    build_index(spark, docs, out, partitions=2)
+    s = IndexSearcher(spark, out)
+    oracle = OracleIndex(contents)
+    for phrase, slop in [("x y x", 0), ("x y x", 2), ("x x", 1), ("x y x", 4)]:
+        got = [
+            (r["docID"], r["score"])
+            for r in s.search_sloppy_phrase(phrase, slop=slop, k=10).collect()
+        ]
+        exp = oracle.search_sloppy(phrase.split(), slop=slop, k=10)
+        assert_rank_identical(exp, got, msg=f"[repeat sloppy {phrase}~{slop}]")
+        if slop >= 2 and phrase == "x y x":
+            assert got, "expected real repeat-window matches"
 
 
 def test_sloppy_monotone_in_slop(built_index):
