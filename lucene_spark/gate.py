@@ -709,6 +709,98 @@ def q_phrase_top10(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# B14: MultiPhraseQuery + interval queries over index-decoded positions
+# --------------------------------------------------------------------------
+
+MP_SLOT0 = ["table", "row"]
+MP_SLOT1 = ["value", "key"]
+INTERVAL_T1, INTERVAL_T2 = "key", "table"
+INTERVAL_GAPS = 5
+
+
+def q_multiphrase_top10(spark, sf_dir):
+    """MultiPhraseQuery '(table|row) (value|key)' — per-slot union of
+    alternative terms, exact adjacency, double-precision BM25 with the
+    summed idf of every alternative
+    (lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java).
+    Positions come from the real index decode; the float32 engine path
+    (search_multi_phrase) is pytest-asserted vs the numpy oracle."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    all_terms = MP_SLOT0 + MP_SLOT1
+    stats = s.term_stats(all_terms)
+    w = 0.0
+    for t in all_terms:  # fixed order == the SQL's explicit ln(..) sum
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions(all_terms)
+    p0 = pos.where(F.col("term").isin(MP_SLOT0)).select(
+        "docID", (F.col("pos") + 1).alias("nxt")
+    )
+    p1 = pos.where(F.col("term").isin(MP_SLOT1)).select(
+        "docID", F.col("pos").alias("nxt")
+    )
+    freq = p0.join(p1, ["docID", "nxt"]).groupBy("docID").agg(
+        F.count("*").alias("freq")
+    )
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_interval_near_top10(spark, sf_dir):
+    """Ordered interval query key...table with total gaps <= 5: top-10
+    docs by count of MINIMAL intervals (Intervals.maxgaps(ordered),
+    lucene/queries/src/java/org/apache/lucene/queries/intervals/).
+    Chain each start to the first later occurrence of the next term; the
+    end is monotone in the start, so minimal = last start per distinct
+    end. Integer counts — exact across engines."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([INTERVAL_T1, INTERVAL_T2])
+    c1 = pos.where(F.col("term") == INTERVAL_T1).select(
+        "docID", F.col("pos").alias("p1")
+    )
+    t2 = pos.where(F.col("term") == INTERVAL_T2).select(
+        "docID", F.col("pos").alias("tp")
+    )
+    c2 = (
+        c1.join(t2, "docID")
+        .where(F.col("tp") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("tp").alias("p2"))
+    )
+    mini = c2.groupBy("docID", "p2").agg(F.max("p1").alias("mp1"))
+    res = (
+        mini.where(F.col("p2") - F.col("mp1") - 1 <= INTERVAL_GAPS)
+        .groupBy("docID")
+        .agg(F.count("*").cast("long").alias("n_intervals"))
+    )
+    dm = _docid_map(s)
+    return (
+        res.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_intervals")
+    )
+
+
 QUERIES = {
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -728,6 +820,8 @@ QUERIES = {
     "phrase_top10": q_phrase_top10,
     "parsed_query_top10": q_parsed_query_top10,
     "sloppy_phrase_top10": q_sloppy_phrase_top10,
+    "multiphrase_top10": q_multiphrase_top10,
+    "interval_near_top10": q_interval_near_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
     "bm25_must_not": q_bm25_must_not,
@@ -976,6 +1070,46 @@ SELECT doc_id, round(ssum, {ROUND}) AS score FROM rk WHERE rk > 10 AND rk <= 20
 """
 
     # --- training-data pipeline -------------------------------------------
+    tokp = (
+        "tokp AS (SELECT doc_id, a[i] AS term, i - 1 AS pos "
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS a FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(a))) AS i))"
+    )
+    mp_idf = " + ".join(
+        f"ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - "
+        f"(SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5) / "
+        f"((SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5))"
+        for t in MP_SLOT0 + MP_SLOT1
+    )
+    s0 = ", ".join(f"'{t}'" for t in MP_SLOT0)
+    s1 = ", ".join(f"'{t}'" for t in MP_SLOT1)
+    sqls["multiphrase_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+m AS (SELECT p0.doc_id, count(*)::DOUBLE AS freq
+      FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      WHERE p0.term IN ({s0}) AND p1.term IN ({s1})
+      GROUP BY p0.doc_id)
+SELECT m.doc_id,
+       round(({mp_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
+ORDER BY ({mp_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
+LIMIT 10
+"""
+    sqls["interval_near_top10"] = f"""
+WITH {tokp},
+c1 AS (SELECT doc_id, pos AS p1 FROM tokp WHERE term = '{INTERVAL_T1}'),
+c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
+       FROM c1 JOIN tokp t ON t.doc_id = c1.doc_id AND t.term = '{INTERVAL_T2}' AND t.pos > c1.p1
+       GROUP BY c1.doc_id, c1.p1),
+mini AS (SELECT doc_id, p2, max(p1) AS mp1 FROM c2 GROUP BY doc_id, p2)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mini WHERE p2 - mp1 - 1 <= {INTERVAL_GAPS}
+GROUP BY doc_id
+ORDER BY count(*) DESC, doc_id ASC
+LIMIT 10
+"""
     sqls["ngram_jaccard"] = _jaccard_pairs_sql(3, 0.8)
     sqls["minhash_near_dup"] = _jaccard_pairs_sql(3, 0.8)
     sqls["simhash"] = _simhash_sql()

@@ -227,6 +227,116 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def multi_phrase_freqs(self, alts: list[list[str]]) -> dict[int, int]:
+        """row -> exact alignments where slot i matches ANY of alts[i]
+        (MultiPhraseQuery); per-slot positions are the union of the
+        alternatives' position lists."""
+        alts_present = [[t for t in slot if t in self.postings] for slot in alts]
+        if any(not slot for slot in alts_present):
+            return {}
+        slot_rows = [
+            set().union(*(set(self.postings[t][0].tolist()) for t in slot))
+            for slot in alts_present
+        ]
+        cand = set.intersection(*slot_rows)
+        out = {}
+        for r in cand:
+            unions = []
+            okdoc = True
+            for slot in alts_present:
+                ps = [self.postings[t][2][r] for t in slot if r in self.postings[t][2]]
+                if not ps:
+                    okdoc = False
+                    break
+                unions.append(np.sort(np.concatenate(ps)))
+            if not okdoc:
+                continue
+            base = unions[0]
+            ok = np.ones(base.shape, dtype=bool)
+            for i in range(1, len(unions)):
+                ok &= np.isin(base + i, unions[i])
+            freq = int(ok.sum())
+            if freq:
+                out[r] = freq
+        return out
+
+    def search_multi_phrase(self, alts: list[list[str]], k: int = 10):
+        freqs = self.multi_phrase_freqs(alts)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for slot in alts:
+            for t in slot:
+                if t in self.postings:
+                    w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+    def interval_counts(
+        self, terms: list[str], max_gaps: int = 0, ordered: bool = True
+    ) -> dict[int, int]:
+        """row -> number of MINIMAL intervals spanning all terms with
+        total gaps <= max_gaps (Intervals.maxgaps). Reference
+        implementation with explicit per-doc loops."""
+        if any(t not in self.postings for t in terms):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        cand = set.intersection(*rowsets)
+        out: dict[int, int] = {}
+        n = len(terms)
+        for r in cand:
+            lists = [self.postings[t][2][r] for t in terms]
+            intervals = []
+            if ordered:
+                for p1 in lists[0]:
+                    cur = p1
+                    okc = True
+                    for li in range(1, n):
+                        nxt = lists[li][lists[li] > cur]
+                        if nxt.size == 0:
+                            okc = False
+                            break
+                        cur = int(nxt[0])
+                    if okc:
+                        intervals.append((int(p1), cur))
+                # minimal: last start per distinct end
+                by_end: dict[int, int] = {}
+                for s, e in intervals:
+                    by_end[e] = max(by_end.get(e, s), s)
+                cnt = sum(
+                    1
+                    for e, s in by_end.items()
+                    if (e - s) - (n - 1) <= max_gaps
+                )
+            else:
+                # greedy sweep windows; minimal = last window per end
+                plists = [pl.tolist() for pl in lists]
+                ptr = [0] * n
+                windows = []
+                while True:
+                    vals = [plists[i][ptr[i]] for i in range(n)]
+                    windows.append((min(vals), max(vals)))
+                    adv = min(range(n), key=lambda i: vals[i])
+                    ptr[adv] += 1
+                    if ptr[adv] >= len(plists[adv]):
+                        break
+                by_end2: dict[int, int] = {}
+                for s, e in windows:
+                    by_end2[e] = max(by_end2.get(e, s), s)
+                cnt = sum(
+                    1
+                    for e, s in by_end2.items()
+                    if (e - s) - (n - 1) <= max_gaps
+                )
+            if cnt:
+                out[r] = cnt
+        return out
+
     def phrase_freqs(self, terms: list[str]) -> dict[int, int]:
         """row -> exact-phrase occurrence count (ExactPhraseMatcher.java:37-167)."""
         if any(t not in self.postings for t in terms):

@@ -285,6 +285,64 @@ class IndexSearcher:
             blocks.select("term", "docs_vb", "tfs_vb").mapInPandas(fn, schema=schema)
         )
 
+    def postings_positions(self, terms: list[str]) -> DataFrame:
+        """Decode position data to exploded (docID, term, pos) rows —
+        the uncompressed positional index for the query terms (gate
+        duels, interval/phrase analytics in plain DataFrame ops)."""
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("pos", LongType()),
+            ]
+        )
+        dele_bc = self._deleted_bc
+
+        def fn(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb, pos_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["pos_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        if not keep.all():
+                            ends = np.cumsum(tfs)
+                            parts = [
+                                flat[(ends[i] - tfs[i]):ends[i]]
+                                for i in np.flatnonzero(keep)
+                            ]
+                            flat = (
+                                np.concatenate(parts)
+                                if parts
+                                else np.empty(0, np.int64)
+                            )
+                            doc_ids, tfs = doc_ids[keep], tfs[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": np.repeat(doc_ids, tfs),
+                                "term": term,
+                                "pos": flat,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "term": [],
+                     "pos": pd.array([], dtype="int64")}
+                )
+
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions")
+        blocks = self._postings.filter(
+            F.col("term").isin(list(set(terms)))
+        ).select("term", "docs_vb", "tfs_vb", "pos_vb")
+        return self._strip_deleted(blocks.mapInPandas(fn, schema=schema))
+
     @property
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
@@ -947,6 +1005,306 @@ class IndexSearcher:
 
         matched = joined.mapInPandas(match_batch, schema=out_schema)
         return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    # -- MultiPhraseQuery (B14) -------------------------------------------
+
+    def search_multi_phrase(self, alts: list[list[str]], k: int = 10) -> DataFrame:
+        """MultiPhraseQuery: exact phrase where each slot accepts any of a
+        set of alternative terms
+        (lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java).
+        Per-slot position lists are the union of the alternatives'
+        positions (disjoint — two terms never share a position); freq =
+        #alignments; weight = summed idf over every term of every slot
+        (MultiPhraseQuery$MultiPhraseWeight builds one Similarity scorer
+        from all TermStatistics). float32 scoring like PhraseQuery."""
+        alts = [[t for q in slot for t in self._parse(q)] for slot in alts]
+        if not alts or any(not slot for slot in alts):
+            return self._empty_topk()
+        flat_terms = [t for slot in alts for t in slot]
+        stats = self.term_stats(flat_terms)
+        # a slot with NO existing alternative can never match
+        alts_present = [[t for t in slot if t in stats] for slot in alts]
+        if any(not slot for slot in alts_present):
+            return self._empty_topk()
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions")
+
+        w = np.float32(0.0)
+        for t in flat_terms:
+            if t in stats:
+                w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+
+        # per-slot (docID, norm, positions-union) via decode + flatten
+        pos_schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("norm", IntegerType()),
+                StructField("positions", ArrayType(LongType())),
+            ]
+        )
+        joined = None
+        for i, slot in enumerate(alts_present):
+            rows = self._decode_positions_rows(slot, pos_schema)
+            side = (
+                rows.groupBy("docID")
+                .agg(
+                    F.min("norm").alias("norm"),
+                    F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                        "positions"
+                    ),
+                )
+                .select(
+                    "docID",
+                    *(["norm"] if i == 0 else []),
+                    F.col("positions").alias(f"pos{i}"),
+                )
+            )
+            joined = side if joined is None else joined.join(side, "docID")
+        joined = self._strip_deleted(joined)
+
+        n_slots = len(alts_present)
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+        SHIFT = np.int64(1) << np.int64(21)
+
+        def match_batch(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"docID": pd.array([], dtype="int64"),
+                         "score": pd.array([], dtype="float32")}
+                    )
+                    continue
+                docids = pdf["docID"].to_numpy(np.int64)
+                keysets = []
+                for i in range(n_slots):
+                    arrs = [np.asarray(a, dtype=np.int64) for a in pdf[f"pos{i}"]]
+                    lens = np.fromiter(
+                        (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+                    )
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    keysets.append((np.repeat(docids, lens) * SHIFT + flat, lens))
+                base_keys, base_lens = keysets[0]
+                ok = np.ones(base_keys.shape, dtype=bool)
+                for i in range(1, n_slots):
+                    ok &= np.isin(base_keys + i, keysets[i][0])
+                starts = np.concatenate(([0], np.cumsum(base_lens)[:-1]))
+                freq = (
+                    np.add.reduceat(ok, starts)
+                    if base_keys.size
+                    else np.zeros(0, np.int64)
+                )
+                freq = np.where(base_lens > 0, freq, 0)
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
+                yield pd.DataFrame({"docID": docids[hit], "score": scores})
+
+        matched = joined.mapInPandas(match_batch, schema=out_schema)
+        return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def _decode_positions_rows(self, terms: list[str], pos_schema) -> DataFrame:
+        """(docID, norm, positions) rows for each (term, doc) posting of
+        `terms` — shared decode for multi-phrase / intervals."""
+        dele_bc = self._deleted_bc
+
+        def decode_positions(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                frames = []
+                for docs_vb, tfs_vb, norms_b, pos_vb in zip(
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"], pdf["pos_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        if not keep.all():
+                            ends = np.cumsum(tfs)
+                            parts = [
+                                flat[(ends[i] - tfs[i]):ends[i]]
+                                for i in np.flatnonzero(keep)
+                            ]
+                            flat = (
+                                np.concatenate(parts)
+                                if parts
+                                else np.empty(0, np.int64)
+                            )
+                            doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "docID": doc_ids,
+                                "norm": norms.astype(np.int32),
+                                "positions": np.split(flat, np.cumsum(tfs)[:-1]),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"),
+                     "norm": pd.array([], dtype="int32"), "positions": []}
+                )
+
+        return (
+            self._postings.filter(F.col("term").isin(list(set(terms))))
+            .select("docs_vb", "tfs_vb", "norms_b", "pos_vb")
+            .mapInPandas(decode_positions, schema=pos_schema)
+        )
+
+    # -- interval queries (B14) -------------------------------------------
+
+    def search_intervals(
+        self,
+        terms: list[str],
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int = 10,
+    ) -> DataFrame:
+        """Interval query over stored positions: top-k docs by the number
+        of MINIMAL intervals spanning all terms with total gap count
+        <= max_gaps (Intervals.maxgaps(ordered/unordered) semantics,
+        lucene/queries/src/java/org/apache/lucene/queries/intervals/).
+        Returns (docID long, n_intervals long), ranked n desc, docID asc.
+
+        ordered: chain p_{i+1} = first position of term i+1 AFTER p_i;
+        the chained end is monotone in the start, so an interval is
+        minimal iff it is the LAST start mapping to its end.
+        unordered: the same greedy sweep as the sloppy matcher; window
+        ends are monotone in the evaluation order, so minimal windows
+        are again the last window per distinct end. Both count at the
+        minimal interval's width."""
+        terms = self._parse(terms if isinstance(terms, str) else " ".join(terms))
+        if len(terms) < 2:
+            raise ValueError("interval queries need at least two terms")
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self.spark.createDataFrame(
+                [], "docID long, n_intervals long"
+            )
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions")
+        uniq = list(dict.fromkeys(terms))
+        joined = self._phrase_join(uniq)
+        tidx = {t: i for i, t in enumerate(uniq)}
+        order_idx = [tidx[t] for t in terms]
+        n_terms = len(terms)
+        gaps = int(max_gaps)
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("n_intervals", LongType())]
+        )
+        SHIFT = np.int64(1) << np.int64(22)
+        is_ordered = bool(ordered)
+
+        def match_batch(batches):
+            for pdf in batches:
+                n_docs = len(pdf)
+                if n_docs == 0:
+                    yield pd.DataFrame(
+                        {"docID": pd.array([], dtype="int64"),
+                         "n_intervals": pd.array([], dtype="int64")}
+                    )
+                    continue
+                docids = pdf["docID"].to_numpy(np.int64)
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys, starts_l, lens_l = [], [], []
+                for li in range(n_terms):
+                    arrs = [
+                        np.asarray(a, dtype=np.int64)
+                        for a in pdf[f"pos{order_idx[li]}"]
+                    ]
+                    lens = np.fromiter(
+                        (a.size for a in arrs), dtype=np.int64, count=n_docs
+                    )
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    keys.append(np.repeat(doc_key, lens) + flat)
+                    starts_l.append(np.concatenate(([0], np.cumsum(lens)[:-1])))
+                    lens_l.append(lens)
+                big = np.int64(1) << np.int64(60)
+                if is_ordered:
+                    # chain first-greater through the term sequence
+                    cur = keys[0].copy()
+                    alive = np.ones(cur.shape, dtype=bool)
+                    for li in range(1, n_terms):
+                        idx = np.searchsorted(keys[li], cur, side="right")
+                        okh = idx < keys[li].size
+                        nxt = np.where(
+                            okh, keys[li][np.minimum(idx, keys[li].size - 1)], big
+                        )
+                        alive &= okh
+                        cur = nxt
+                    startv = keys[0]
+                    endv = np.where(alive, cur, big)
+                    # minimal = last start per distinct end (end monotone)
+                    last_of_doc = np.zeros(startv.shape, dtype=bool)
+                    if startv.size:
+                        seg_ends = np.cumsum(lens_l[0]) - 1
+                        seg_ends = seg_ends[lens_l[0] > 0]
+                        last_of_doc[seg_ends] = True
+                    nxt_end = np.empty_like(endv)
+                    nxt_end[:-1] = endv[1:]
+                    if endv.size:
+                        nxt_end[-1] = big
+                    minimal = last_of_doc | (endv != nxt_end)
+                    width = endv - startv  # same doc => plain position diff
+                    count = minimal & (endv < big) & (width - (n_terms - 1) <= gaps)
+                    n_per_doc = np.add.reduceat(
+                        count, starts_l[0]
+                    ) if startv.size else np.zeros(n_docs, np.int64)
+                    n_per_doc = np.where(lens_l[0] > 0, n_per_doc, 0)
+                else:
+                    # unordered: sweep windows (see sloppy matcher); per
+                    # element e of list i, window end = max of heads
+                    all_e = []
+                    all_end = []
+                    for i in range(n_terms):
+                        e = keys[i]
+                        wmax = e.copy()
+                        for j in range(n_terms):
+                            if j == i:
+                                continue
+                            side = "right" if j < i else "left"
+                            idx = np.searchsorted(keys[j], e, side=side)
+                            okh = idx < keys[j].size
+                            head = np.where(
+                                okh, keys[j][np.minimum(idx, keys[j].size - 1)], big
+                            )
+                            np.maximum(wmax, head, out=wmax)
+                        all_e.append(e)
+                        all_end.append(wmax)
+                    e = np.concatenate(all_e)
+                    end = np.concatenate(all_end)
+                    order = np.argsort(e, kind="stable")
+                    e, end = e[order], end[order]
+                    # minimal: last window per distinct end value, within doc
+                    nxt_end = np.empty_like(end)
+                    nxt_end[:-1] = end[1:]
+                    if end.size:
+                        nxt_end[-1] = big
+                    minimal = end != nxt_end
+                    width = end - e
+                    valid = minimal & (end < big) & (
+                        width - (n_terms - 1) <= gaps
+                    ) & (width < SHIFT // 2)
+                    dr = (e // SHIFT).astype(np.int64)
+                    n_per_doc = np.bincount(
+                        dr[valid], minlength=n_docs
+                    ).astype(np.int64)
+                hit = n_per_doc > 0
+                yield pd.DataFrame(
+                    {"docID": docids[hit], "n_intervals": n_per_doc[hit]}
+                )
+
+        matched = joined.select(
+            "docID", *[f"pos{i}" for i in range(len(uniq))]
+        ).mapInPandas(match_batch, schema=out_schema)
+        return matched.orderBy(F.desc("n_intervals"), F.asc("docID")).limit(k)
 
 
 def _sloppy_freq(plists: list, slop: int) -> float:

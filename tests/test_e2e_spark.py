@@ -325,6 +325,67 @@ def test_sloppy_repeating_terms_crafted(spark, tmp_path):
             assert got, "expected real repeat-window matches"
 
 
+MULTI_PHRASE_CASES = [
+    [["apache"], ["software", "license"]],
+    [["def", "var0"], ["return"]],
+    [["apache", "the"], ["software"], ["foundation"]],
+    [["zzznotaterm", "apache"], ["software"]],  # one dead alternative
+]
+
+
+@pytest.mark.parametrize("alts", MULTI_PHRASE_CASES)
+def test_multi_phrase_rank_identity(built_index, alts):
+    """MultiPhraseQuery (B14): per-slot alternatives, union positions,
+    summed idf — engine float32 vs numpy oracle."""
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_multi_phrase(alts, k=10).collect()
+    ]
+    exp = oracle.search_multi_phrase(alts, k=10)
+    assert_rank_identical(exp, got, msg=f"[multiphrase {alts}]")
+
+
+def test_multi_phrase_single_alternatives_equals_phrase(built_index):
+    _, _, searcher = built_index
+    mp = [
+        (r["docID"], r["score"])
+        for r in searcher.search_multi_phrase(
+            [["apache"], ["software"], ["foundation"]], k=10
+        ).collect()
+    ]
+    ph = [
+        (r["docID"], r["score"])
+        for r in searcher.search_phrase("apache software foundation", k=10).collect()
+    ]
+    assert mp == ph
+
+
+INTERVAL_CASES = [
+    (["apache", "foundation"], 2, True),
+    (["apache", "foundation"], 0, True),
+    (["foundation", "apache"], 3, False),
+    (["license", "software", "apache"], 6, True),
+    (["license", "software"], 10, False),
+]
+
+
+@pytest.mark.parametrize("terms,gaps,ordered", INTERVAL_CASES)
+def test_interval_counts_match_oracle(built_index, terms, gaps, ordered):
+    """Interval queries (B14): minimal-interval counts, ordered and
+    unordered, engine vectorized matcher vs oracle per-doc loops."""
+    _, oracle, searcher = built_index
+    got = {
+        (r["docID"], r["n_intervals"])
+        for r in searcher.search_intervals(
+            terms, max_gaps=gaps, ordered=ordered, k=1000
+        ).collect()
+    }
+    exp_all = oracle.interval_counts(terms, max_gaps=gaps, ordered=ordered)
+    exp = {(int(oracle.doc_ids[r]), int(c)) for r, c in exp_all.items()}
+    assert got == exp, f"[intervals {terms} gaps={gaps} ordered={ordered}]"
+
+
 def test_sloppy_monotone_in_slop(built_index):
     _, oracle, _ = built_index
     f0 = oracle.sloppy_freqs(["apache", "software"], 0)
