@@ -801,6 +801,66 @@ def q_interval_near_top10(spark, sf_dir):
     )
 
 
+CF_TITLE_LEN = 8
+CF_WT, CF_WB = 2.0, 1.0
+
+
+def q_combined_field_top10(spark, sf_dir):
+    """CombinedFieldQuery / BM25F (B15 remainder,
+    lucene/core/src/java/org/apache/lucene/search/CombinedFieldQuery.java):
+    title (first 8 tokens, weight 2) and body (rest, weight 1) scored as
+    ONE pseudo-field — weighted tf and weighted doc length, combined
+    avgdl. Double precision; the float32 engine path
+    (search_combined_field) is pytest-asserted vs the numpy oracle.
+    Weighted lengths are integer-valued so the avgdl sum is exact in
+    both engines."""
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    stats = s.term_stats(TERMS_OR)
+    tl = F.lit(CF_TITLE_LEN)
+    dlc = F.lit(CF_WT) * F.least(F.col("dl"), tl) + F.lit(CF_WB) * F.greatest(
+        F.col("dl") - tl, F.lit(0)
+    )
+    avg_row = s.docmap.agg(F.sum(dlc).alias("sdl")).collect()[0]
+    avgdl_c = float(avg_row["sdl"]) / n
+    pos = s.postings_positions(TERMS_OR)
+    tfc = pos.groupBy("docID", "term").agg(
+        F.count("*").alias("tf_all"),
+        F.sum(F.when(F.col("pos") < tl, 1).otherwise(0)).alias("tf_t"),
+    )
+    df_map = F.create_map(
+        *[F.lit(x) for t in set(TERMS_OR) if t in stats for x in (t, float(stats[t].df))]
+    )
+    dm = _docid_map(s)
+    tf_c = F.lit(CF_WT) * F.col("tf_t") + F.lit(CF_WB) * (
+        F.col("tf_all") - F.col("tf_t")
+    )
+    scored = (
+        tfc.join(F.broadcast(dm), "docID")
+        .withColumn("dfv", df_map[F.col("term")])
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("dfv") + 0.5) / (F.col("dfv") + 0.5)
+            )
+            * tf_c
+            / (
+                tf_c
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * dlc / F.lit(avgdl_c))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("s"))
+    return (
+        agg.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 QUERIES = {
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -822,6 +882,7 @@ QUERIES = {
     "sloppy_phrase_top10": q_sloppy_phrase_top10,
     "multiphrase_top10": q_multiphrase_top10,
     "interval_near_top10": q_interval_near_top10,
+    "combined_field_top10": q_combined_field_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
     "bm25_must_not": q_bm25_must_not,
@@ -1109,6 +1170,25 @@ FROM mini WHERE p2 - mp1 - 1 <= {INTERVAL_GAPS}
 GROUP BY doc_id
 ORDER BY count(*) DESC, doc_id ASC
 LIMIT 10
+"""
+    cf_terms = ", ".join(f"'{t}'" for t in TERMS_OR)
+    tfc_expr = f"({CF_WT}*tf_t + {CF_WB}*(tf_all - tf_t))"
+    dlc_expr = f"({CF_WT}*least(dl.dl, {CF_TITLE_LEN}) + {CF_WB}*greatest(dl.dl - {CF_TITLE_LEN}, 0))"
+    sqls["combined_field_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT sum({CF_WT}*least(dl, {CF_TITLE_LEN}) + {CF_WB}*greatest(dl - {CF_TITLE_LEN}, 0))
+               / (SELECT count(*) FROM documents) AS a FROM dl),
+tfc AS (SELECT doc_id, term, count(*)::DOUBLE AS tf_all,
+               sum(CASE WHEN pos < {CF_TITLE_LEN} THEN 1 ELSE 0 END)::DOUBLE AS tf_t
+        FROM tokp WHERE term IN ({cf_terms}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+        WHERE term IN ({cf_terms}) GROUP BY term),
+sc AS (SELECT tfc.doc_id,
+              ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - df + 0.5)/(df + 0.5))
+              * {tfc_expr} / ({tfc_expr} + {K1} * (1.0 - {B} + {B} * {dlc_expr} / avg.a)) AS s
+       FROM tfc JOIN dfs USING (term) JOIN dl ON dl.doc_id = tfc.doc_id, avg),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s, {ROUND}) AS score FROM agg ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     sqls["ngram_jaccard"] = _jaccard_pairs_sql(3, 0.8)
     sqls["minhash_near_dup"] = _jaccard_pairs_sql(3, 0.8)

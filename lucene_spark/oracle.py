@@ -277,6 +277,49 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def search_combined_field(
+        self,
+        terms: list[str],
+        k: int = 10,
+        title_len: int = 8,
+        title_weight: float = 2.0,
+        body_weight: float = 1.0,
+    ):
+        """CombinedFieldQuery / BM25F over the title/body positional
+        slices (mirror of engine.search_combined_field)."""
+        terms = list(dict.fromkeys(terms))
+        present = [t for t in terms if t in self.postings]
+        if not present:
+            return []
+        wt, wb, tl = float(title_weight), float(body_weight), int(title_len)
+        dl = self.dl.astype(np.float64)
+        dl_c = wt * np.minimum(dl, tl) + wb * np.maximum(dl - tl, 0.0)
+        avgdl_c = float(dl_c.sum()) / max(1, self.doc_count)
+        from lucene_spark.search.bm25 import idf
+
+        acc = np.zeros(self.doc_count, dtype=np.float64)
+        hitmask = np.zeros(self.doc_count, dtype=bool)
+        k1v = np.float32(self.scorer.k1)
+        bv = np.float32(self.scorer.b)
+        av = np.float32(avgdl_c)
+        for t in present:
+            rows, _, posmap = self.postings[t]
+            w = np.float32(idf(len(rows), self.doc_count))
+            tf_t = np.array(
+                [(posmap[int(r)] < tl).sum() for r in rows], dtype=np.float64
+            )
+            tf_all = np.array([posmap[int(r)].size for r in rows], dtype=np.float64)
+            tf_c = (wt * tf_t + wb * (tf_all - tf_t)).astype(np.float32)
+            dlc32 = dl_c[rows].astype(np.float32)
+            inv = np.float32(1.0) / (k1v * (np.float32(1.0) - bv + bv * dlc32 / av))
+            sc = (w - w / (np.float32(1.0) + tf_c * inv)).astype(np.float32)
+            acc[rows] += sc.astype(np.float64)
+            hitmask[rows] = True
+        rows = np.flatnonzero(hitmask)
+        final = acc[rows].astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -final))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(final[i])) for i in order]
+
     def interval_counts(
         self, terms: list[str], max_gaps: int = 0, ordered: bool = True
     ) -> dict[int, int]:

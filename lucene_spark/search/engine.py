@@ -1108,6 +1108,131 @@ class IndexSearcher:
         matched = joined.mapInPandas(match_batch, schema=out_schema)
         return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
+    # -- CombinedFieldQuery / BM25F (B15 remainder) -----------------------
+
+    def search_combined_field(
+        self,
+        terms: list[str],
+        k: int = 10,
+        title_len: int = 8,
+        title_weight: float = 2.0,
+        body_weight: float = 1.0,
+    ) -> DataFrame:
+        """CombinedFieldQuery (BM25F,
+        lucene/core/src/java/org/apache/lucene/search/CombinedFieldQuery.java):
+        multiple fields scored as ONE pseudo-field with per-field weights
+        folded into term and document lengths:
+            tf_c = w_title*tf_title + w_body*tf_body
+            dl_c = w_title*len_title + w_body*len_body
+        Our index has a single analyzed field, so the two fields are
+        POSITIONAL slices of content — title = first `title_len` tokens,
+        body = the rest (the classic title/body BM25F shape). df of the
+        combined field equals the term's df (the slices partition the
+        doc). Scores are float32 in the Lucene expression shape, but the
+        combined length is exact (no stored combined norm exists — byte4
+        quantization is a storage artifact of single-field norms, which
+        this query does not read); the numpy oracle mirrors exactly."""
+        terms = self._parse(terms if isinstance(terms, str) else " ".join(terms))
+        terms = list(dict.fromkeys(terms))
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk()
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions")
+
+        wt, wb, tl = float(title_weight), float(body_weight), int(title_len)
+        # combined collection stats from docmap (exact lengths)
+        agg = self.docmap.agg(
+            F.sum(
+                F.lit(wt) * F.least(F.col("dl"), F.lit(tl))
+                + F.lit(wb) * F.greatest(F.col("dl") - F.lit(tl), F.lit(0))
+            ).alias("sdl")
+        ).collect()[0]
+        avgdl_c = float(agg["sdl"]) / max(1, self.doc_count)
+        weights = {
+            t: float(np.float32(idf(stats[t].df, self.doc_count)))
+            for t in present
+        }
+
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("tf_t", LongType()),
+                StructField("tf_b", LongType()),
+            ]
+        )
+        dele_bc = self._deleted_bc
+
+        def decode_split(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb, pos_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["pos_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    flat = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                    in_title = (flat < tl).astype(np.int64)
+                    tf_t = np.add.reduceat(in_title, starts) if flat.size else np.zeros(0, np.int64)
+                    tf_b = tfs - tf_t
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tf_t, tf_b = doc_ids[keep], tf_t[keep], tf_b[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {"docID": doc_ids, "term": term, "tf_t": tf_t, "tf_b": tf_b}
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "term": [],
+                     "tf_t": pd.array([], dtype="int64"),
+                     "tf_b": pd.array([], dtype="int64")}
+                )
+
+        rows = self._strip_deleted(
+            self._postings.filter(F.col("term").isin(present))
+            .select("term", "docs_vb", "tfs_vb", "pos_vb")
+            .mapInPandas(decode_split, schema=schema)
+        )
+        rows = rows.join(self.docmap.select("docID", "dl"), "docID")
+
+        out_schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("score", FloatType()),
+            ]
+        )
+        k1b = float(np.float32(self.scorer.k1))
+        bb = float(np.float32(self.scorer.b))
+
+        def score_rows(batches):
+            k1v, bv = np.float32(k1b), np.float32(bb)
+            av = np.float32(avgdl_c)
+            for pdf in batches:
+                dl = pdf["dl"].to_numpy(np.float64)
+                dl_c = (
+                    wt * np.minimum(dl, tl) + wb * np.maximum(dl - tl, 0.0)
+                ).astype(np.float32)
+                tf_c = (
+                    wt * pdf["tf_t"].to_numpy(np.float64)
+                    + wb * pdf["tf_b"].to_numpy(np.float64)
+                ).astype(np.float32)
+                w = np.array(
+                    [weights[t] for t in pdf["term"]], dtype=np.float32
+                )
+                inv = np.float32(1.0) / (
+                    k1v * (np.float32(1.0) - bv + bv * dl_c / av)
+                )
+                sc = (w - w / (np.float32(1.0) + tf_c * inv)).astype(np.float32)
+                yield pd.DataFrame({"docID": pdf["docID"], "score": sc})
+
+        scored = rows.mapInPandas(score_rows, schema=out_schema)
+        return self._topk(scored, k, "or", n_terms=len(present))
+
     def _decode_positions_rows(self, terms: list[str], pos_schema) -> DataFrame:
         """(docID, norm, positions) rows for each (term, doc) posting of
         `terms` — shared decode for multi-phrase / intervals."""

@@ -386,6 +386,29 @@ def test_interval_counts_match_oracle(built_index, terms, gaps, ordered):
     assert got == exp, f"[intervals {terms} gaps={gaps} ordered={ordered}]"
 
 
+@pytest.mark.parametrize(
+    "terms,tl,wt",
+    [
+        (["license", "apache"], 8, 2.0),
+        (["def", "return"], 4, 3.0),
+        (["license"], 8, 2.0),
+        (["zzznotaterm", "license"], 8, 2.0),
+    ],
+)
+def test_combined_field_rank_identity(built_index, terms, tl, wt):
+    """CombinedFieldQuery / BM25F over title/body positional slices:
+    engine float32 vs numpy oracle."""
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in searcher.search_combined_field(
+            terms, k=10, title_len=tl, title_weight=wt
+        ).collect()
+    ]
+    exp = oracle.search_combined_field(terms, k=10, title_len=tl, title_weight=wt)
+    assert_rank_identical(exp, got, msg=f"[combined {terms} tl={tl}]")
+
+
 def test_sloppy_monotone_in_slop(built_index):
     _, oracle, _ = built_index
     f0 = oracle.sloppy_freqs(["apache", "software"], 0)
