@@ -89,6 +89,9 @@ def main() -> None:
     # registered after this file was first written; keep bench in sync with
     # the gate without hard failures if an entry is renamed
     for extra in (
+        "multiphrase_top10",
+        "interval_near_top10",
+        "combined_field_top10",
         "minhash_near_dup",
         "simhash",
         "lang_id",

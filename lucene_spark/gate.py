@@ -687,25 +687,67 @@ def q_sloppy_phrase_top10(spark, sf_dir):
 
 
 def q_parsed_query_top10(spark, sf_dir):
-    """Classic query-string parser end-to-end (reference benchmark query
-    shape '(a OR b) AND c'): float32 engine path, rows-only check —
-    rank-identity is pytest-asserted against the numpy oracle."""
-    from lucene_spark.search.queryparser import execute
-
-    s = searcher_for(spark, sf_dir)
-    dm = _docid_map(s)
-    res = execute(s, f"({TERMS_OR[0]} OR {TERMS_OR[1]}) AND {TERMS_AND[0]}", k=10)
-    return res.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
-        "doc_id", "score"
+    """Boolean composition '(a OR b) AND c' in double precision: per-term
+    BM25 partials summed per doc, filtered to docs matching (a|b) & c —
+    SQL-dueled. The float32 query-string parser path is rank-identity
+    pytest-asserted against the numpy oracle (tests/test_queryparser.py)."""
+    a, b, c = TERMS_OR[0], TERMS_OR[1], TERMS_AND[0]
+    scored = _bm25_spark_scored(spark, sf_dir, [a, b, c])
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("s"),
+        F.max(F.when(F.col("term").isin([a, b]), 1).otherwise(0)).alias("hab"),
+        F.max(F.when(F.col("term") == c, 1).otherwise(0)).alias("hc"),
+    )
+    return (
+        agg.where((F.col("hab") == 1) & (F.col("hc") == 1))
+        .select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
     )
 
 
 def q_phrase_top10(spark, sf_dir):
+    """Exact PhraseQuery 'value table' in double precision over the
+    index-decoded positions (adjacency join), summed-idf weight —
+    SQL-dueled. The float32 engine phrase path is rank-identity
+    pytest-asserted against the numpy oracle."""
+    import math
+
     s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    t0, t1 = TERMS_AND[0], TERMS_AND[1]
+    stats = s.term_stats([t0, t1])
+    w = 0.0
+    for t in (t0, t1):  # fixed order == the SQL's explicit ln(..) sum
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions([t0, t1])
+    p0 = pos.where(F.col("term") == t0).select(
+        "docID", (F.col("pos") + 1).alias("nxt")
+    )
+    p1 = pos.where(F.col("term") == t1).select(
+        "docID", F.col("pos").alias("nxt")
+    )
+    freq = p0.join(p1, ["docID", "nxt"]).groupBy("docID").agg(
+        F.count("*").alias("freq")
+    )
     dm = _docid_map(s)
-    res = s.search_phrase(f"{TERMS_AND[0]} {TERMS_AND[1]}", k=10)
-    return res.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
-        "doc_id", "score"
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
     )
 
 
@@ -1170,6 +1212,45 @@ FROM mini WHERE p2 - mp1 - 1 <= {INTERVAL_GAPS}
 GROUP BY doc_id
 ORDER BY count(*) DESC, doc_id ASC
 LIMIT 10
+"""
+    ph_idf = " + ".join(
+        f"ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - "
+        f"(SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5) / "
+        f"((SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5))"
+        for t in (TERMS_AND[0], TERMS_AND[1])
+    )
+    sqls["phrase_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+m AS (SELECT p0.doc_id, count(*)::DOUBLE AS freq
+      FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      WHERE p0.term = '{TERMS_AND[0]}' AND p1.term = '{TERMS_AND[1]}'
+      GROUP BY p0.doc_id)
+SELECT m.doc_id,
+       round(({ph_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
+ORDER BY ({ph_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
+LIMIT 10
+"""
+    pa, pb, pc = TERMS_OR[0], TERMS_OR[1], TERMS_AND[0]
+    sqls["parsed_query_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ('{pa}', '{pb}', '{pc}') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, sum(s) AS s,
+               max(CASE WHEN term IN ('{pa}', '{pb}') THEN 1 ELSE 0 END) AS hab,
+               max(CASE WHEN term = '{pc}' THEN 1 ELSE 0 END) AS hc
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, round(s, {ROUND}) AS score FROM agg
+WHERE hab = 1 AND hc = 1
+ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     cf_terms = ", ".join(f"'{t}'" for t in TERMS_OR)
     tfc_expr = f"({CF_WT}*tf_t + {CF_WB}*(tf_all - tf_t))"
