@@ -130,6 +130,14 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     deleted = load_deleted_ids(spark, index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    if manifest.get("gens"):
+        # tiered incremental layout: segment runs would re-introduce the
+        # deleted docs on the next refresh; expunge there means rewriting
+        # runs too — not supported, tombstones stay until then
+        raise ValueError(
+            "expunge_deletes supports batch indexes; incremental indexes "
+            "keep tombstones across refresh()"
+        )
     if deleted.size == 0:
         return manifest
     t0 = time.time()

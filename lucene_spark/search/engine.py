@@ -77,6 +77,13 @@ class IndexSearcher:
             self.doc_count, self.manifest["sum_total_term_freq"]
         )
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        # tiered incremental indexes: only the manifest's ACTIVE postings
+        # generations are live — partition pruning skips stale gen dirs
+        # left by a crash mid-cleanup (streaming/incremental.refresh)
+        if self.manifest.get("gens"):
+            self._postings = self._postings.filter(
+                F.col("gen").isin(list(self.manifest["gens"]))
+            )
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self.reload_deletes()
 

@@ -35,17 +35,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_spark.index.builder import (
+    BLOCK_SCHEMA,
     FLUSH_DOCS,
     INVERT_SCHEMA,
     _flatten_key,
     _invert_partition,
+    _merge_runs_to_blocks,
     _META_COLS,
     _quantile_bounds,
     _repartition_exact,
     _RUN_COLS,
     _with_range_id,
 )
-from lucene_spark.index.resumable import _atomic_json, merge_segments
+from lucene_spark.index.resumable import _atomic_json
 
 
 def _state_path(out_dir: str) -> str:
@@ -163,6 +165,116 @@ def start_indexing_stream(
     return writer.start()
 
 
+def _merge_runs_to_gen(
+    spark: SparkSession,
+    out_dir: str,
+    seg_names: list[str],
+    gen_name: str,
+    n_part: int,
+    hot_df_threshold: int,
+    hot_salt_span: int,
+) -> None:
+    """Merge ONLY the given segments' runs into postings/gen=<gen> plus a
+    narrow per-gen term-stats table — the incremental unit of the tiered
+    policy (reads O(new segments), never the whole index)."""
+    run_paths = [os.path.join(out_dir, "runs", f"seg={s}") for s in seg_names]
+    runs = spark.read.parquet(*run_paths).select(*_RUN_COLS)
+    terms_df = runs.groupBy("term").agg(
+        F.sum("ndocs").cast("long").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_norm").alias("min_norm"),
+    )
+    terms_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "terms_gens", f"gen={gen_name}")
+    )
+    tg = spark.read.parquet(os.path.join(out_dir, "terms_gens", f"gen={gen_name}"))
+    hot_terms = [
+        r["term"]
+        for r in tg.filter(F.col("df") > hot_df_threshold).select("term").collect()
+    ]
+    if hot_terms:
+        salt_col = F.when(
+            F.col("term").isin(hot_terms),
+            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        salt_col = F.lit(0).cast("long")
+    (
+        runs.withColumn("salt", salt_col)
+        .groupBy("term", "salt")
+        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings", f"gen={gen_name}"))
+    )
+
+
+def _compact_gens(
+    spark: SparkSession, out_dir: str, group: list[dict], gen_name: str
+) -> None:
+    """Tiered compaction: re-merge a group of generations into one. Block
+    rows ARE runs (disjoint ascending doc ranges, first_doc = min_doc),
+    so the same run-merge kernel re-blocks them at proper 256-doc
+    boundaries — a fully-compacted incremental index is bit-identical to
+    a one-shot batch merge."""
+    paths = [os.path.join(out_dir, "postings", f"gen={g['gen']}") for g in group]
+    blocks = spark.read.parquet(*paths).select(
+        "term", "salt", F.col("min_doc").alias("first_doc"),
+        "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+    )
+    (
+        blocks.groupBy("term", "salt")
+        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings", f"gen={gen_name}"))
+    )
+    tpaths = [os.path.join(out_dir, "terms_gens", f"gen={g['gen']}") for g in group]
+    (
+        spark.read.parquet(*tpaths)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_norm").alias("min_norm"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "terms_gens", f"gen={gen_name}"))
+    )
+
+
+def _select_tier_merges(
+    gens: list[dict],
+    segs_per_tier: int,
+    floor_docs: int,
+    max_merged_docs: int,
+) -> list[list[dict]]:
+    """TieredMergePolicy shape (lucene/core/src/java/org/apache/lucene/
+    index/TieredMergePolicy.java:77-82 — 5 GB max merged / 16 MB floor /
+    ~10 per tier, doc-count analog): size tiers are log-spaced above the
+    floor; a tier holding more than segs_per_tier gens gets its smallest
+    segs_per_tier+1 members merged into one. Oversize gens never merge."""
+    import math
+
+    by_tier: dict[int, list[dict]] = {}
+    base = max(2, segs_per_tier)
+    for g in gens:
+        if g["num_docs"] > max_merged_docs:
+            continue
+        tier = int(math.log(max(1.0, g["num_docs"] / floor_docs), base)) if g[
+            "num_docs"
+        ] > floor_docs else 0
+        by_tier.setdefault(tier, []).append(g)
+    merges = []
+    for tier, members in sorted(by_tier.items()):
+        if len(members) > segs_per_tier:
+            members = sorted(members, key=lambda g: g["num_docs"])
+            merges.append(members[: segs_per_tier + 1])
+    return merges
+
+
 def refresh(
     spark: SparkSession,
     out_dir: str,
@@ -171,31 +283,133 @@ def refresh(
     hot_df_threshold: int = 1 << 16,
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
+    segs_per_tier: int = 8,
+    floor_docs: int = 1 << 14,
+    max_merged_docs: int = 5_000_000,
 ) -> dict:
-    """Make all durable segments visible: merge runs -> postings/terms/
-    stats and publish manifest.json (SearcherManager.maybeRefresh)."""
+    """Make all durable segments visible (SearcherManager.maybeRefresh)
+    under a TIERED merge policy: only segments written since the last
+    refresh are merged (into a new postings generation), and same-size
+    generations compact when a tier exceeds segs_per_tier — refresh cost
+    is O(new data) + amortized compaction, not O(total index).
+
+    The searcher reads postings/gen=* partition-pruned to the manifest's
+    active generation list, so stale dirs from a crash mid-cleanup are
+    invisible. Incremental terms tables carry no lb_key10 (its cache is
+    baked against build-time avgdl, which drifts as the corpus grows),
+    so pruned search uses the bootstrap path on incremental indexes.
+    Pass segs_per_tier=1 to force full compaction (bit-identical to the
+    one-shot batch build)."""
+    n_part = partitions or spark.sparkContext.defaultParallelism
     state = _load_state(out_dir)
-    plan = {"doc_count": state["next_doc"]}
-    stats = merge_segments(
-        spark, out_dir, plan,
-        partitions=partitions,
-        hot_df_threshold=hot_df_threshold,
-        hot_salt_span=hot_salt_span,
-        store_positions=store_positions,
+    gens: list[dict] = state.setdefault("gens", [])
+    merged_segs = {s for g in gens for s in g["segs"]}
+    new_segs = [s for s in state["segments"] if s["seg"] not in merged_segs]
+    touched = [s["seg"] for s in new_segs]
+    old_dirs: list[str] = []
+
+    def _next_gen() -> str:
+        n = state.get("next_gen", 0)
+        state["next_gen"] = n + 1
+        return f"g{n:06d}"
+
+    if new_segs:
+        gname = _next_gen()
+        _merge_runs_to_gen(
+            spark, out_dir, touched, gname, n_part,
+            hot_df_threshold, hot_salt_span,
+        )
+        gens.append(
+            {
+                "gen": gname,
+                "segs": touched,
+                "num_docs": int(sum(s["num_docs"] for s in new_segs)),
+            }
+        )
+
+    compacted = 0
+    while True:
+        groups = _select_tier_merges(
+            gens, segs_per_tier, floor_docs, max_merged_docs
+        )
+        if not groups:
+            break
+        for group in groups:
+            gname = _next_gen()
+            _compact_gens(spark, out_dir, group, gname)
+            names = {g["gen"] for g in group}
+            for g in group:
+                old_dirs.append(os.path.join(out_dir, "postings", f"gen={g['gen']}"))
+                old_dirs.append(os.path.join(out_dir, "terms_gens", f"gen={g['gen']}"))
+            gens[:] = [g for g in gens if g["gen"] not in names]
+            gens.append(
+                {
+                    "gen": gname,
+                    "segs": [s for g in group for s in g["segs"]],
+                    "num_docs": int(sum(g["num_docs"] for g in group)),
+                }
+            )
+            compacted += len(group)
+
+    # global terms table from the narrow per-gen stats (no postings read)
+    active = sorted(g["gen"] for g in gens)
+    terms_all = (
+        spark.read.parquet(os.path.join(out_dir, "terms_gens"))
+        .filter(F.col("gen").isin(active))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_norm").alias("min_norm"),
+        )
     )
-    hot_terms = stats.pop("hot_terms")
+    terms_new = os.path.join(out_dir, "terms_new")
+    terms_all.sortWithinPartitions("term").write.mode("overwrite").parquet(terms_new)
+    agg = spark.read.parquet(terms_new).agg(
+        F.sum("cf").alias("sttf"),
+        F.sum("df").alias("sdf"),
+        F.count("*").alias("nterms"),
+    ).collect()[0]
+
+    import shutil
+
+    terms_final = os.path.join(out_dir, "terms")
+    terms_old = terms_final + ".old"
+    shutil.rmtree(terms_old, ignore_errors=True)
+    if os.path.isdir(terms_final):
+        os.replace(terms_final, terms_old)
+    os.replace(terms_new, terms_final)
+
+    stats = {
+        "doc_count": int(state["next_doc"]),
+        "sum_total_term_freq": int(agg["sttf"] or 0),
+        "sum_doc_freq": int(agg["sdf"] or 0),
+        "distinct_terms": int(agg["nterms"] or 0),
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats")
+    )
     manifest = {
         "version": 2,
         **stats,
-        "hot_terms": hot_terms,
+        "hot_terms": [],
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "block_size": 256,
         "incremental": True,
         "num_segments": len(state["segments"]),
+        "gens": active,
+        "num_gens": len(gens),
+        "merged_new_segments": touched,
+        "compacted_gens": compacted,
     }
     _atomic_json(os.path.join(out_dir, "manifest.json"), manifest)
+    _atomic_json(_state_path(out_dir), state)
+    shutil.rmtree(terms_old, ignore_errors=True)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return manifest
 
 

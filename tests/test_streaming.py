@@ -73,6 +73,83 @@ def test_incremental_equals_batch(spark, tmp_path, chunks_dir):
         assert got == exp
 
 
+def test_tiered_refresh_touches_only_new_segments(spark, tmp_path):
+    """TieredMergePolicy analog: refresh after a small batch merges ONLY
+    that batch's runs into a new postings generation — earlier
+    generations' files are untouched (O(batch) refresh, not O(index)).
+    Forced full compaction (segs_per_tier=1) then reproduces the batch
+    index bit-for-bit."""
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        write_segment,
+    )
+
+    out = str(tmp_path / "tier_idx")
+    os.makedirs(out)
+    n, n_chunks = 240, 4
+    pdf = generate_corpus(n).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    per = n // n_chunks
+
+    def snapshot(gen):
+        d = os.path.join(out, "postings", f"gen={gen}")
+        files = {}
+        for root, _, fns in os.walk(d):
+            for fn in fns:
+                p = os.path.join(root, fn)
+                files[os.path.relpath(p, d)] = (os.path.getmtime(p), os.path.getsize(p))
+        return files
+
+    gen0_snap = None
+    for c in range(n_chunks):
+        part = pdf.iloc[c * per:(c + 1) * per]
+        state = _load_state(out)
+        seg = f"s{c}"
+        nd = write_segment(
+            spark, spark.createDataFrame(part), out, seg, state["next_doc"],
+            partitions=2,
+        )
+        state["next_doc"] += nd
+        state["segments"].append({"seg": seg, "num_docs": nd})
+        _atomic_json(_state_path(out), state)
+        m = refresh(spark, out, partitions=2)
+        assert m["merged_new_segments"] == [seg]
+        assert m["compacted_gens"] == 0  # 4 gens < segs_per_tier=8
+        if c == 0:
+            gen0_snap = snapshot(m["gens"][0])
+        else:
+            assert snapshot(sorted(m["gens"])[0]) == gen0_snap, (
+                "first generation was rewritten by a later refresh"
+            )
+    assert m["num_gens"] == n_chunks
+
+    # forced full compaction == one-shot batch build, bit for bit
+    m2 = refresh(spark, out, partitions=2, segs_per_tier=1)
+    assert m2["num_gens"] == 1 and m2["compacted_gens"] > 0
+
+    ref = str(tmp_path / "tier_batch_idx")
+    build_index(spark, spark.createDataFrame(generate_corpus(n)), ref, partitions=4)
+
+    def fp(idx):
+        df = spark.read.parquet(os.path.join(idx, "postings"))
+        return df.select(
+            F.sum(F.crc32("docs_vb")).alias("d"),
+            F.sum(F.crc32("tfs_vb")).alias("t"),
+            F.sum(F.crc32("pos_vb")).alias("p"),
+            F.sum("ndocs").alias("n"),
+            F.count("*").alias("r"),
+        ).collect()[0]
+
+    assert fp(out) == fp(ref)
+    s_inc = IndexSearcher(spark, out)
+    s_ref = IndexSearcher(spark, ref)
+    for query, mode in [("return value table", "or"), ("value table", "and")]:
+        got = [(r["docID"], r["score"]) for r in s_inc.search(query, k=10, mode=mode).collect()]
+        exp = [(r["docID"], r["score"]) for r in s_ref.search(query, k=10, mode=mode).collect()]
+        assert got == exp
+
+
 def test_refresh_visibility_boundary(spark, tmp_path, chunks_dir):
     """Segments written after a refresh stay invisible until the next
     refresh (NRT visibility semantics)."""
