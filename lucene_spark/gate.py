@@ -74,9 +74,11 @@ def searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     if os.path.exists(manifest):
         import json
 
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
         with open(manifest) as f:
             m = json.load(f)
-        rebuild = m.get("doc_count") != n
+        rebuild = m.get("doc_count") != n or m.get("codec") != CODEC_NAME
     if rebuild:
         build_index(spark, docs, idx_dir, store_positions=True)
     s = IndexSearcher(spark, idx_dir)

@@ -71,12 +71,13 @@ from pyspark.sql.types import (
 )
 
 from lucene_spark.analysis import analyze
+from lucene_spark.util.blockcodec import CODEC_NAME
+from lucene_spark.util.blockcodec import decode_block as decode
+from lucene_spark.util.blockcodec import encode_block as encode
 from lucene_spark.util.smallfloat import int_to_byte4
 from lucene_spark.util.varbyte import (
-    decode,
     delta_decode,
     delta_encode,
-    encode,
     segmented_delta_decode,
     segmented_delta_encode,
 )
@@ -702,6 +703,7 @@ def build_index(
     elapsed = time.time() - t0
     manifest = {
         "version": 2,
+        "codec": CODEC_NAME,
         "phases": phases,
         "doc_count": stats["doc_count"],
         "sum_total_term_freq": stats["sum_total_term_freq"],

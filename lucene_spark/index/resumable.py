@@ -360,8 +360,11 @@ def build_index_resumable(
 
     elapsed = time.time() - t0
     hot_terms = stats.pop("hot_terms")
+    from lucene_spark.util.blockcodec import CODEC_NAME
+
     manifest = {
         "version": 2,
+        "codec": CODEC_NAME,
         **stats,
         "hot_terms": hot_terms,
         "hot_df_threshold": hot_df_threshold,

@@ -42,7 +42,8 @@ from pyspark.sql.types import (
 
 from lucene_spark.analysis import analyze
 from lucene_spark.search.bm25 import BM25Scorer, idf
-from lucene_spark.util.varbyte import decode, delta_decode, segmented_delta_decode
+from lucene_spark.util.blockcodec import decode_block as decode
+from lucene_spark.util.varbyte import delta_decode, segmented_delta_decode
 
 SCORE_SCHEMA = StructType(
     [

@@ -390,8 +390,11 @@ def refresh(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats")
     )
+    from lucene_spark.util.blockcodec import CODEC_NAME
+
     manifest = {
         "version": 2,
+        "codec": CODEC_NAME,
         **stats,
         "hot_terms": [],
         "hot_df_threshold": hot_df_threshold,

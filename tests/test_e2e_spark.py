@@ -171,7 +171,8 @@ def test_block_invariants(built_index, spark):
     """Postings block contract (BasePostingsFormatTestCase analog):
     per-term blocks sorted, docIDs strictly increasing, block metadata
     consistent with members."""
-    from lucene_spark.util.varbyte import decode, delta_decode
+    from lucene_spark.util.blockcodec import decode_block as decode
+    from lucene_spark.util.varbyte import delta_decode
 
     _, oracle, searcher = built_index
     rows = searcher._postings.collect()

@@ -11,11 +11,11 @@ import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from lucene_spark.index.builder import BLOCK_SIZE, _merge_runs_to_blocks
+from lucene_spark.util.blockcodec import decode_block as decode
+from lucene_spark.util.blockcodec import encode_block as encode
 from lucene_spark.util.varbyte import (
-    decode,
     delta_decode,
     delta_encode,
-    encode,
     segmented_delta_decode,
     segmented_delta_encode,
 )
