@@ -650,16 +650,32 @@ def q_content_sha256(spark, sf_dir):
 
 
 def q_ann_ivf_top10(spark, sf_dir):
-    """IVF approximate nearest neighbours (rows-only: approximate by
-    design; recall vs brute force is pytest-asserted)."""
+    """IVF approximate nearest neighbours via the PERSISTED index (the
+    10^9-vector layout: train once, vectors parquet-partitioned by
+    coarse cell, queries scan only the probed cells via partition
+    pruning). Built once per sf dir and cached like the text index.
+    Rows-only: approximate by design; recall vs brute force is
+    pytest-asserted."""
     import numpy as np
 
-    from lucene_spark.pipeline.ann import ann_ivf_topk
+    from lucene_spark.pipeline.ann import build_ivf_index, ivf_search
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    ivf_dir = os.path.join(_index_dir_for(sf_dir), "ivf")
+    meta_ok = False
+    cj = os.path.join(ivf_dir, "centroids.json")
+    if os.path.exists(cj):
+        import json
+
+        with open(cj) as f:
+            meta_ok = json.load(f)["meta"].get("count") == n
+    if not meta_ok:
+        build_ivf_index(spark, emb, ivf_dir, n_cells=16, kmeans_iters=3)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ann_ivf_topk(
-        spark, emb, np.asarray(qrow, dtype=np.float32), k=10, exclude_id=0
+    return ivf_search(
+        spark, ivf_dir, np.asarray(qrow, dtype=np.float32), k=10,
+        nprobe=4, exclude_id=0,
     )
 
 
@@ -845,6 +861,49 @@ def q_interval_near_top10(spark, sf_dir):
     )
 
 
+INTERVAL_INNER = "row"
+
+
+def q_interval_containing_top10(spark, sf_dir):
+    """Intervals.containing: minimal ordered key...table intervals
+    (gaps <= 5) that hold at least one occurrence of 'row'. Integer
+    counts — exact across engines."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([INTERVAL_T1, INTERVAL_T2, INTERVAL_INNER])
+    c1 = pos.where(F.col("term") == INTERVAL_T1).select(
+        "docID", F.col("pos").alias("p1")
+    )
+    t2 = pos.where(F.col("term") == INTERVAL_T2).select(
+        "docID", F.col("pos").alias("tp")
+    )
+    c2 = (
+        c1.join(t2, "docID")
+        .where(F.col("tp") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("tp").alias("p2"))
+    )
+    mini = c2.groupBy("docID", "p2").agg(F.max("p1").alias("mp1")).where(
+        F.col("p2") - F.col("mp1") - 1 <= INTERVAL_GAPS
+    )
+    inn = pos.where(F.col("term") == INTERVAL_INNER).select(
+        "docID", F.col("pos").alias("ip")
+    )
+    held = (
+        mini.join(inn, "docID")
+        .where((F.col("ip") >= F.col("mp1")) & (F.col("ip") <= F.col("p2")))
+        .select("docID", "mp1", "p2")
+        .distinct()
+    )
+    res = held.groupBy("docID").agg(F.count("*").cast("long").alias("n_intervals"))
+    dm = _docid_map(s)
+    return (
+        res.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_intervals")
+    )
+
+
 CF_TITLE_LEN = 8
 CF_WT, CF_WB = 2.0, 1.0
 
@@ -926,6 +985,7 @@ QUERIES = {
     "sloppy_phrase_top10": q_sloppy_phrase_top10,
     "multiphrase_top10": q_multiphrase_top10,
     "interval_near_top10": q_interval_near_top10,
+    "interval_containing_top10": q_interval_containing_top10,
     "combined_field_top10": q_combined_field_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
@@ -1213,6 +1273,22 @@ SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM mini WHERE p2 - mp1 - 1 <= {INTERVAL_GAPS}
 GROUP BY doc_id
 ORDER BY count(*) DESC, doc_id ASC
+LIMIT 10
+"""
+    sqls["interval_containing_top10"] = f"""
+WITH {tokp},
+c1 AS (SELECT doc_id, pos AS p1 FROM tokp WHERE term = '{INTERVAL_T1}'),
+c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
+       FROM c1 JOIN tokp t ON t.doc_id = c1.doc_id AND t.term = '{INTERVAL_T2}' AND t.pos > c1.p1
+       GROUP BY c1.doc_id, c1.p1),
+mini AS (SELECT doc_id, p2, max(p1) AS mp1 FROM c2 GROUP BY doc_id, p2
+         HAVING p2 - max(p1) - 1 <= {INTERVAL_GAPS})
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mini m
+WHERE EXISTS (SELECT 1 FROM tokp t WHERE t.doc_id = m.doc_id
+              AND t.term = '{INTERVAL_INNER}' AND t.pos BETWEEN m.mp1 AND m.p2)
+GROUP BY m.doc_id
+ORDER BY count(*) DESC, m.doc_id ASC
 LIMIT 10
 """
     ph_idf = " + ".join(

@@ -321,14 +321,24 @@ class OracleIndex:
         return [(int(self.doc_ids[rows[i]]), float(final[i])) for i in order]
 
     def interval_counts(
-        self, terms: list[str], max_gaps: int = 0, ordered: bool = True
+        self,
+        terms: list[str],
+        max_gaps: int = 0,
+        ordered: bool = True,
+        containing: str | None = None,
     ) -> dict[int, int]:
         """row -> number of MINIMAL intervals spanning all terms with
-        total gaps <= max_gaps (Intervals.maxgaps). Reference
-        implementation with explicit per-doc loops."""
+        total gaps <= max_gaps (Intervals.maxgaps); with `containing`,
+        only intervals holding >= 1 occurrence of that term count
+        (Intervals.containing). Reference implementation with explicit
+        per-doc loops."""
         if any(t not in self.postings for t in terms):
             return {}
+        if containing is not None and containing not in self.postings:
+            return {}
         rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        if containing is not None:
+            rowsets.append(set(self.postings[containing][0].tolist()))
         cand = set.intersection(*rowsets)
         out: dict[int, int] = {}
         n = len(terms)
@@ -351,10 +361,19 @@ class OracleIndex:
                 by_end: dict[int, int] = {}
                 for s, e in intervals:
                     by_end[e] = max(by_end.get(e, s), s)
+                inner_pos = (
+                    self.postings[containing][2][r]
+                    if containing is not None
+                    else None
+                )
                 cnt = sum(
                     1
                     for e, s in by_end.items()
                     if (e - s) - (n - 1) <= max_gaps
+                    and (
+                        inner_pos is None
+                        or bool(((inner_pos >= s) & (inner_pos <= e)).any())
+                    )
                 )
             else:
                 # greedy sweep windows; minimal = last window per end

@@ -68,9 +68,10 @@ class TermStats:
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, query_cache=None):
         self.spark = spark
         self.index_dir = index_dir
+        self.query_cache = query_cache  # search.cache.QueryCache or None
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.doc_count = self.manifest["doc_count"]
@@ -120,6 +121,31 @@ class IndexSearcher:
         self._deleted = arr  # driver-side view (size checks, tests)
         self._deleted_bc = self.spark.sparkContext.broadcast(arr)
         return self._n_deleted
+
+    def _cache_epoch(self) -> tuple:
+        """Key component that changes whenever cached doc sets could go
+        stale: postings generation set + tombstone count (the reader-
+        change invalidation of LRUQueryCache)."""
+        return (
+            self.index_dir,
+            tuple(self.manifest.get("gens", ())),
+            self.manifest.get("expunged_at"),
+            self._n_deleted,
+        )
+
+    def filter_docs(self, term: str) -> DataFrame:
+        """Non-scoring doc-set filter for one term (the cached-filter
+        unit of LRUQueryCache; ConstantScore(TermQuery) analog). Returns
+        distinct docIDs; cached as a persisted narrow DataFrame when the
+        searcher has a QueryCache."""
+        def compute() -> DataFrame:
+            return self.postings_tf([term]).select("docID").distinct()
+
+        if self.query_cache is None:
+            return compute()
+        return self.query_cache.get_or_compute(
+            self._cache_epoch() + ("filter", term), compute
+        )
 
     def _strip_deleted(self, df: DataFrame, col: str = "docID") -> DataFrame:
         """Anti-join fallback for tombstone sets too large to broadcast
@@ -437,7 +463,14 @@ class IndexSearcher:
             excl_stats = self.term_stats(not_terms)
             present = [t for t in not_terms if t in excl_stats]
             if present:
-                excl = self.postings_tf(present).select("docID").distinct()
+                if self.query_cache is not None:
+                    excl = None
+                    for t in present:
+                        d = self.filter_docs(t)
+                        excl = d if excl is None else excl.unionByName(d)
+                    excl = excl.distinct()
+                else:
+                    excl = self.postings_tf(present).select("docID").distinct()
                 agg = agg.join(excl, "docID", "left_anti")
         return (
             agg.select("docID", F.col("dsum").cast(FloatType()).alias("score"))
@@ -1299,6 +1332,7 @@ class IndexSearcher:
         max_gaps: int = 0,
         ordered: bool = True,
         k: int = 10,
+        containing: str | None = None,
     ) -> DataFrame:
         """Interval query over stored positions: top-k docs by the number
         of MINIMAL intervals spanning all terms with total gap count
@@ -1312,21 +1346,34 @@ class IndexSearcher:
         unordered: the same greedy sweep as the sloppy matcher; window
         ends are monotone in the evaluation order, so minimal windows
         are again the last window per distinct end. Both count at the
-        minimal interval's width."""
+        minimal interval's width.
+
+        containing=<term> (ordered only): count only minimal intervals
+        that contain at least one occurrence of that term
+        (Intervals.containing — an outer source filtered by an inner)."""
         terms = self._parse(terms if isinstance(terms, str) else " ".join(terms))
         if len(terms) < 2:
             raise ValueError("interval queries need at least two terms")
-        stats = self.term_stats(terms)
-        if any(t not in stats for t in terms):
+        inner = None
+        if containing is not None:
+            if not ordered:
+                raise ValueError("containing is supported for ordered intervals")
+            parsed = self._parse(containing)
+            if len(parsed) != 1:
+                raise ValueError("containing must be a single term")
+            inner = parsed[0]
+        stats = self.term_stats(terms + ([inner] if inner else []))
+        if any(t not in stats for t in terms) or (inner and inner not in stats):
             return self.spark.createDataFrame(
                 [], "docID long, n_intervals long"
             )
         if not self.manifest.get("store_positions", True):
             raise ValueError("index built without positions")
-        uniq = list(dict.fromkeys(terms))
+        uniq = list(dict.fromkeys(terms + ([inner] if inner else [])))
         joined = self._phrase_join(uniq)
         tidx = {t: i for i, t in enumerate(uniq)}
         order_idx = [tidx[t] for t in terms]
+        inner_idx = tidx[inner] if inner else None
         n_terms = len(terms)
         gaps = int(max_gaps)
         out_schema = StructType(
@@ -1374,6 +1421,30 @@ class IndexSearcher:
                         cur = nxt
                     startv = keys[0]
                     endv = np.where(alive, cur, big)
+                    if inner_idx is not None:
+                        arrs = [
+                            np.asarray(a, dtype=np.int64)
+                            for a in pdf[f"pos{inner_idx}"]
+                        ]
+                        ilens = np.fromiter(
+                            (a.size for a in arrs), dtype=np.int64, count=n_docs
+                        )
+                        ikeys = np.repeat(doc_key, ilens) + (
+                            np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                        )
+                        # contains: first inner position >= start is <= end
+                        if ikeys.size:
+                            iidx = np.searchsorted(ikeys, startv, side="left")
+                            ival = np.where(
+                                iidx < ikeys.size,
+                                ikeys[np.minimum(iidx, ikeys.size - 1)],
+                                big,
+                            )
+                            has_inner = ival <= endv
+                        else:
+                            has_inner = np.zeros(startv.shape, dtype=bool)
+                    else:
+                        has_inner = None
                     # minimal = last start per distinct end (end monotone)
                     last_of_doc = np.zeros(startv.shape, dtype=bool)
                     if startv.size:
@@ -1387,6 +1458,8 @@ class IndexSearcher:
                     minimal = last_of_doc | (endv != nxt_end)
                     width = endv - startv  # same doc => plain position diff
                     count = minimal & (endv < big) & (width - (n_terms - 1) <= gaps)
+                    if has_inner is not None:
+                        count &= has_inner
                     n_per_doc = np.add.reduceat(
                         count, starts_l[0]
                     ) if startv.size else np.zeros(n_docs, np.int64)

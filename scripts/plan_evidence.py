@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Regenerate BENCH/plans.md: physical-plan evidence for the headline
+claims (pushdown + pruning, map-side combine, single-job pruned search,
+map-only dedup kernels). Run exclusively (builds the sf0.01 gate index
+if missing)."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "plans.md")
+
+
+def _plan(df, head: int = 18) -> str:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln[:130] for ln in s.splitlines()[:head]]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from lucene_spark import gate
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(16, app_name="plan_evidence")
+    spark.sparkContext.setLogLevel("ERROR")
+    s = gate.searcher_for(spark, SF)
+
+    sections: list[tuple[str, str, str]] = []
+
+    stats = s.term_stats(["table", "scan"])
+    scored = s._scored_postings(["table", "scan"], stats)
+    sections.append((
+        "Term-filtered scoring scan — predicate pushdown + column pruning (no pos_vb)",
+        "The IN filter reaches the parquet scan (DataFilters) and only the 4 scoring columns are read.",
+        _plan(scored, head=6),
+    ))
+
+    topk = s.search(["table", "scan"], k=10, mode="or")
+    sections.append((
+        "OR top-10 — map-side partial aggregate, single exchange, TakeOrderedAndProject",
+        "partial_sum before the exchange; top-k is per-partition heaps + k-row merge, never a global sort.",
+        _plan(topk, head=12),
+    ))
+
+    pruned = s.search(["table", "scan", "spark"], k=10, mode="or", prune=True)
+    sections.append((
+        "Pruned BM25 top-10 (fast path) — ONE job, ub filter before decode",
+        "Theta comes from the terms table (lb_key10), so the plan is the unpruned shape plus a block filter "
+        "on the ub expression — no bootstrap subtree, no persist, no driver collect.",
+        _plan(pruned, head=14),
+    ))
+
+    from lucene_spark.pipeline.dedup import minhash_signatures
+
+    docs = gate._documents(spark, SF)
+    sigs = minhash_signatures(docs, 3)
+    p = _plan(sigs, head=8)
+    sections.append((
+        "MinHash signatures — map-only (no Exchange anywhere)",
+        "Shingle + xxhash64 JVM-side, one Arrow UDF for the 64 permutation minima; shuffle volume zero.",
+        p,
+    ))
+    assert "Exchange" not in p, "minhash signature plan grew a shuffle!"
+
+    with open(OUT, "w") as f:
+        f.write("# Physical-plan evidence (generated)\n\n")
+        f.write("Captured from the live engine at sf0.01; regenerate with\n")
+        f.write("`python scripts/plan_evidence.py`.\n")
+        for title, note, plan in sections:
+            f.write(f"\n## {title}\n\n{note}\n\n```\n{plan}\n```\n")
+    print(f"wrote {OUT}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

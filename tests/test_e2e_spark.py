@@ -410,6 +410,33 @@ def test_combined_field_rank_identity(built_index, terms, tl, wt):
     assert_rank_identical(exp, got, msg=f"[combined {terms} tl={tl}]")
 
 
+@pytest.mark.parametrize(
+    "terms,gaps,inner",
+    [
+        (["apache", "foundation"], 2, "software"),
+        (["license", "apache"], 8, "the"),
+        (["apache", "foundation"], 2, "zzznotaterm"),
+    ],
+)
+def test_interval_containing_match_oracle(built_index, terms, gaps, inner):
+    """Intervals.containing: only minimal intervals holding the inner
+    term count."""
+    _, oracle, searcher = built_index
+    got = {
+        (r["docID"], r["n_intervals"])
+        for r in searcher.search_intervals(
+            terms, max_gaps=gaps, ordered=True, k=1000, containing=inner
+        ).collect()
+    }
+    exp_all = oracle.interval_counts(
+        terms, max_gaps=gaps, ordered=True, containing=inner
+    )
+    exp = {(int(oracle.doc_ids[r]), int(c)) for r, c in exp_all.items()}
+    assert got == exp, f"[containing {terms} in={inner}]"
+    if inner == "software":
+        assert got, "expected real containing matches"
+
+
 def test_sloppy_monotone_in_slop(built_index):
     _, oracle, _ = built_index
     f0 = oracle.sloppy_freqs(["apache", "software"], 0)
