@@ -77,17 +77,24 @@ def _unpack_bits(buf: memoryview, n: int, w: int) -> np.ndarray:
     )
 
 
+_LEB_PREFIX = bytes([_LEB])
+
+
 def encode_block(values: np.ndarray, packed: bool | None = None) -> bytes:
     """Encode a non-negative int array. packed=True chooses the smaller
     of LEB128 and FOR/PFOR bit-packing per payload; default follows
     SPARK_GRAFT_CODEC (vbyte unless set to 'pfor' — see module doc)."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
     if packed is None:
         packed = DEFAULT_PACKED
     if not packed:
-        return bytes([_LEB]) + leb_encode(v)
+        # fast path: single call into the vectorized LEB encoder (this
+        # wrapper runs once per tiny per-term array during flush — keep
+        # its python overhead minimal)
+        out = leb_encode(values)
+        return _LEB_PREFIX + out if out else b""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
     n = v.size
     leb_total = 1 + _leb_size(v)
 

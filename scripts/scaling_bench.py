@@ -73,18 +73,16 @@ def main() -> None:
     args = ap.parse_args()
 
     corpus_path = materialize_corpus(args.docs)
-    # the sandbox shows large run-to-run variance (shared host); report
-    # the best of `repeat` runs per parallelism level
-    lo = min(
-        (run_build(args.low, args.docs, args.queries, corpus_path)
-         for _ in range(args.repeat)),
-        key=lambda d: d["build_wall_sec"],
-    )
-    hi = min(
-        (run_build(args.high, args.docs, args.queries, corpus_path)
-         for _ in range(args.repeat)),
-        key=lambda d: d["build_wall_sec"],
-    )
+    # the sandbox shows large run-to-run variance (an external background
+    # load of ~2-4 cores comes and goes; it barely touches local[2] but
+    # inflates local[8] 2-4x). INTERLEAVE the levels so both sample the
+    # same noise windows, and report the best of `repeat` runs per level.
+    lo_runs, hi_runs = [], []
+    for _ in range(args.repeat):
+        lo_runs.append(run_build(args.low, args.docs, args.queries, corpus_path))
+        hi_runs.append(run_build(args.high, args.docs, args.queries, corpus_path))
+    lo = min(lo_runs, key=lambda d: d["build_wall_sec"])
+    hi = min(hi_runs, key=lambda d: d["build_wall_sec"])
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     eff = speedup / (args.high / args.low)
     out = {
