@@ -862,6 +862,72 @@ def q_interval_near_top10(spark, sf_dir):
 
 
 INTERVAL_INNER = "row"
+SLOPPY2_SLOP = 2
+
+
+def q_sloppy2_top10(spark, sf_dir):
+    """2-term sloppy phrase 'value table'~2 in double precision. The
+    greedy minimal-window sweep evaluates every element as window
+    minimum exactly once, so for two lists each contribution is: first
+    opposite-list element >= e (tie: list order — strict > when the
+    opposite list precedes), weight 1/(1+span) when span <= slop. That
+    is plain join+min SQL — dueled vs DuckDB; the float32 engine matcher
+    is rank-identity pytest-asserted separately."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    t0, t1 = TERMS_AND
+    stats = s.term_stats([t0, t1])
+    w = 0.0
+    for t in (t0, t1):  # fixed order == the SQL's explicit ln(..) sum
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions([t0, t1])
+    A = pos.where(F.col("term") == t0).select("docID", F.col("pos").alias("p"))
+    Bl = pos.where(F.col("term") == t1).select(
+        "docID", (F.col("pos") - 1).alias("p")
+    )
+    a2, b2 = A.alias("a"), Bl.alias("b")
+    ca = (
+        a2.join(b2, (F.col("a.docID") == F.col("b.docID"))
+                & (F.col("b.p") >= F.col("a.p")))
+        .groupBy(F.col("a.docID").alias("docID"), F.col("a.p").alias("p"))
+        .agg(F.min(F.col("b.p")).alias("h"))
+    )
+    cb = (
+        b2.join(a2, (F.col("a.docID") == F.col("b.docID"))
+                & (F.col("a.p") > F.col("b.p")))
+        .groupBy(F.col("b.docID").alias("docID"), F.col("b.p").alias("p"))
+        .agg(F.min(F.col("a.p")).alias("h"))
+    )
+    span = F.col("h") - F.col("p")
+    contrib = F.when(span <= SLOPPY2_SLOP, F.lit(1.0) / (F.lit(1.0) + span)).otherwise(
+        F.lit(0.0)
+    )
+    freq = (
+        ca.unionByName(cb)
+        .groupBy("docID")
+        .agg(F.sum(contrib).alias("freq"))
+        .where(F.col("freq") > 0)
+    )
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
 
 
 def q_interval_containing_top10(spark, sf_dir):
@@ -987,6 +1053,7 @@ QUERIES = {
     "interval_near_top10": q_interval_near_top10,
     "interval_containing_top10": q_interval_containing_top10,
     "combined_field_top10": q_combined_field_top10,
+    "sloppy2_top10": q_sloppy2_top10,
     # extended query operators
     "bm25_msm2": q_bm25_msm2,
     "bm25_must_not": q_bm25_must_not,
@@ -1289,6 +1356,32 @@ WHERE EXISTS (SELECT 1 FROM tokp t WHERE t.doc_id = m.doc_id
               AND t.term = '{INTERVAL_INNER}' AND t.pos BETWEEN m.mp1 AND m.p2)
 GROUP BY m.doc_id
 ORDER BY count(*) DESC, m.doc_id ASC
+LIMIT 10
+"""
+    s2_idf = " + ".join(
+        f"ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - "
+        f"(SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5) / "
+        f"((SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5))"
+        for t in (TERMS_AND[0], TERMS_AND[1])
+    )
+    sqls["sloppy2_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+la AS (SELECT doc_id, pos AS p FROM tokp WHERE term = '{TERMS_AND[0]}'),
+lb AS (SELECT doc_id, pos - 1 AS p FROM tokp WHERE term = '{TERMS_AND[1]}'),
+ca AS (SELECT la.doc_id, la.p, min(lb.p) AS h FROM la JOIN lb
+       ON lb.doc_id = la.doc_id AND lb.p >= la.p GROUP BY la.doc_id, la.p),
+cb AS (SELECT lb.doc_id, lb.p, min(la.p) AS h FROM lb JOIN la
+       ON la.doc_id = lb.doc_id AND la.p > lb.p GROUP BY lb.doc_id, lb.p),
+fr AS (SELECT doc_id,
+              sum(CASE WHEN h - p <= {SLOPPY2_SLOP}
+                       THEN 1.0 / (1.0 + (h - p)) ELSE 0.0 END) AS freq
+       FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY doc_id)
+SELECT fr.doc_id,
+       round(({s2_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM fr JOIN dl ON dl.doc_id = fr.doc_id, avg
+WHERE freq > 0
+ORDER BY ({s2_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, fr.doc_id ASC
 LIMIT 10
 """
     ph_idf = " + ".join(

@@ -71,3 +71,39 @@ def test_gate_duel(spark, ddb, name):
         )
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches, first: {mismatches[:3]}"
+
+
+def test_sloppy2_gate_matches_greedy_oracle(spark):
+    """The sloppy2 gate's closed-form window spec must equal the greedy
+    minimal-window sweep (the engine/oracle spec) — guards against a
+    spec error that the Spark-vs-DuckDB duel (same formula on both
+    sides) cannot catch."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.oracle import OracleIndex
+
+    pdf = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet")).sort_values(
+        "doc_id"
+    )
+    oracle = OracleIndex(pdf["text"].tolist(), doc_ids=pdf["doc_id"].tolist())
+    freqs = oracle.sloppy_freqs(list(gate.TERMS_AND), gate.SLOPPY2_SLOP)
+    n = oracle.doc_count
+    w = 0.0
+    for t in gate.TERMS_AND:
+        df = float(len(oracle.postings[t][0])) if t in oracle.postings else 0.0
+        w += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    avgdl = oracle.sum_total_term_freq / n
+    scored = []
+    for row, f in freqs.items():
+        dl = float(oracle.dl[row])
+        s = w * f / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        scored.append((int(oracle.doc_ids[row]), s))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = [(d, round(s, gate.ROUND)) for d, s in scored[:10]]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in gate.q_sloppy2_top10(spark, SF_DIR).collect()
+    ]
+    assert got == want
