@@ -131,7 +131,13 @@ def main() -> None:
                 t += os.path.getsize(os.path.join(root, fn))
         return t
 
-    idx_bytes = _du(idx_dir)
+    # text-index bytes only (the cached IVF vector index shares the dir
+    # but is a different artifact measured by its own entry)
+    idx_bytes = sum(
+        _du(os.path.join(idx_dir, d))
+        for d in ("postings", "docmap", "terms", "stats", "lineage")
+        if os.path.isdir(os.path.join(idx_dir, d))
+    )
     src_bytes = os.path.getsize(os.path.join(SF_DIR, "documents.parquet")) if os.path.isfile(os.path.join(SF_DIR, "documents.parquet")) else _du(os.path.join(SF_DIR, "documents.parquet"))
 
     out = {
