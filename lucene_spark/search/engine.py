@@ -738,11 +738,20 @@ class IndexSearcher:
         # dozen bytes per block row, never the postings payload.
         from pyspark.sql import Window
 
+        # On tiered incremental indexes block_seq restarts per postings
+        # generation, so (term, salt, block_seq) is NOT unique — the gen
+        # partition column must be part of the candidate key or the
+        # bootstrap join fans out (duplicate block rows double-count doc
+        # scores and inflate theta above the true k-th score, making
+        # phase 2 prune true top-k blocks).
+        key_cols = ["term", "salt", "block_seq"]
+        if "gen" in self._postings.columns:
+            key_cols = ["gen"] + key_cols
         meta = self._postings.filter(F.col("term").isin(list(weights))).select(
-            "term", "salt", "block_seq", "ndocs", "max_tf", "min_norm"
+            *key_cols, "ndocs", "max_tf", "min_norm"
         ).withColumn("ub", self._block_ub_col(weights))
         win = Window.partitionBy("term").orderBy(
-            F.desc("ub"), F.asc("salt"), F.asc("block_seq")
+            F.desc("ub"), *[F.asc(c) for c in key_cols if c != "term"]
         )
         cand_keys = (
             meta.withColumn(
@@ -750,7 +759,7 @@ class IndexSearcher:
                 F.sum("ndocs").over(win.rowsBetween(Window.unboundedPreceding, -1)),
             )
             .filter((F.col("cum").isNull()) | (F.col("cum") < k))
-            .select("term", "salt", "block_seq")
+            .select(*key_cols)
         )
 
         # theta bootstrap: exact doc scores of the candidate blocks; the
@@ -759,9 +768,7 @@ class IndexSearcher:
         # broadcast single-row DataFrame instead of a driver collect, so
         # the whole pruned search is ONE action: Spark evaluates the two
         # broadcast subtrees (cand_keys, theta) then the main scan.
-        cand = blocks.join(
-            F.broadcast(cand_keys), ["term", "salt", "block_seq"]
-        )
+        cand = blocks.join(F.broadcast(cand_keys), key_cols)
         scored1 = self._strip_deleted(
             cand.select("term", "docs_vb", "tfs_vb", "norms_b").mapInPandas(
                 self._decode_score_udf(weights), schema=SCORE_SCHEMA

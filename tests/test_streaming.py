@@ -179,3 +179,60 @@ def test_refresh_visibility_boundary(spark, tmp_path, chunks_dir):
     _atomic_json(_state_path(out), state)
     m2 = refresh(spark, out, partitions=2)
     assert m2["doc_count"] == 100
+
+
+def test_pruned_search_on_multi_gen_index(spark, tmp_path):
+    """Regression: on tiered incremental indexes block_seq restarts per
+    postings generation, so the WAND bootstrap's candidate-block join must
+    key on (gen, term, salt, block_seq) — joining without gen fans out,
+    double-counts doc scores, inflates theta, and phase 2 then prunes
+    blocks holding true top-k docs. prune=True must equal prune=False on
+    a multi-gen index (the lb_key10 fast path never applies there, so the
+    bootstrap path is the one exercised)."""
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        write_segment,
+    )
+
+    out = str(tmp_path / "mgen_idx")
+    os.makedirs(out)
+    n, n_chunks = 240, 3
+    pdf = generate_corpus(n).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    per = n // n_chunks
+    for c in range(n_chunks):
+        part = pdf.iloc[c * per:(c + 1) * per]
+        state = _load_state(out)
+        seg = f"s{c}"
+        nd = write_segment(
+            spark, spark.createDataFrame(part), out, seg, state["next_doc"],
+            partitions=2,
+        )
+        state["next_doc"] += nd
+        state["segments"].append({"seg": seg, "num_docs": nd})
+        _atomic_json(_state_path(out), state)
+        refresh(spark, out, partitions=2)
+
+    s = IndexSearcher(spark, out)
+    assert len(s.manifest["gens"]) == n_chunks  # genuinely multi-gen
+    assert "gen" in s._postings.columns
+    # The trigger shape: a term rare enough that its per-gen blocks all
+    # carry < k docs (so >1 window row survives the cum<k candidate
+    # filter, and without gen in the key those rows are duplicates),
+    # queried single-term (slack=0, so the doubled theta can't hide
+    # behind cross-term slack). Unfixed engine returned 0 rows here.
+    rare = (
+        s._terms.filter((F.col("df") >= 30) & (F.col("df") <= 45))
+        .orderBy("term").limit(1).collect()[0]["term"]
+    )
+    for query, mode, k in [
+        ([rare], "or", 20),
+        ("return value table", "or", 10),
+        ("return value", "or", 3),
+        ("value table", "and", 10),
+    ]:
+        exp = [(r["docID"], r["score"]) for r in s.search(query, k=k, mode=mode).collect()]
+        got = [(r["docID"], r["score"])
+               for r in s.search(query, k=k, mode=mode, prune=True).collect()]
+        assert got == exp, f"pruned != unpruned for {query!r} mode={mode} k={k}"
