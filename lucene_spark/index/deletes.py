@@ -38,6 +38,7 @@ from lucene_spark.index.builder import (
 )
 from lucene_spark.util.blockcodec import decode_block as decode
 from lucene_spark.util.blockcodec import encode_block as encode
+from lucene_spark.util.blockcodec import validate_manifest_codec
 from lucene_spark.util.varbyte import (
     delta_decode,
     delta_encode,
@@ -130,6 +131,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     deleted = load_deleted_ids(spark, index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    validate_manifest_codec(manifest)
     if manifest.get("gens"):
         # tiered incremental layout: segment runs would re-introduce the
         # deleted docs on the next refresh; expunge there means rewriting

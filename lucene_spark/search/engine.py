@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 from lucene_spark.analysis import analyze
 from lucene_spark.search.bm25 import BM25Scorer, idf
 from lucene_spark.util.blockcodec import decode_block as decode
+from lucene_spark.util.blockcodec import validate_manifest_codec
 from lucene_spark.util.varbyte import delta_decode, segmented_delta_decode
 
 SCORE_SCHEMA = StructType(
@@ -74,6 +75,7 @@ class IndexSearcher:
         self.query_cache = query_cache  # search.cache.QueryCache or None
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
+        validate_manifest_codec(self.manifest)
         self.doc_count = self.manifest["doc_count"]
         self.scorer = BM25Scorer.build(
             self.doc_count, self.manifest["sum_total_term_freq"]

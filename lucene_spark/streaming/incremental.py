@@ -301,6 +301,14 @@ def refresh(
     Pass segs_per_tier=1 to force full compaction (bit-identical to the
     one-shot batch build)."""
     n_part = partitions or spark.sparkContext.defaultParallelism
+    # compaction decodes prior generations' payloads — refuse indexes
+    # written before the self-describing block codec (no 'codec' key)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        from lucene_spark.util.blockcodec import validate_manifest_codec
+
+        with open(mpath) as f:
+            validate_manifest_codec(json.load(f))
     state = _load_state(out_dir)
     gens: list[dict] = state.setdefault("gens", [])
     merged_segs = {s for g in gens for s in g["segs"]}

@@ -43,6 +43,33 @@ from lucene_spark.util.varbyte import encode as leb_encode
 DEFAULT_PACKED = os.environ.get("SPARK_GRAFT_CODEC", "vbyte") == "pfor"
 CODEC_NAME = "adaptive-pfor-v1" if DEFAULT_PACKED else "vbyte-v1"
 
+# every manifest['codec'] this decode_block can read (both names share
+# the self-describing 1-byte header, so either reads either)
+READABLE_CODECS = frozenset({"vbyte-v1", "adaptive-pfor-v1"})
+
+
+def validate_manifest_codec(manifest: dict) -> str:
+    """Fail fast on indexes whose payloads this decoder cannot read.
+
+    Indexes built before the header byte existed have no 'codec' key and
+    store RAW varbyte payloads: decode_block would silently drop the
+    first value whenever the leading LEB byte happens to be 0x01, or
+    raise an opaque 'unknown block codec tag' mid-query. Checked at
+    every reader entry point (IndexSearcher, expunge) instead.
+    """
+    codec = manifest.get("codec")
+    if codec is None:
+        raise ValueError(
+            "index predates the self-describing block codec "
+            "(manifest has no 'codec' key) — rebuild required"
+        )
+    if codec not in READABLE_CODECS:
+        raise ValueError(
+            f"index codec {codec!r} is not readable by this build "
+            f"(readable: {sorted(READABLE_CODECS)})"
+        )
+    return codec
+
 _LEB = 0x01
 _PACKED = 0x02
 _MAX_EXCEPTIONS = 7  # PForUtil.java:29

@@ -89,3 +89,31 @@ def test_vbyte_mode_emits_leb_header():
 def test_unknown_tag_rejected():
     with pytest.raises(ValueError, match="unknown block codec"):
         decode_block(b"\x7fjunk")
+
+
+def test_legacy_manifest_without_codec_fails_fast(spark, built_index, tmp_path):
+    """Opening an index whose manifest predates the self-describing block
+    codec (no 'codec' key) must raise clearly instead of silently
+    misdecoding raw-varbyte payloads whose first LEB byte is 0x01."""
+    import json
+    import os
+    import shutil
+
+    from lucene_spark.search.engine import IndexSearcher
+    from lucene_spark.util.blockcodec import validate_manifest_codec
+
+    _, _, searcher = built_index
+    legacy = str(tmp_path / "legacy_idx")
+    shutil.copytree(searcher.index_dir, legacy)
+    mpath = os.path.join(legacy, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("codec")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="rebuild required"):
+        IndexSearcher(spark, legacy)
+    with pytest.raises(ValueError, match="not readable"):
+        validate_manifest_codec({"codec": "future-v9"})
+    # the untouched index still opens
+    assert IndexSearcher(spark, searcher.index_dir).doc_count > 0
