@@ -172,26 +172,57 @@ def minhash_candidates(
     # (a self-join shuffles them twice), pairs expanded per bucket.
     # Buckets are collision groups — tiny by construction; a degenerate
     # all-docs-identical corpus makes one giant bucket, which is the
-    # same O(n^2) the self-join would produce.
+    # same O(n^2) CPU the self-join would produce. Pair EXPANSION is
+    # chunked so a degenerate bucket never materializes its quadratic
+    # pair set inside a single row (2 GB array limit / executor OOM):
+    # the bucket explodes into chunk-pair rows carrying <= 2*CHUNK ids
+    # each, and each row expands at most CHUNK^2 pairs, streamed through
+    # whole-stage codegen into distinct()'s partial aggregate. Buckets
+    # with <= CHUNK ids take exactly the old single-row triangular path.
+    CHUNK = 1024
     buckets = (
         band_rows.groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
+    nchunks = F.floor((F.size("ids") - 1) / CHUNK).cast("int") + F.lit(1)
+    chunk_idx = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda i: F.transform(
-                F.slice("ids", 1, i),
-                lambda x: F.struct(
-                    F.least(x, F.element_at("ids", (i + 1).cast("int"))).alias("a"),
-                    F.greatest(x, F.element_at("ids", (i + 1).cast("int"))).alias("b"),
-                ),
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j),
+                lambda i: F.struct(i.alias("i"), j.alias("j")),
             ),
         )
     )
+    chunked = buckets.select(
+        "ids", F.explode(chunk_idx).alias("cp")
+    ).select(
+        F.slice("ids", F.col("cp.i") * CHUNK + 1, F.lit(CHUNK)).alias("left"),
+        F.slice("ids", F.col("cp.j") * CHUNK + 1, F.lit(CHUNK)).alias("right"),
+        (F.col("cp.i") == F.col("cp.j")).alias("same"),
+    )
+
+    def _pair(a, b):
+        return F.struct(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("left") - 1),
+            lambda i: F.transform(
+                F.slice("left", 1, i),
+                lambda x: _pair(x, F.element_at("left", (i + 1).cast("int"))),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            "left", lambda a: F.transform("right", lambda b: _pair(a, b))
+        )
+    )
+    pair_arr = F.when(F.col("same"), tri).otherwise(cross)
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        chunked.select(F.explode(pair_arr).alias("p"))
         .select("p.a", "p.b")
         .distinct()
     )

@@ -46,6 +46,21 @@ from lucene_spark.util.blockcodec import decode_block as decode
 from lucene_spark.util.blockcodec import validate_manifest_codec
 from lucene_spark.util.varbyte import delta_decode, segmented_delta_decode
 
+def _pos_shift(max_pos: int, headroom: int, floor_bits: int = 21) -> np.int64:
+    """Doc-key packing shift: smallest power of two > max_pos + headroom
+    (floored at 2^floor_bits, the cheap common case). Positional kernels
+    pack (doc, position) as batch_doc_index * SHIFT + position; deriving
+    SHIFT from the batch's real max position keeps the packing
+    collision-free for pathological documents with >=2^21 token
+    positions — a fixed shift would bleed such positions into the next
+    doc's key space and report false cross-document adjacency."""
+    bits = floor_bits
+    need = int(max_pos) + int(headroom)
+    while (1 << bits) <= need:
+        bits += 1
+    return np.int64(1) << np.int64(bits)
+
+
 SCORE_SCHEMA = StructType(
     [
         StructField("docID", LongType()),
@@ -917,23 +932,33 @@ class IndexSearcher:
 
         def match_batch(batches):
             # Vectorized across the whole Arrow batch: encode (doc,
-            # position) pairs as docID<<21 | pos keys and test phrase
-            # alignment with np.isin per (term, offset) — no per-doc loop.
-            # (ExactPhraseMatcher.java:37-167 semantics; positions < 2^21
-            # is guaranteed far above any real doc length.)
-            SHIFT = np.int64(1) << np.int64(21)
+            # position) pairs as batch_doc_index*SHIFT + pos keys and test
+            # phrase alignment with np.isin per (term, offset) — no
+            # per-doc loop. (ExactPhraseMatcher.java:37-167 semantics;
+            # SHIFT is derived per batch so huge documents can't bleed
+            # into the next doc's key space.)
+            n_phrase = len(terms)
             for pdf in batches:
                 if len(pdf) == 0:
                     yield pd.DataFrame({"docID": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")})
                     continue
                 docids = pdf["docID"].to_numpy(np.int64)
-                cols = {}
+                flats, lens_l = [], []
+                maxpos = 0
                 for i in range(len(uniq_terms)):
                     arrs = [np.asarray(a, dtype=np.int64) for a in pdf[f"pos{i}"]]
                     lens = np.array([a.size for a in arrs], dtype=np.int64)
                     flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-                    keys = np.repeat(docids, lens) * SHIFT + flat
-                    cols[i] = (keys, lens)
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    lens_l.append(lens)
+                SHIFT = _pos_shift(maxpos, n_phrase)
+                doc_key = np.arange(len(pdf), dtype=np.int64) * SHIFT
+                cols = {
+                    i: (np.repeat(doc_key, lens_l[i]) + flats[i], lens_l[i])
+                    for i in range(len(uniq_terms))
+                }
                 base_keys, base_lens = cols[base_t]
                 ok = np.ones(base_keys.shape, dtype=bool)
                 for tidx, offs in offsets_by_tidx.items():
@@ -1003,7 +1028,6 @@ class IndexSearcher:
         )
         n_pos = len(terms)
         slop_i = int(slop)
-        SHIFT = np.int64(1) << np.int64(22)  # > max position + max offset
         BASE = np.int64(n_pos)  # keeps offset-adjusted values non-negative
 
         def match_batch(batches):
@@ -1015,8 +1039,8 @@ class IndexSearcher:
                          "score": pd.array([], dtype="float32")}
                     )
                     continue
-                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
-                keys, starts = [], []
+                flats, lens_l = [], []
+                maxpos = 0
                 for li in range(n_pos):
                     arrs = [
                         np.asarray(a, dtype=np.int64)
@@ -1026,8 +1050,19 @@ class IndexSearcher:
                         (a.size for a in arrs), dtype=np.int64, count=n_docs
                     )
                     flat = np.concatenate(arrs) + np.int64(BASE - li)
-                    keys.append(np.repeat(doc_key, lens) + flat)
-                    starts.append(np.concatenate(([0], np.cumsum(lens)[:-1])))
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    lens_l.append(lens)
+                # SHIFT > max offset-adjusted position, derived per batch
+                SHIFT = _pos_shift(maxpos, 1, floor_bits=22)
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys, starts = [], []
+                for li in range(n_pos):
+                    keys.append(np.repeat(doc_key, lens_l[li]) + flats[li])
+                    starts.append(
+                        np.concatenate(([0], np.cumsum(lens_l[li])[:-1]))
+                    )
                 freq = np.zeros(n_docs, dtype=np.float64)
                 big = np.int64(1) << np.int64(60)
                 for i in range(n_pos):
@@ -1118,8 +1153,6 @@ class IndexSearcher:
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
         )
-        SHIFT = np.int64(1) << np.int64(21)
-
         def match_batch(batches):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -1129,14 +1162,25 @@ class IndexSearcher:
                     )
                     continue
                 docids = pdf["docID"].to_numpy(np.int64)
-                keysets = []
+                flats, lens_l = [], []
+                maxpos = 0
                 for i in range(n_slots):
                     arrs = [np.asarray(a, dtype=np.int64) for a in pdf[f"pos{i}"]]
                     lens = np.fromiter(
                         (a.size for a in arrs), dtype=np.int64, count=len(arrs)
                     )
                     flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-                    keysets.append((np.repeat(docids, lens) * SHIFT + flat, lens))
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    lens_l.append(lens)
+                # SHIFT derived per batch (headroom n_slots for base_keys+i)
+                SHIFT = _pos_shift(maxpos, n_slots)
+                doc_key = np.arange(len(pdf), dtype=np.int64) * SHIFT
+                keysets = [
+                    (np.repeat(doc_key, lens_l[i]) + flats[i], lens_l[i])
+                    for i in range(n_slots)
+                ]
                 base_keys, base_lens = keysets[0]
                 ok = np.ones(base_keys.shape, dtype=bool)
                 for i in range(1, n_slots):
@@ -1388,7 +1432,6 @@ class IndexSearcher:
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("n_intervals", LongType())]
         )
-        SHIFT = np.int64(1) << np.int64(22)
         is_ordered = bool(ordered)
 
         def match_batch(batches):
@@ -1401,8 +1444,8 @@ class IndexSearcher:
                     )
                     continue
                 docids = pdf["docID"].to_numpy(np.int64)
-                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
-                keys, starts_l, lens_l = [], [], []
+                flats, starts_l, lens_l = [], [], []
+                maxpos = 0
                 for li in range(n_terms):
                     arrs = [
                         np.asarray(a, dtype=np.int64)
@@ -1412,9 +1455,19 @@ class IndexSearcher:
                         (a.size for a in arrs), dtype=np.int64, count=n_docs
                     )
                     flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-                    keys.append(np.repeat(doc_key, lens) + flat)
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
                     starts_l.append(np.concatenate(([0], np.cumsum(lens)[:-1])))
                     lens_l.append(lens)
+                # SHIFT derived per batch; *2 headroom keeps the unordered
+                # sweep's `width < SHIFT // 2` same-doc guard meaningful.
+                SHIFT = _pos_shift(maxpos * 2 + 2, 1, floor_bits=22)
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys = [
+                    np.repeat(doc_key, lens_l[li]) + flats[li]
+                    for li in range(n_terms)
+                ]
                 big = np.int64(1) << np.int64(60)
                 if is_ordered:
                     # chain first-greater through the term sequence

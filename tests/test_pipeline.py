@@ -57,6 +57,22 @@ def test_minhash_equals_exact_pairs(spark, docs):
     assert lsh == exact
 
 
+def test_minhash_degenerate_bucket_chunked(spark):
+    """A single LSH bucket larger than the 1024-id expansion chunk must
+    still yield the complete pair set (pair generation is chunked into
+    bounded rows so a duplicate-heavy corpus can't OOM one task)."""
+    from lucene_spark.pipeline.dedup import minhash_candidates, minhash_signatures
+
+    n = 1500  # > CHUNK=1024 -> triangular + cross chunk-pair rows
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    cands = minhash_candidates(minhash_signatures(docs, k=3, num_perm=64))
+    assert cands.count() == n * (n - 1) // 2
+    assert cands.where(F.col("a") >= F.col("b")).count() == 0
+
+
 def test_simhash_near_dups_have_small_hamming(spark, docs):
     """Docs that are >=0.9-Jaccard near-dups should collide in simhash
     blocking with small hamming distance."""

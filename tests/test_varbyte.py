@@ -65,3 +65,20 @@ def test_segmented_positions_roundtrip(seed):
     gaps = segmented_delta_encode(flat, lens)
     back = segmented_delta_decode(decode(encode(gaps)), lens)
     assert (back == flat).all()
+
+
+def test_pos_shift_derivation():
+    """Doc-key packing shift adapts to pathological position counts:
+    floored at 2^21 for normal docs, widened past the batch max so a
+    >=2M-token document can't bleed into the next doc's key space."""
+    from lucene_spark.search.engine import _pos_shift
+
+    assert _pos_shift(100, 3) == 1 << 21
+    assert _pos_shift((1 << 21) - 2, 3) == 1 << 22  # headroom crosses 2^21
+    assert _pos_shift(1 << 21, 1) == 1 << 22
+    assert _pos_shift((1 << 25) + 5, 2) == 1 << 26
+    assert _pos_shift(0, 1, floor_bits=22) == 1 << 22
+    # shift always strictly exceeds max_pos + headroom
+    for mp in (0, 1, (1 << 21) - 1, 1 << 21, (1 << 23) + 7):
+        s = int(_pos_shift(mp, 4))
+        assert s > mp + 4 and (s & (s - 1)) == 0
