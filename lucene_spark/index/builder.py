@@ -55,6 +55,7 @@ import hashlib
 import json
 import os
 import time
+from itertools import chain
 
 import numpy as np
 import pandas as pd
@@ -239,54 +240,109 @@ def _repartition_exact(
     )
 
 
-def _invert_partition(
-    offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
-):
-    """mapInPandas kernel: one generator instance == one range partition;
-    assigns dense docIDs from the partition's global offset, inverts each
-    document, and flushes buffered per-term posting runs every
-    ``flush_docs`` docs (DWPT flush analog)."""
+def _invert_window(
+    tok_lists: list[list[str]],
+    ids: np.ndarray,
+    norms: np.ndarray,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Invert one flush window (ascending-docID docs of ONE rpid range)
+    into per-term posting runs — fully vectorized, no per-token Python.
 
-    def _flush(buf: dict) -> pd.DataFrame:
-        terms, firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], [], []
-        dvbs, tvbs, nbs, pvbs = [], [], [], []
-        for term in buf:
-            docs, tfs, norms, pos_flat = buf[term]
-            d = np.asarray(docs, dtype=np.int64)
-            t = np.asarray(tfs, dtype=np.int64)
-            nb = np.asarray(norms, dtype=np.uint8)
-            terms.append(term)
+    FieldInvertState accounting (tf + positions per term per doc) falls
+    out of one pd.factorize (C hash join: token -> dense term code) plus
+    one stable argsort of the codes: within a term code, tokens keep
+    (doc asc, position asc) order, so posting boundaries are run breaks
+    of (code, doc) and positions are already the per-doc concatenation
+    the codec wants. Term output order == first-appearance order
+    (factorize order), matching the old dict-accumulator byte-for-byte.
+    """
+    n = len(tok_lists)
+    dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(dls.sum())
+    terms: list[str] = []
+    firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], []
+    dvbs, tvbs, nbs, pvbs = [], [], [], []
+    if total:
+        flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
+        codes, uniq = pd.factorize(flat)
+        codes = np.asarray(codes, dtype=np.int64)
+        doc_rep = np.repeat(ids, dls)
+        norm_rep = np.repeat(norms.astype(np.uint8), dls)
+        doc_starts = np.concatenate(([0], np.cumsum(dls)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dls)
+        if total < 3_000_000_000:
+            # stable grouping via ONE in-place introsort of unique packed
+            # keys (code*total + index) — ~2.5x faster than a stable
+            # argsort of the repeated codes at flush-window sizes
+            key = codes * np.int64(total) + np.arange(total, dtype=np.int64)
+            key.sort()
+            order = key % np.int64(total)
+        else:  # pack would overflow int64; windows never get this big
+            order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        sd = doc_rep[order]
+        sn = norm_rep[order]
+        sp = pos[order] if store_positions else None
+        # posting boundaries: run breaks of (term code, doc)
+        pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
+        pstarts = np.flatnonzero(pb)
+        tf = np.diff(np.append(pstarts, total))
+        pdocs = sd[pstarts]
+        pnorms = sn[pstarts]
+        pcodes = sc[pstarts]
+        # term boundaries within the posting arrays (codes ascend = dense
+        # 0..V-1, so slice k belongs to uniq[k])
+        tb = np.concatenate(([True], pcodes[1:] != pcodes[:-1]))
+        tstarts = np.flatnonzero(tb)
+        tends = np.append(tstarts[1:], pstarts.size)
+        tok_bounds = np.append(pstarts, total)
+        for k in range(tstarts.size):
+            s, e = int(tstarts[k]), int(tends[k])
+            d = pdocs[s:e]
+            t = tf[s:e]
+            terms.append(uniq[k])
             firsts.append(int(d[0]))
             ndocs.append(d.size)
             cfs.append(int(t.sum()))
             mtfs.append(int(t.max()))
-            mnorms.append(int(nb.min()))
+            mnorms.append(int(pnorms[s:e].min()))
             dvbs.append(encode(delta_encode(d)))
             tvbs.append(encode(t))
-            nbs.append(nb.tobytes())
-            if pos_flat is not None:
-                p = np.asarray(pos_flat, dtype=np.int64)
+            nbs.append(pnorms[s:e].tobytes())
+            if store_positions:
+                p = sp[tok_bounds[s]:tok_bounds[e]]
                 pvbs.append(encode(segmented_delta_encode(p, t)))
             else:
                 pvbs.append(b"")
-        n = len(terms)
-        frame = pd.DataFrame(
-            {
-                "term": terms,
-                "first_doc": pd.array(firsts, dtype="int64"),
-                "ndocs": pd.array(ndocs, dtype="int32"),
-                "cf": pd.array(cfs, dtype="int64"),
-                "max_tf": pd.array(mtfs, dtype="int32"),
-                "min_norm": pd.array(mnorms, dtype="int32"),
-                "docs_vb": dvbs,
-                "tfs_vb": tvbs,
-                "norms_b": nbs,
-                "pos_vb": pvbs,
-            }
-        )
-        for c in _META_COLS:
-            frame[c] = None
-        return frame[_RUN_COLS + _META_COLS]
+    frame = pd.DataFrame(
+        {
+            "term": terms,
+            "first_doc": pd.array(firsts, dtype="int64"),
+            "ndocs": pd.array(ndocs, dtype="int32"),
+            "cf": pd.array(cfs, dtype="int64"),
+            "max_tf": pd.array(mtfs, dtype="int32"),
+            "min_norm": pd.array(mnorms, dtype="int32"),
+            "docs_vb": dvbs,
+            "tfs_vb": tvbs,
+            "norms_b": nbs,
+            "pos_vb": pvbs,
+        }
+    )
+    for c in _META_COLS:
+        frame[c] = None
+    return frame[_RUN_COLS + _META_COLS]
+
+
+def _invert_partition(
+    offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
+):
+    """mapInPandas kernel: one generator instance == one range partition;
+    assigns dense docIDs from the partition's global offset, buffers each
+    document's tokens, and inverts + flushes per-term posting runs every
+    ``flush_docs`` docs (DWPT flush analog) via the vectorized
+    ``_invert_window`` — the only remaining per-doc Python is the
+    C-speed regex tokenizer and the sha256 call."""
 
     def fn(batches):
         # docIDs: each range id (rpid) owns the dense docID range
@@ -297,89 +353,83 @@ def _invert_partition(
         # doc range has to be disjoint from every other run's for the
         # merge-by-first_doc concatenation to stay sorted.
         next_ids: dict[int, int] = {}
-        buf: dict[str, list] = {}
+        win_toks: list[list[str]] = []
+        win_ids: list[np.ndarray] = []
+        win_norms: list[np.ndarray] = []
         buffered = 0
         cur_rp: int | None = None
+
+        def _flush_window() -> pd.DataFrame:
+            nonlocal win_toks, win_ids, win_norms, buffered
+            out = _invert_window(
+                win_toks,
+                np.concatenate(win_ids),
+                np.concatenate(win_norms),
+                store_positions,
+            )
+            win_toks, win_ids, win_norms = [], [], []
+            buffered = 0
+            return out
+
         for pdf in batches:
             n = len(pdf)
-            rpids = pdf["rpid"].to_numpy()
+            rpids = pdf["rpid"].to_numpy(np.int64)
+            # vectorized docID assignment: one arange per contiguous rpid run
             ids = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                rp = int(rpids[i])
-                nid = next_ids.get(rp)
-                if nid is None:
-                    nid = offsets[rp]
-                ids[i] = nid
-                next_ids[rp] = nid + 1
+            run_starts = np.flatnonzero(
+                np.concatenate(([True], rpids[1:] != rpids[:-1]))
+            )
+            run_ends = np.append(run_starts[1:], n)
+            for s, e in zip(run_starts, run_ends):
+                rp = int(rpids[s])
+                st = next_ids.get(rp, offsets[rp])
+                ids[s:e] = np.arange(st, st + (e - s), dtype=np.int64)
+                next_ids[rp] = st + (e - s)
 
             # tokenize the whole batch first so norms vectorize in one call
             tok_lists = [analyze(t) for t in pdf["content"]]
             dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
             norms_arr = int_to_byte4(dls)
 
-            flushes = []
-            meta = {c: [] for c in _META_COLS}
-            for row_i, (did, repo, path, commit, lang, text) in enumerate(zip(
-                ids, pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
-                pdf["content"],
-            )):
-                did = int(did)
-                rp = int(rpids[row_i])
-                if rp != cur_rp:
-                    if buf:
-                        flushes.append(_flush(buf))
-                        buf = {}
-                        buffered = 0
-                    cur_rp = rp
-                toks = tok_lists[row_i]
-                dl = int(dls[row_i])
-                norm = int(norms_arr[row_i])
-                meta["docID"].append(did)
-                meta["repo"].append(repo)
-                meta["path"].append(path)
-                meta["commit"].append(commit)
-                meta["lang"].append(lang)
-                meta["content_sha256"].append(
-                    hashlib.sha256(text.encode("utf-8")).digest()
-                )
-                meta["dl"].append(dl)
-                meta["norm"].append(norm)
-                # per-term tf + positions (FieldInvertState accounting),
-                # accumulated straight into the partition run buffer
-                tfpos: dict[str, list[int]] = {}
-                for pos, t in enumerate(toks):
-                    lst = tfpos.get(t)
-                    if lst is None:
-                        tfpos[t] = [pos]
-                    else:
-                        lst.append(pos)
-                for t, plist in tfpos.items():
-                    ent = buf.get(t)
-                    if ent is None:
-                        ent = buf[t] = (
-                            [], [], [], [] if store_positions else None
-                        )
-                    ent[0].append(did)
-                    ent[1].append(len(plist))
-                    ent[2].append(norm)
-                    if store_positions:
-                        ent[3].extend(plist)
-                buffered += 1
-                if buffered >= flush_docs:
-                    flushes.append(_flush(buf))
-                    buf = {}
-                    buffered = 0
-            meta_pdf = pd.DataFrame(meta)
-            meta_pdf["docID"] = meta_pdf["docID"].astype("int64")
-            meta_pdf["dl"] = meta_pdf["dl"].astype("int32")
-            meta_pdf["norm"] = meta_pdf["norm"].astype("int32")
+            meta_pdf = pd.DataFrame(
+                {
+                    "docID": pd.array(ids, dtype="int64"),
+                    "repo": pdf["repo"].to_numpy(),
+                    "path": pdf["path"].to_numpy(),
+                    "commit": pdf["commit"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "content_sha256": [
+                        hashlib.sha256(t.encode("utf-8")).digest()
+                        for t in pdf["content"]
+                    ],
+                    "dl": pd.array(dls, dtype="int32"),
+                    "norm": pd.array(norms_arr, dtype="int32"),
+                }
+            )
             for c in _RUN_COLS:
                 meta_pdf[c] = None
             yield meta_pdf[_RUN_COLS + _META_COLS]
-            for fl in flushes:
-                yield fl
-        if buf:
-            yield _flush(buf)
+
+            # window accumulation: flush at every rpid boundary (runs must
+            # hold disjoint doc ranges) and every flush_docs docs
+            for s, e in zip(run_starts, run_ends):
+                rp = int(rpids[s])
+                if rp != cur_rp:
+                    if buffered:
+                        yield _flush_window()
+                    cur_rp = rp
+                i = s
+                while i < e:
+                    take = min(e - i, flush_docs - buffered)
+                    win_toks.extend(tok_lists[i:i + take])
+                    win_ids.append(ids[i:i + take])
+                    win_norms.append(norms_arr[i:i + take])
+                    buffered += take
+                    i += take
+                    if buffered >= flush_docs:
+                        yield _flush_window()
+        if buffered:
+            yield _flush_window()
 
     return fn
 
