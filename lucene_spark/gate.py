@@ -405,12 +405,14 @@ def q_dismax_top10(spark, sf_dir):
 
 def q_fuzzy_expand(spark, sf_dir):
     """FuzzyQuery term expansion: dictionary terms within edit distance 2
-    of the target (AutomatonTermsEnum analog via levenshtein on the terms
-    table)."""
+    of the target (AutomatonTermsEnum analog: sound length-window +
+    pigeonhole-substring pre-filters pushed into the terms scan, exact
+    levenshtein on survivors — engine.fuzzy_terms). Dueled against the
+    oracle's UNPRUNED levenshtein scan: identical rows prove the
+    pre-filters drop nothing."""
     s = searcher_for(spark, sf_dir)
-    return (
-        s.terms_table.where(F.levenshtein(F.col("term"), F.lit(FUZZY_TARGET)) <= 2)
-        .select("term", F.col("df").cast("long").alias("df"))
+    return s.fuzzy_terms(FUZZY_TARGET, max_edits=2).select(
+        "term", F.col("df").cast("long").alias("df")
     )
 
 
@@ -865,14 +867,14 @@ INTERVAL_INNER = "row"
 SLOPPY2_SLOP = 2
 
 
-def q_sloppy2_top10(spark, sf_dir):
-    """2-term sloppy phrase 'value table'~2 in double precision. The
-    greedy minimal-window sweep evaluates every element as window
-    minimum exactly once, so for two lists each contribution is: first
-    opposite-list element >= e (tie: list order — strict > when the
-    opposite list precedes), weight 1/(1+span) when span <= slop. That
-    is plain join+min SQL — dueled vs DuckDB; the float32 engine matcher
-    is rank-identity pytest-asserted separately."""
+def _sloppy2_scored(spark, sf_dir):
+    """(doc_id, s): double-precision sloppy-phrase score for
+    'value table'~2 over the decoded index (shared by the sloppy gate and
+    the parsed-query boost gate). The greedy minimal-window sweep
+    evaluates every element as window minimum exactly once, so for two
+    lists each contribution is: first opposite-list element >= e (tie:
+    list order — strict > when the opposite list precedes), weight
+    1/(1+span) when span <= slop. That is plain join+min SQL."""
     import math
 
     s = searcher_for(spark, sf_dir)
@@ -913,17 +915,93 @@ def q_sloppy2_top10(spark, sf_dir):
         .where(F.col("freq") > 0)
     )
     dm = _docid_map(s)
-    scored = freq.join(F.broadcast(dm), "docID").withColumn(
-        "s",
-        F.lit(w)
-        * F.col("freq")
-        / (
-            F.col("freq")
-            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-        ),
+    return freq.join(F.broadcast(dm), "docID").select(
+        "doc_id",
+        (
+            F.lit(w)
+            * F.col("freq")
+            / (
+                F.col("freq")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        ).alias("s"),
     )
+
+
+def q_sloppy2_top10(spark, sf_dir):
+    """2-term sloppy phrase 'value table'~2 in double precision —
+    SQL-dueled; the float32 engine matcher is rank-identity
+    pytest-asserted separately."""
+    scored = _sloppy2_scored(spark, sf_dir)
     return (
         scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+PARSED_BOOST_SLOPPY = 1.5   # '"value table"~2^1.5 OR spark^0.5'
+PARSED_BOOST_TERM = 0.5
+PARSED_BOOST_T = "spark"
+
+
+def q_parsed_sloppy_boost_top10(spark, sf_dir):
+    """Parsed query '"value table"~2^1.5 OR spark^0.5' in double
+    precision: SHOULD-union of a boosted sloppy phrase and a boosted
+    term — per-doc score = 1.5*sloppy + 0.5*bm25, docs matching either
+    side. SQL-dueled; the float32 query-string parser path over the same
+    syntax is rank-identity pytest-asserted (tests/test_queryparser.py)."""
+    sp = _sloppy2_scored(spark, sf_dir).select(
+        "doc_id", (F.col("s") * PARSED_BOOST_SLOPPY).alias("s1")
+    )
+    tm = (
+        _bm25_spark_scored(spark, sf_dir, [PARSED_BOOST_T])
+        .select("doc_id", (F.col("s") * PARSED_BOOST_TERM).alias("s2"))
+    )
+    both = sp.join(tm, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("s1", F.lit(0.0)) + F.coalesce("s2", F.lit(0.0))).alias("s"),
+    )
+    return (
+        both.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_fuzzy_scored_top10(spark, sf_dir):
+    """FuzzyQuery scan~2 scored: sum of per-term double-precision BM25
+    over the pruned dictionary expansion (scoring-boolean rewrite of the
+    parser's fuzzy leaf) — SQL-dueled against an unpruned levenshtein
+    expansion, proving the pushed pre-filters drop nothing."""
+    s = searcher_for(spark, sf_dir)
+    terms = s.expand_fuzzy(FUZZY_TARGET, max_edits=2)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = _bm25_spark_scored(spark, sf_dir, terms)
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("s"))
+    return (
+        agg.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_range_scored_top10(spark, sf_dir):
+    """TermRangeQuery [scan TO table] scored: sum of per-term
+    double-precision BM25 over the dictionary slice (the parser's range
+    leaf execution) — SQL-dueled."""
+    s = searcher_for(spark, sf_dir)
+    terms = s.expand_terms(lo=RANGE_LO, hi=RANGE_HI, top_terms=True)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = _bm25_spark_scored(spark, sf_dir, terms)
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("s"))
+    return (
+        agg.select("doc_id", F.round("s", ROUND).alias("score"), "s")
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", "score")
@@ -1059,6 +1137,9 @@ QUERIES = {
     "bm25_must_not": q_bm25_must_not,
     "dismax_top10": q_dismax_top10,
     "fuzzy_expand": q_fuzzy_expand,
+    "fuzzy_scored_top10": q_fuzzy_scored_top10,
+    "range_scored_top10": q_range_scored_top10,
+    "parsed_sloppy_boost_top10": q_parsed_sloppy_boost_top10,
     "term_range_df": q_term_range_df,
     "regexp_df": q_regexp_df,
     "sort_by_field": q_sort_by_field,
@@ -1383,6 +1464,73 @@ FROM fr JOIN dl ON dl.doc_id = fr.doc_id, avg
 WHERE freq > 0
 ORDER BY ({s2_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, fr.doc_id ASC
 LIMIT 10
+"""
+
+    # -- scoring rewrites of the parser's multi-term leaves (r3) ----------
+    def _expansion_scored_sql(where: str) -> str:
+        """Sum-of-BM25 over a bounded dictionary expansion, mirroring
+        expand_fuzzy / expand_terms(top_terms=True): highest-df terms
+        first, tie term ASC, capped at MAX_EXPANSIONS=1024."""
+        return f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+exp AS (SELECT term, df FROM alldf WHERE {where}
+        ORDER BY df DESC, term ASC LIMIT 1024),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - exp.df + 0.5) / (exp.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN exp USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
+    # unpruned levenshtein scan: dueling the engine's pre-filtered
+    # expansion against this proves the pushed filters drop nothing
+    sqls["fuzzy_scored_top10"] = _expansion_scored_sql(
+        f"levenshtein(term, '{FUZZY_TARGET}') <= 2"
+    )
+    sqls["range_scored_top10"] = _expansion_scored_sql(
+        f"term >= '{RANGE_LO}' AND term <= '{RANGE_HI}'"
+    )
+
+    # parsed '"value table"~2^1.5 OR spark^0.5' — SHOULD-union of the
+    # boosted sloppy phrase and a boosted term, per-doc sum
+    pb_idf = (
+        f"ln(1.0 + ((SELECT n FROM n)::DOUBLE - "
+        f"(SELECT count(DISTINCT doc_id) FROM tf WHERE term = '{PARSED_BOOST_T}')::DOUBLE + 0.5) / "
+        f"((SELECT count(DISTINCT doc_id) FROM tf WHERE term = '{PARSED_BOOST_T}')::DOUBLE + 0.5))"
+    )
+    sqls["parsed_sloppy_boost_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT n FROM n) AS avgdl),
+la AS (SELECT doc_id, pos AS p FROM tokp WHERE term = '{TERMS_AND[0]}'),
+lb AS (SELECT doc_id, pos - 1 AS p FROM tokp WHERE term = '{TERMS_AND[1]}'),
+ca AS (SELECT la.doc_id, la.p, min(lb.p) AS h FROM la JOIN lb
+       ON lb.doc_id = la.doc_id AND lb.p >= la.p GROUP BY la.doc_id, la.p),
+cb AS (SELECT lb.doc_id, lb.p, min(la.p) AS h FROM lb JOIN la
+       ON la.doc_id = lb.doc_id AND la.p > lb.p GROUP BY lb.doc_id, lb.p),
+fr AS (SELECT doc_id,
+              sum(CASE WHEN h - p <= {SLOPPY2_SLOP}
+                       THEN 1.0 / (1.0 + (h - p)) ELSE 0.0 END) AS freq
+       FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY doc_id),
+sl AS (SELECT fr.doc_id,
+              ({s2_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) AS s
+       FROM fr JOIN dl ON dl.doc_id = fr.doc_id, avg WHERE freq > 0),
+tm AS (SELECT tf.doc_id,
+              {pb_idf} * tf.tf
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (SELECT avgdl FROM avg))) AS s
+       FROM tf JOIN dl USING (doc_id) WHERE tf.term = '{PARSED_BOOST_T}'),
+u AS (SELECT doc_id, {PARSED_BOOST_SLOPPY} * s AS s FROM sl
+      UNION ALL SELECT doc_id, {PARSED_BOOST_TERM} * s FROM tm)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
 """
     ph_idf = " + ".join(
         f"ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - "

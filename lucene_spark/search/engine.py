@@ -199,6 +199,10 @@ class IndexSearcher:
         prefix: str | None = None,
         like: str | None = None,
         regex: str | None = None,
+        lo: str | None = None,
+        hi: str | None = None,
+        include_lo: bool = True,
+        include_hi: bool = True,
         max_expansions: int | None = None,
         top_terms: bool = False,
     ) -> list[str]:
@@ -219,6 +223,14 @@ class IndexSearcher:
             t = t.filter(F.col("term").like(like))
         if regex is not None:
             t = t.filter(F.col("term").rlike(regex))
+        if lo is not None:
+            t = t.filter(
+                F.col("term") >= lo if include_lo else F.col("term") > lo
+            )
+        if hi is not None:
+            t = t.filter(
+                F.col("term") <= hi if include_hi else F.col("term") < hi
+            )
         if top_terms:
             rows = (
                 t.orderBy(F.desc("df"), F.asc("term"))
@@ -233,6 +245,54 @@ class IndexSearcher:
                 f"term expansion exceeds {cap} terms (TooManyClauses); "
                 "narrow the pattern or pass top_terms=True"
             )
+        return [r["term"] for r in rows]
+
+    def fuzzy_terms(self, term: str, max_edits: int = 2) -> DataFrame:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of
+        ``term`` as a (term, df) DataFrame. FuzzyQuery.java:272 intersects
+        a Levenshtein automaton with the term index; the Catalyst analog
+        prunes the dictionary scan with two SOUND pushed pre-filters
+        before the exact levenshtein test:
+
+        - length window: |len(t) - len(term)| <= max_edits
+        - pigeonhole substrings: split ``term`` into max_edits+1 pieces;
+          a match must contain at least one piece unedited (each edit
+          touches at most one piece), so OR-of-contains prunes terms
+          sharing no piece. Skipped when pieces would be empty.
+
+        Both filters are push-down-able column predicates evaluated in
+        the parquet scan; levenshtein runs only on survivors.
+        """
+        e = int(max_edits)
+        t = self._terms.filter(
+            F.length("term").between(len(term) - e, len(term) + e)
+        )
+        k = e + 1
+        if len(term) >= k:
+            bounds = [i * len(term) // k for i in range(k + 1)]
+            cond = None
+            for i in range(k):
+                piece = term[bounds[i]:bounds[i + 1]]
+                c = F.col("term").contains(piece)
+                cond = c if cond is None else (cond | c)
+            t = t.filter(cond)
+        return t.filter(
+            F.levenshtein(F.col("term"), F.lit(term)) <= e
+        ).select("term", "df")
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 2, max_expansions: int | None = None
+    ) -> list[str]:
+        """FuzzyQuery expansion list: the ``max_expansions`` highest-df
+        terms within ``max_edits`` of ``term`` (TopTermsRewrite order —
+        FuzzyQuery's default rewrite keeps top terms by weight)."""
+        cap = max_expansions or self.MAX_EXPANSIONS
+        rows = (
+            self.fuzzy_terms(term, max_edits)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cap)
+            .collect()
+        )
         return [r["term"] for r in rows]
 
     def _weights(self, stats: dict[str, TermStats]) -> dict[str, float]:
@@ -1007,9 +1067,18 @@ class IndexSearcher:
             return self._empty_topk()
         if len(terms) == 1:
             return self.search(terms, k=k)
+        scored = self.sloppy_scores(terms, slop)
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def sloppy_scores(self, terms: list[str], slop: int) -> DataFrame | None:
+        """Unranked (docID, score float32) set for a sloppy phrase — the
+        kernel behind search_sloppy_phrase, exposed for composition (query
+        parser boolean levels need full scored sets, not top-k)."""
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
-            return self._empty_topk()
+            return None
         if not self.manifest.get("store_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
 
@@ -1088,8 +1157,7 @@ class IndexSearcher:
                     {"docID": pdf["docID"].to_numpy(np.int64)[hit], "score": scores}
                 )
 
-        matched = joined.mapInPandas(match_batch, schema=out_schema)
-        return matched.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+        return joined.mapInPandas(match_batch, schema=out_schema)
 
     # -- MultiPhraseQuery (B14) -------------------------------------------
 

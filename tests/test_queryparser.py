@@ -162,6 +162,150 @@ def test_wildcard_execution(built_index):
     assert_rank_identical(exp, got, msg="[parser wildcard]")
 
 
+# ---------------------------------------------------------------------------
+# r3 grammar: ~slop, term~fuzzy, ^boost, [a TO b], /regex/
+# ---------------------------------------------------------------------------
+
+
+def test_sloppy_phrase_parse():
+    n = parse('"field theory"~3')
+    assert n.kind == "sloppy" and n.terms == ["field", "theory"] and n.slop == 3
+
+
+def test_sloppy_zero_is_exact_phrase():
+    assert parse('"field theory"~0').kind == "phrase"
+
+
+def test_fuzzy_parse_default_and_explicit():
+    n = parse("license~")
+    assert n.kind == "fuzzy" and n.terms == ["license"] and n.slop == 2
+    assert parse("license~1").slop == 1
+
+
+def test_boost_parse():
+    n = parse("license^2.5 OR apache")
+    lic, ap = n.clauses
+    assert lic.node.boost == 2.5 and ap.node.boost == 1.0
+
+
+def test_phrase_slop_and_boost_combined():
+    n = parse('"field theory"~2^1.5')
+    assert n.kind == "sloppy" and n.slop == 2 and n.boost == 1.5
+
+
+def test_range_parse():
+    n = parse("[Apache TO License]")
+    assert n.kind == "range" and (n.lo, n.hi) == ("apache", "license")
+    assert n.include_lo and n.include_hi
+    n = parse("{apache TO license}^2")
+    assert n.kind == "range" and not n.include_lo and not n.include_hi
+    assert n.boost == 2.0
+
+
+def test_regexp_parse():
+    n = parse("/get[a-z]+1/")
+    assert n.kind == "regexp" and n.terms == ["get[a-z]+1"]
+
+
+def test_group_boost():
+    n = parse("(license apache)^2 AND software")
+    grp = n.clauses[0].node
+    assert grp.kind == "bool" and grp.boost == 2.0
+    assert n.clauses[1].node.boost == 1.0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _topk_from_acc(acc: dict, k: int = 10):
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _assert_close(got, exp):
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) <= 1e-5 * max(1.0, abs(es))
+
+
+def test_sloppy_execution(built_index):
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, '"apache software"~2', k=10).collect()
+    ]
+    exp = oracle.search_sloppy(["apache", "software"], 2, k=10)
+    assert_rank_identical(exp, got, msg="[parser sloppy]")
+
+
+def test_boost_execution(built_index):
+    """Per-leaf boosts multiply float32 leaf scores in the double sum."""
+    _, oracle, searcher = built_index
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, "license^2 apache^0.5", k=10).collect()
+    ]
+    acc = {}
+    for t, b in (("license", 2.0), ("apache", 0.5)):
+        rows, scores = oracle._term_scores(t)
+        for r, s in zip(rows, scores):
+            d = int(oracle.doc_ids[r])
+            acc[d] = acc.get(d, 0.0) + b * float(s)
+    _assert_close(got, _topk_from_acc(acc))
+
+
+def test_fuzzy_pruned_expansion_equals_bruteforce(built_index):
+    """The length-window + pigeonhole pre-filters drop nothing: the pruned
+    dictionary expansion equals an unpruned Levenshtein scan over the full
+    vocabulary (FuzzyQuery.java:272 automaton-intersection analog)."""
+    _, oracle, searcher = built_index
+    for target, edits in (("licence", 2), ("apaxhe", 1), ("getvalue1", 2)):
+        brute = {t for t in oracle.postings if _lev(t, target) <= edits}
+        assert set(searcher.expand_fuzzy(target, max_edits=edits)) == brute
+
+
+def test_fuzzy_execution(built_index):
+    _, oracle, searcher = built_index
+    target = "licence"
+    brute = {t for t in oracle.postings if _lev(t, target) <= 2}
+    assert brute, "fixture vocabulary changed"
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, f"{target}~2", k=10).collect()
+    ]
+    acc = {}
+    for t in brute:
+        rows, scores = oracle._term_scores(t)
+        for r, s in zip(rows, scores):
+            d = int(oracle.doc_ids[r])
+            acc[d] = acc.get(d, 0.0) + float(s)
+    _assert_close(got, _topk_from_acc(acc))
+
+
+def test_range_execution(built_index):
+    _, oracle, searcher = built_index
+    lo, hi = "apache", "def"
+    got = [
+        (r["docID"], r["score"])
+        for r in execute(searcher, f"[{lo} TO {hi}]", k=10).collect()
+    ]
+    terms = [t for t in oracle.postings if lo <= t <= hi]
+    assert terms, "fixture vocabulary changed"
+    acc = {}
+    for t in terms:
+        rows, scores = oracle._term_scores(t)
+        for r, s in zip(rows, scores):
+            d = int(oracle.doc_ids[r])
+            acc[d] = acc.get(d, 0.0) + float(s)
+    _assert_close(got, _topk_from_acc(acc))
+
+
 def test_phrase_or_execution(built_index):
     _, oracle, searcher = built_index
     got = [
