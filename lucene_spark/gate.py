@@ -491,6 +491,47 @@ def q_synonym_top10(spark, sf_dir):
     )
 
 
+BLEND_TIE = 0.01  # BlendedTermQuery.DISJUNCTION_MAX_REWRITE tie-breaker
+
+
+def q_blended_top10(spark, sf_dir):
+    """BlendedTermQuery({table, scan}) in double precision: each term is
+    scored with the BLENDED df = max(df) across the terms
+    (BlendedTermQuery.java:283-291 adjustFrequencies), then combined as
+    DisjunctionMax with tie 0.01 (DISJUNCTION_MAX_REWRITE). SQL-dueled;
+    the float32 engine path (search_blended) is rank-identity
+    pytest-asserted."""
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    stats = s.term_stats(SYN_TERMS)
+    df_blend = float(max(stats[t].df for t in SYN_TERMS if t in stats))
+    tf = s.postings_tf(SYN_TERMS)
+    dm = _docid_map(s)
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - df_blend + 0.5) / (df_blend + 0.5)
+    )
+    scored = tf.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        idf
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    val = F.col("mx") + F.lit(BLEND_TIE) * (F.col("sm") - F.col("mx"))
+    return (
+        agg.select("doc_id", F.round(val, ROUND).alias("score"), val.alias("v"))
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def q_facet_source(spark, sf_dir):
     """FacetsCollector analog: among docs matching TERM_1, value counts of
     the `source` metadata column."""
@@ -863,6 +904,58 @@ def q_interval_near_top10(spark, sf_dir):
     )
 
 
+def q_interval_unordered_top10(spark, sf_dir):
+    """UNORDERED interval query {key, table} with gaps <= 5: top-10 docs
+    by count of minimal unordered intervals (Intervals.unordered +
+    maxgaps). Closed form for two lists, brute-force-verified against
+    the greedy two-pointer sweep (tests/test_interval_form.py): the
+    minimal window ending at position e is (largest opposite-list
+    position < e, e); windows containing another candidate window are
+    dropped; gap filter last. Integer counts — exact across engines."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([INTERVAL_T1, INTERVAL_T2])
+    pa = pos.where(F.col("term") == INTERVAL_T1).select(
+        "docID", F.col("pos").alias("p")
+    )
+    pb = pos.where(F.col("term") == INTERVAL_T2).select(
+        "docID", F.col("pos").alias("p")
+    )
+
+    def ends_in(x, y):
+        return (
+            x.select("docID", F.col("p").alias("e"))
+            .join(y.select("docID", F.col("p").alias("sp")), "docID")
+            .where(F.col("sp") < F.col("e"))
+            .groupBy("docID", "e")
+            .agg(F.max("sp").alias("s"))
+        )
+
+    cand = ends_in(pa, pb).unionByName(ends_in(pb, pa))
+    other = cand.select(
+        "docID", F.col("s").alias("s2"), F.col("e").alias("e2")
+    )
+    mini = cand.join(
+        other,
+        (cand["docID"] == other["docID"])
+        & (F.col("s2") >= F.col("s"))
+        & (F.col("e2") <= F.col("e"))
+        & ((F.col("s2") > F.col("s")) | (F.col("e2") < F.col("e"))),
+        "left_anti",
+    )
+    res = (
+        mini.where(F.col("e") - F.col("s") - 1 <= INTERVAL_GAPS)
+        .groupBy("docID")
+        .agg(F.count("*").cast("long").alias("n_intervals"))
+    )
+    dm = _docid_map(s)
+    return (
+        res.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_intervals")
+    )
+
+
 INTERVAL_INNER = "row"
 SLOPPY2_SLOP = 2
 
@@ -1129,6 +1222,7 @@ QUERIES = {
     "sloppy_phrase_top10": q_sloppy_phrase_top10,
     "multiphrase_top10": q_multiphrase_top10,
     "interval_near_top10": q_interval_near_top10,
+    "interval_unordered_top10": q_interval_unordered_top10,
     "interval_containing_top10": q_interval_containing_top10,
     "combined_field_top10": q_combined_field_top10,
     "sloppy2_top10": q_sloppy2_top10,
@@ -1145,6 +1239,7 @@ QUERIES = {
     "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
+    "blended_top10": q_blended_top10,
     "facet_source": q_facet_source,
     "group_top2": q_group_top2,
     "search_after": q_search_after,
@@ -1312,6 +1407,23 @@ agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM scored GROUP BY doc_id)
 SELECT doc_id, round(mx + 0.1 * (sm - mx), {ROUND}) AS score FROM agg
 ORDER BY mx + 0.1 * (sm - mx) DESC, doc_id ASC LIMIT 10
 """
+    _bl_list = ", ".join(f"'{t}'" for t in SYN_TERMS)
+    sqls["blended_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_bl_list}) GROUP BY term),
+bl AS (SELECT max(df)::DOUBLE AS df FROM dfs),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - (SELECT df FROM bl) + 0.5) / ((SELECT df FROM bl) + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dl USING (doc_id) WHERE tf.term IN ({_bl_list})
+),
+agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM scored GROUP BY doc_id)
+SELECT doc_id, round(mx + {BLEND_TIE} * (sm - mx), {ROUND}) AS score FROM agg
+ORDER BY mx + {BLEND_TIE} * (sm - mx) DESC, doc_id ASC LIMIT 10
+"""
     sqls["fuzzy_expand"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
         SELECT term, count(*)::BIGINT AS df FROM tf
         WHERE levenshtein(term, '{FUZZY_TARGET}') <= 2 GROUP BY term"""
@@ -1419,6 +1531,30 @@ c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
 mini AS (SELECT doc_id, p2, max(p1) AS mp1 FROM c2 GROUP BY doc_id, p2)
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM mini WHERE p2 - mp1 - 1 <= {INTERVAL_GAPS}
+GROUP BY doc_id
+ORDER BY count(*) DESC, doc_id ASC
+LIMIT 10
+"""
+    # unordered intervals: minimal window ending at e = (largest
+    # opposite-list position < e, e); drop windows containing another
+    # candidate; gap filter last (two-list closed form of the greedy
+    # sweep, brute-force-verified in tests/test_interval_form.py)
+    sqls["interval_unordered_top10"] = f"""
+WITH {tokp},
+pa AS (SELECT doc_id, pos AS p FROM tokp WHERE term = '{INTERVAL_T1}'),
+pb AS (SELECT doc_id, pos AS p FROM tokp WHERE term = '{INTERVAL_T2}'),
+ca AS (SELECT pa.doc_id, pa.p AS e, max(pb.p) AS s FROM pa
+       JOIN pb ON pb.doc_id = pa.doc_id AND pb.p < pa.p
+       GROUP BY pa.doc_id, pa.p),
+cb AS (SELECT pb.doc_id, pb.p AS e, max(pa.p) AS s FROM pb
+       JOIN pa ON pa.doc_id = pb.doc_id AND pa.p < pb.p
+       GROUP BY pb.doc_id, pb.p),
+cand AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+mini AS (SELECT c.doc_id, c.s, c.e FROM cand c WHERE NOT EXISTS (
+           SELECT 1 FROM cand c2 WHERE c2.doc_id = c.doc_id
+           AND c2.s >= c.s AND c2.e <= c.e AND (c2.s > c.s OR c2.e < c.e)))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mini WHERE e - s - 1 <= {INTERVAL_GAPS}
 GROUP BY doc_id
 ORDER BY count(*) DESC, doc_id ASC
 LIMIT 10

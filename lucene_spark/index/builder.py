@@ -84,7 +84,17 @@ from lucene_spark.util.varbyte import (
 )
 
 BLOCK_SIZE = 256  # Lucene104PostingsFormat ForUtil.BLOCK_SIZE (ForUtil.java:34)
-FLUSH_DOCS = 1 << 16  # per-partition run size bound (16MB-RAM-buffer analog)
+# Per-partition run size bound (DWPT RAM-buffer analog). 16k docs, NOT
+# 64k: the vectorized invert materializes the window's flat token array
+# (objects) plus packed sort keys, and a 64k-doc window (~45M tokens)
+# measured 2.4x slower in the real local[8] build (invert 96.7s vs
+# 39.8s; worse still under concurrent memory pressure) — the retained
+# per-window working set saturates allocator and memory bandwidth.
+# Run boundaries do NOT affect final index bytes (blocks are carved
+# from the concatenated per-term postings), so this is purely an
+# execution knob; smaller windows cost only a few % more run rows in
+# the merge shuffle.
+FLUSH_DOCS = 1 << 14
 
 # Mixed output of the invert pass: meta rows (term NULL, one per doc) and
 # run rows (one per (flush, term), compact varbyte payloads).
@@ -501,6 +511,31 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
 TOPK_LB = 10  # k for the build-time theta floor stored per term
 
 
+def _salt_runs(
+    runs: DataFrame, hot_df: DataFrame, n_hot: int, hot_salt_span: int
+) -> DataFrame:
+    """Attach the skew salt column: hot terms (df above threshold) salt by
+    run doc-range so one reducer never merges a full stop-word posting
+    list; everything else salts 0. Membership comes from a BROADCAST join
+    against the tiny (term, is_hot) table — never a driver-side `isin`
+    literal, which at web scale is a megabyte expression tree evaluated
+    per row. Salt spans are disjoint doc ranges, preserving the
+    concatenation-merge block invariant."""
+    if n_hot == 0:
+        return runs.withColumn("salt", F.lit(0).cast("long"))
+    return (
+        runs.join(F.broadcast(hot_df), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("is_hot")
+    )
+
+
 def lb10_by_term(spark: SparkSession, postings_path: str, cache) -> DataFrame:
     """Per-term build-time WAND threshold floor: `lb_key10` = the tf*inv
     product of the TOPK_LB-th best per-doc score LOWER bound.
@@ -645,12 +680,16 @@ def build_index(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hot_terms = [
-        r["term"]
-        for r in terms_df.filter(F.col("df") > hot_df_threshold)
+    # hot set as a DataFrame, never a driver-side literal: at 100 TB the
+    # df > threshold set is 10^4-10^5 terms and an `isin` literal becomes
+    # a megabyte Catalyst expression evaluated per row — a broadcast join
+    # against this tiny (term, is_hot) table costs one hash probe instead
+    hot_df = (
+        terms_df.filter(F.col("df") > hot_df_threshold)
         .select("term")
-        .collect()
-    ]
+        .withColumn("is_hot", F.lit(True))
+    )
+    n_hot_terms = hot_df.count()
 
     # collection stats now (terms write happens after postings, because the
     # per-term lb_key10 threshold floor is derived from block metadata)
@@ -668,18 +707,9 @@ def build_index(
     _mark("terms_agg", _t)
 
     # --- shuffle 2: merge runs into postings blocks (salted hot terms) ---
-    if hot_terms:
-        salt_col = F.when(
-            F.col("term").isin(hot_terms),
-            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        salt_col = F.lit(0).cast("long")
-
-    blocks = (
-        runs.withColumn("salt", salt_col)
-        .groupBy("term", "salt")
-        .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
+    salted = _salt_runs(runs, hot_df, n_hot_terms, hot_salt_span)
+    blocks = salted.groupBy("term", "salt").applyInPandas(
+        _merge_runs_to_blocks, schema=BLOCK_SCHEMA
     )
     # range-partition the output by term (the parquet file/rowgroup min-max
     # stats ARE our term dictionary) — boundaries come from the cached
@@ -759,7 +789,10 @@ def build_index(
         "sum_total_term_freq": stats["sum_total_term_freq"],
         "sum_doc_freq": stats["sum_doc_freq"],
         "distinct_terms": stats["distinct_terms"],
-        "hot_terms": hot_terms,
+        # membership is derivable from the terms table (df > threshold);
+        # only the count is recorded — a web-scale hot set would bloat
+        # manifest.json into the megabytes
+        "n_hot_terms": int(n_hot_terms),
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,

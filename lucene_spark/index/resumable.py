@@ -48,6 +48,7 @@ from lucene_spark.index.builder import (
     _quantile_bounds,
     _repartition_exact,
     _RUN_COLS,
+    _salt_runs,
     _with_range_id,
     lb10_by_term,
 )
@@ -229,10 +230,14 @@ def merge_segments(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hot_terms = [
-        r["term"]
-        for r in terms_df.filter(F.col("df") > hot_df_threshold).select("term").collect()
-    ]
+    # hot membership stays a broadcast-joined DataFrame, never an `isin`
+    # literal (see builder._salt_runs)
+    hot_df = (
+        terms_df.filter(F.col("df") > hot_df_threshold)
+        .select("term")
+        .withColumn("is_hot", F.lit(True))
+    )
+    n_hot_terms = hot_df.count()
     agg = terms_df.agg(
         F.sum("cf").alias("sttf"),
         F.sum("df").alias("sdf"),
@@ -244,14 +249,6 @@ def merge_segments(
         "sum_doc_freq": int(agg["sdf"] or 0),
         "distinct_terms": int(agg["nterms"] or 0),
     }
-
-    if hot_terms:
-        salt_col = F.when(
-            F.col("term").isin(hot_terms),
-            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        salt_col = F.lit(0).cast("long")
 
     # range-place blocks via a driver-side boundary sample from the cached
     # terms table (repartitionByRange would re-run the whole expensive
@@ -265,7 +262,7 @@ def merge_segments(
         n_part,
     )
     blocks = (
-        runs.withColumn("salt", salt_col)
+        _salt_runs(runs, hot_df, n_hot_terms, hot_salt_span)
         .groupBy("term", "salt")
         .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
     )
@@ -298,7 +295,7 @@ def merge_segments(
         os.path.join(out_dir, "stats")
     )
     terms_df.unpersist()
-    return {"hot_terms": hot_terms, **stats}
+    return {"n_hot_terms": int(n_hot_terms), **stats}
 
 
 def build_index_resumable(
@@ -359,14 +356,12 @@ def build_index_resumable(
     )
 
     elapsed = time.time() - t0
-    hot_terms = stats.pop("hot_terms")
     from lucene_spark.util.blockcodec import CODEC_NAME
 
     manifest = {
         "version": 2,
         "codec": CODEC_NAME,
         **stats,
-        "hot_terms": hot_terms,
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,

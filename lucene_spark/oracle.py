@@ -183,10 +183,45 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def search_blended(
+        self, terms: list[str], k: int = 10, tie_breaker: float = 0.01
+    ):
+        """BlendedTermQuery reference: every term scored with one BLENDED
+        df — the max df across the terms (BlendedTermQuery.java:283-291) —
+        then combined as DisjunctionMax(tie_breaker) like the default
+        DISJUNCTION_MAX_REWRITE."""
+        present = [t for t in terms if t in self.postings]
+        if not present:
+            return []
+        df_blend = max(len(self.postings[t][0]) for t in present)
+        mx = np.zeros(self.doc_count, dtype=np.float64)
+        sm = np.zeros(self.doc_count, dtype=np.float64)
+        matched = np.zeros(self.doc_count, dtype=bool)
+        for t in present:
+            rows, tfs, _ = self.postings[t]
+            sc = self.scorer.score(
+                tfs.astype(np.float32), self.norms[rows], doc_freq=df_blend
+            ).astype(np.float64)
+            mx[rows] = np.maximum(mx[rows], sc)
+            sm[rows] += sc
+            matched[rows] = True
+        rows = np.flatnonzero(matched)
+        final = (mx[rows] + tie_breaker * (sm[rows] - mx[rows])).astype(
+            np.float32
+        )
+        order = np.lexsort((self.doc_ids[rows], -final))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(final[i])) for i in order]
+
     def sloppy_freqs(self, terms: list[str], slop: int) -> dict[int, float]:
-        """row -> sloppy float freq: greedy minimal-window matcher over
-        offset-adjusted positions (independent re-implementation of the
-        spec in engine._sloppy_freq; slop=0 == exact freqs)."""
+        """row -> sloppy float freq. SPEC (shared with the engine's
+        vectorized matcher): greedy minimal-window sweep over
+        offset-adjusted position lists — one pointer per phrase position;
+        evaluate the current window, count weight 1/(1+matchLength) when
+        max-min <= slop, always advance the minimum pointer; slop=0
+        degenerates to exact-alignment counting (ExactPhraseMatcher
+        freqs). One pointer list per PHRASE POSITION, so windows may
+        reuse a source token for repeated terms (documented deviation
+        from Lucene's repeat-group machinery)."""
         if any(t not in self.postings for t in terms):
             return {}
         rowsets = [set(self.postings[t][0].tolist()) for t in terms]

@@ -340,13 +340,19 @@ class IndexSearcher:
         return fn
 
     def _scored_postings(
-        self, terms: list[str], stats: dict[str, TermStats]
+        self,
+        terms: list[str],
+        stats: dict[str, TermStats],
+        weights: dict[str, float] | None = None,
     ) -> DataFrame:
         """(docID, term, score) rows for every posting of the query terms
-        (stats may cover a superset of terms — only `terms` are scored)."""
-        weights = {
-            t: w for t, w in self._weights(stats).items() if t in set(terms)
-        }
+        (stats may cover a superset of terms — only `terms` are scored).
+        `weights` overrides the per-term idf weight (BlendedTermQuery
+        scores every term with an artificial blended df)."""
+        if weights is None:
+            weights = {
+                t: w for t, w in self._weights(stats).items() if t in set(terms)
+            }
         # select only the scoring columns so the parquet scan prunes
         # pos_vb (positions are ~half the index bytes; ReadSchema shows it)
         blocks = self._postings.filter(F.col("term").isin(list(weights))).select(
@@ -672,6 +678,44 @@ class IndexSearcher:
         finally:
             merged.unpersist()
 
+    def search_blended(
+        self,
+        terms: list[str],
+        k: int = 10,
+        tie_breaker: float = 0.01,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """BlendedTermQuery (search/BlendedTermQuery.java:271-299): every
+        term is scored with one BLENDED df — the max df across the terms —
+        so search-time synonyms score identically regardless of their own
+        rarity; the per-term scores then combine like DisjunctionMax with
+        ``tie_breaker`` (default 0.01 = DISJUNCTION_MAX_REWRITE). Per-term
+        boosts multiply the term weight, matching BoostQuery-wrapping of
+        the rewritten TermQuerys."""
+        terms = self._parse(terms)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk()
+        df_blend = max(stats[t].df for t in present)
+        w = float(np.float32(idf(df_blend, self.doc_count)))
+        weights = {
+            t: w * float((boosts or {}).get(t, 1.0)) for t in set(present)
+        }
+        scored = self._scored_postings(present, stats, weights=weights)
+        agg = scored.groupBy("docID").agg(
+            F.max(F.col("score").cast(DoubleType())).alias("mx"),
+            F.sum(F.col("score").cast(DoubleType())).alias("sm"),
+        )
+        score = (
+            F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+        ).cast(FloatType())
+        return (
+            agg.select("docID", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector analog; single terms shortcut via df."""
         terms = self._parse(query)
@@ -893,10 +937,28 @@ class IndexSearcher:
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
 
-    def _phrase_join(self, uniq_terms: list[str]) -> DataFrame:
+    # accumulated-candidate broadcast cutoff for phrase joins: below this
+    # df the rare side (<= df rows of (docID, norm, positions)) is hinted
+    # broadcast so every later join is map-side — the common term's full
+    # posting decode never shuffles
+    PHRASE_BROADCAST_DF = 65536
+
+    def _phrase_join(
+        self,
+        uniq_terms: list[str],
+        stats: dict[str, TermStats] | None = None,
+    ) -> DataFrame:
         """n-way inner join on docID of per-term (docID, norm, positions)
         rows — candidate docs contain every phrase term (ConjunctionDISI
-        analog); one row per doc with pos0..posN array columns."""
+        analog); one row per doc with pos0..posN array columns.
+
+        With ``stats``, joins run rarest-term-first (ConjunctionDISI
+        orders iterators by cost — ExactPhraseMatcher leads with the
+        rarest term) and, when the rarest df is small, the accumulated
+        candidate side is broadcast so a stop-word-ish phrase term's full
+        postings never cross a shuffle. Column names stay bound to the
+        original term order (pos{i}), so matcher offset maps are
+        unaffected by the join order."""
         pos_row_schema = StructType(
             [
                 StructField("docID", LongType()),
@@ -938,8 +1000,14 @@ class IndexSearcher:
                     {"docID": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32"), "positions": []}
                 )
 
+        order = list(range(len(uniq_terms)))
+        bcast = False
+        if stats is not None and all(t in stats for t in uniq_terms):
+            order.sort(key=lambda i: stats[uniq_terms[i]].df)
+            bcast = stats[uniq_terms[order[0]]].df <= self.PHRASE_BROADCAST_DF
         joined = None
-        for i, t in enumerate(uniq_terms):
+        for i in order:
+            t = uniq_terms[i]
             side = (
                 self._postings.filter(F.col("term") == t)
                 .select("docs_vb", "tfs_vb", "norms_b", "pos_vb")
@@ -947,10 +1015,19 @@ class IndexSearcher:
             )
             side = side.select(
                 "docID",
-                *(["norm"] if i == 0 else []),
+                # any side can provide norm (same doc => same norm byte);
+                # take it from the first-joined (rarest) side
+                *(["norm"] if joined is None else []),
                 F.col("positions").alias(f"pos{i}"),
             )
-            joined = side if joined is None else joined.join(side, "docID")
+            if joined is None:
+                joined = side
+            elif bcast:
+                # inner joins only shrink the accumulated candidates, so
+                # the broadcast stays <= the rarest term's df rows
+                joined = side.join(F.broadcast(joined), "docID")
+            else:
+                joined = joined.join(side, "docID")
         return self._strip_deleted(joined)
 
     def phrase_scores(self, terms: list[str]) -> DataFrame | None:
@@ -978,7 +1055,7 @@ class IndexSearcher:
         term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
         uniq_terms = list(term_order)
 
-        joined = self._phrase_join(uniq_terms)
+        joined = self._phrase_join(uniq_terms, stats)
 
         # phrase offsets per unique term (a term may repeat in the phrase)
         offsets_by_tidx: dict[int, list[int]] = {}
@@ -1090,7 +1167,7 @@ class IndexSearcher:
         term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
         uniq_terms = list(term_order)
         tidx_of_pos = [term_order[t] for t in terms]  # list index -> pos col
-        joined = self._phrase_join(uniq_terms)
+        joined = self._phrase_join(uniq_terms, stats)
 
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
@@ -1491,7 +1568,7 @@ class IndexSearcher:
         if not self.manifest.get("store_positions", True):
             raise ValueError("index built without positions")
         uniq = list(dict.fromkeys(terms + ([inner] if inner else [])))
-        joined = self._phrase_join(uniq)
+        joined = self._phrase_join(uniq, stats)
         tidx = {t: i for i, t in enumerate(uniq)}
         order_idx = [tidx[t] for t in terms]
         inner_idx = tidx[inner] if inner else None
@@ -1641,28 +1718,3 @@ class IndexSearcher:
             "docID", *[f"pos{i}" for i in range(len(uniq))]
         ).mapInPandas(match_batch, schema=out_schema)
         return matched.orderBy(F.desc("n_intervals"), F.asc("docID")).limit(k)
-
-
-def _sloppy_freq(plists: list, slop: int) -> float:
-    """Greedy minimal-window sloppy matcher over offset-adjusted position
-    lists: repeatedly evaluate the current window (one pointer per term);
-    if max-min <= slop it is a match with matchLength = max-min and
-    weight 1/(1+matchLength); always advance the minimum pointer.
-    slop=0 degenerates to counting exact alignments (all pointers equal),
-    matching ExactPhraseMatcher freqs."""
-    import heapq
-
-    idx = [0] * len(plists)
-    heads = [pl[0] for pl in plists]
-    freq = 0.0
-    while True:
-        mx = max(heads)
-        mn = min(heads)
-        if mx - mn <= slop:
-            freq += 1.0 / (1.0 + float(mx - mn))
-        # advance the min pointer
-        mi = heads.index(mn)
-        idx[mi] += 1
-        if idx[mi] >= len(plists[mi]):
-            return freq
-        heads[mi] = plists[mi][idx[mi]]

@@ -31,8 +31,25 @@ import os
 import time
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_spark.util.blockcodec import decode_block as decode
+from lucene_spark.util.blockcodec import encode_block as encode
+from lucene_spark.util.varbyte import (
+    delta_decode,
+    delta_encode,
+    segmented_delta_decode,
+    segmented_delta_encode,
+)
 
 from lucene_spark.index.builder import (
     BLOCK_SCHEMA,
@@ -45,6 +62,7 @@ from lucene_spark.index.builder import (
     _quantile_bounds,
     _repartition_exact,
     _RUN_COLS,
+    _salt_runs,
     _with_range_id,
 )
 from lucene_spark.index.resumable import _atomic_json
@@ -189,19 +207,15 @@ def _merge_runs_to_gen(
         os.path.join(out_dir, "terms_gens", f"gen={gen_name}")
     )
     tg = spark.read.parquet(os.path.join(out_dir, "terms_gens", f"gen={gen_name}"))
-    hot_terms = [
-        r["term"]
-        for r in tg.filter(F.col("df") > hot_df_threshold).select("term").collect()
-    ]
-    if hot_terms:
-        salt_col = F.when(
-            F.col("term").isin(hot_terms),
-            (F.col("first_doc") / F.lit(hot_salt_span)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        salt_col = F.lit(0).cast("long")
+    # hot membership via broadcast join (builder._salt_runs), never a
+    # driver-side `isin` literal
+    hot_df = (
+        tg.filter(F.col("df") > hot_df_threshold)
+        .select("term")
+        .withColumn("is_hot", F.lit(True))
+    )
     (
-        runs.withColumn("salt", salt_col)
+        _salt_runs(runs, hot_df, hot_df.count(), hot_salt_span)
         .groupBy("term", "salt")
         .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
         .sortWithinPartitions("term", "salt", "block_seq")
@@ -210,19 +224,113 @@ def _merge_runs_to_gen(
     )
 
 
+_COMPACT_RUN_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("docs_vb", BinaryType()),
+        StructField("tfs_vb", BinaryType()),
+        StructField("norms_b", BinaryType()),
+        StructField("pos_vb", BinaryType()),
+    ]
+)
+
+
+def _drop_deleted_rows(del_b):
+    """Run-row rewrite dropping tombstoned docs before the re-merge —
+    SegmentMerger applies liveDocs during merge (reference
+    lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:114-151).
+    Dropping docs preserves the run invariant (disjoint ascending ranges
+    stay disjoint and ascending); fully-deleted runs vanish."""
+    cols = [f.name for f in _COMPACT_RUN_SCHEMA.fields]
+
+    def fn(batches):
+        dele = del_b.value
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                d = delta_decode(decode(bytes(r.docs_vb)))
+                keep = ~np.isin(d, dele)
+                if keep.all():
+                    rows.append(
+                        (r.term, int(r.salt), int(r.first_doc),
+                         bytes(r.docs_vb), bytes(r.tfs_vb),
+                         bytes(r.norms_b), bytes(r.pos_vb))
+                    )
+                    continue
+                if not keep.any():
+                    continue
+                t = decode(bytes(r.tfs_vb))
+                nb = np.frombuffer(bytes(r.norms_b), dtype=np.uint8)
+                d2, t2, nb2 = d[keep], t[keep], nb[keep]
+                if r.pos_vb:
+                    flat = segmented_delta_decode(decode(bytes(r.pos_vb)), t)
+                    ends = np.cumsum(t)
+                    parts = [
+                        flat[(ends[i] - t[i]):ends[i]]
+                        for i in np.flatnonzero(keep)
+                    ]
+                    flat2 = (
+                        np.concatenate(parts) if parts else np.empty(0, np.int64)
+                    )
+                    pos_vb = encode(segmented_delta_encode(flat2, t2))
+                else:
+                    pos_vb = b""
+                rows.append(
+                    (r.term, int(r.salt), int(d2[0]),
+                     encode(delta_encode(d2)), encode(t2),
+                     nb2.tobytes(), pos_vb)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.array([], dtype=object),
+                        "salt": pd.array([], dtype="int64"),
+                        "first_doc": pd.array([], dtype="int64"),
+                        "docs_vb": pd.array([], dtype=object),
+                        "tfs_vb": pd.array([], dtype=object),
+                        "norms_b": pd.array([], dtype=object),
+                        "pos_vb": pd.array([], dtype=object),
+                    }
+                )
+
+    return fn
+
+
 def _compact_gens(
-    spark: SparkSession, out_dir: str, group: list[dict], gen_name: str
+    spark: SparkSession,
+    out_dir: str,
+    group: list[dict],
+    gen_name: str,
+    deleted: np.ndarray | None = None,
 ) -> None:
     """Tiered compaction: re-merge a group of generations into one. Block
     rows ARE runs (disjoint ascending doc ranges, first_doc = min_doc),
     so the same run-merge kernel re-blocks them at proper 256-doc
     boundaries — a fully-compacted incremental index is bit-identical to
-    a one-shot batch merge."""
+    a one-shot batch merge.
+
+    ``deleted`` (sorted docID array): compaction physically drops those
+    docs from the re-merged generation — merge-applies-deletes, the
+    SegmentMerger behavior — so a long-running NRT index reclaims
+    tombstoned space without a full rebuild. Tombstones stay published
+    (uncompacted generations still need query-time filtering; dropping a
+    doc that is already gone is a no-op), so this is pure space/decode
+    reclamation with identical query results."""
     paths = [os.path.join(out_dir, "postings", f"gen={g['gen']}") for g in group]
     blocks = spark.read.parquet(*paths).select(
         "term", "salt", F.col("min_doc").alias("first_doc"),
         "docs_vb", "tfs_vb", "norms_b", "pos_vb",
     )
+    has_deletes = deleted is not None and deleted.size > 0
+    if has_deletes:
+        del_b = spark.sparkContext.broadcast(np.asarray(deleted, np.int64))
+        blocks = blocks.mapInPandas(
+            _drop_deleted_rows(del_b), schema=_COMPACT_RUN_SCHEMA
+        )
     (
         blocks.groupBy("term", "salt")
         .applyInPandas(_merge_runs_to_blocks, schema=BLOCK_SCHEMA)
@@ -230,6 +338,42 @@ def _compact_gens(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings", f"gen={gen_name}"))
     )
+    if has_deletes:
+        # per-gen stats must reflect the dropped docs: recompute from the
+        # surviving blocks (df/max_tf/min_norm from headers, cf from one
+        # tfs decode pass) instead of summing the stale per-gen stats
+        new_posts = spark.read.parquet(
+            os.path.join(out_dir, "postings", f"gen={gen_name}")
+        )
+        base = new_posts.groupBy("term").agg(
+            F.sum("ndocs").cast("long").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_norm").alias("min_norm"),
+        )
+
+        def cf_rows(batches):
+            for pdf in batches:
+                terms, cfs = [], []
+                for term, tfs_vb in zip(pdf["term"], pdf["tfs_vb"]):
+                    terms.append(term)
+                    cfs.append(int(decode(bytes(tfs_vb)).sum()))
+                yield pd.DataFrame(
+                    {"term": terms, "cf": pd.array(cfs, dtype="int64")}
+                )
+
+        cf_df = (
+            new_posts.select("term", "tfs_vb")
+            .mapInPandas(cf_rows, schema="term string, cf long")
+            .groupBy("term")
+            .agg(F.sum("cf").alias("cf"))
+        )
+        (
+            base.join(cf_df, "term")
+            .select("term", "df", "cf", "max_tf", "min_norm")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "terms_gens", f"gen={gen_name}"))
+        )
+        return
     tpaths = [os.path.join(out_dir, "terms_gens", f"gen={g['gen']}") for g in group]
     (
         spark.read.parquet(*tpaths)
@@ -336,6 +480,11 @@ def refresh(
         )
 
     compacted = 0
+    # merge-applies-deletes: compactions physically drop tombstoned docs
+    # (space reclamation; tombstones stay published for uncompacted gens)
+    from lucene_spark.index.deletes import load_deleted_ids
+
+    deleted = load_deleted_ids(spark, out_dir)
     while True:
         groups = _select_tier_merges(
             gens, segs_per_tier, floor_docs, max_merged_docs
@@ -344,7 +493,7 @@ def refresh(
             break
         for group in groups:
             gname = _next_gen()
-            _compact_gens(spark, out_dir, group, gname)
+            _compact_gens(spark, out_dir, group, gname, deleted=deleted)
             names = {g["gen"] for g in group}
             for g in group:
                 old_dirs.append(os.path.join(out_dir, "postings", f"gen={g['gen']}"))
@@ -404,7 +553,6 @@ def refresh(
         "version": 2,
         "codec": CODEC_NAME,
         **stats,
-        "hot_terms": [],
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,

@@ -85,8 +85,7 @@ def main() -> None:
             key_sample=ks,
         )
 
-    out = {k: v for k, v in manifest.items() if k != "hot_terms"}
-    out["n_hot_terms"] = len(manifest.get("hot_terms", []))
+    out = dict(manifest)
 
     if args.queries:
         from lucene_spark.search.engine import IndexSearcher

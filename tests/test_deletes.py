@@ -144,3 +144,76 @@ def test_update_documents_incremental(spark, tmp_path):
     # the OLD docID is tombstoned out of every decoded posting
     old_hit_ids = {r["docID"] for r in s.postings_tf().select("docID").distinct().collect()}
     assert 0 not in old_hit_ids  # docID 0 was the sorted-first victim
+
+
+def test_compaction_reclaims_tombstones(spark, tmp_path):
+    """Merge-applies-deletes: tier compaction physically drops tombstoned
+    docs from the compacted generation (SegmentMerger.java:114-151
+    analog) — the raw gen parquet no longer contains them even WITHOUT
+    query-time tombstone filtering — and a later refresh adding new
+    segments never resurrects them."""
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        refresh,
+        write_segment,
+    )
+    from lucene_spark.util.blockcodec import decode_block
+    from lucene_spark.util.varbyte import delta_decode
+
+    out = str(tmp_path / "reclaim_idx")
+    os.makedirs(out)
+    pdf = (
+        generate_corpus(240)
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+
+    def add_segment(name, lo, hi, start):
+        n = write_segment(
+            spark,
+            spark.createDataFrame(pdf.iloc[lo:hi]),
+            out, name, start, partitions=2,
+        )
+        state = _load_state(out)
+        state["next_doc"] = start + n
+        state["segments"].append({"seg": name, "num_docs": n})
+        _atomic_json(_state_path(out), state)
+        return n
+
+    n0 = add_segment("s0", 0, 120, 0)
+    refresh(spark, out, partitions=2)
+    add_segment("s1", 120, 200, n0)
+    refresh(spark, out, partitions=2)
+
+    s = IndexSearcher(spark, out)
+    before = [
+        (r["docID"], r["score"]) for r in s.search("license apache", k=20).collect()
+    ]
+    victim_ids = {d for d, _ in before[:4]}
+    dm = s.docmap.filter(F.col("docID").isin([int(x) for x in victim_ids]))
+    keys = [(r["repo"], r["path"]) for r in dm.collect()]
+    assert delete_by_keys(spark, out, keys) == len(victim_ids)
+
+    # force full compaction: the single surviving gen must not contain
+    # the victims even when decoded WITHOUT tombstone filtering
+    refresh(spark, out, partitions=2, segs_per_tier=1)
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["gens"]) == 1
+    gen_dir = os.path.join(out, "postings", f"gen={manifest['gens'][0]}")
+    raw_ids = set()
+    for r in spark.read.parquet(gen_dir).select("docs_vb").collect():
+        raw_ids.update(delta_decode(decode_block(bytes(r["docs_vb"]))).tolist())
+    assert not (raw_ids & victim_ids), "compaction left tombstoned docs"
+
+    # later refresh with a new segment must not resurrect the victims
+    add_segment("s2", 200, 240, 200)
+    refresh(spark, out, partitions=2)
+    s2 = IndexSearcher(spark, out)
+    after = {r["docID"] for r in s2.search("license apache", k=300).collect()}
+    assert not (after & victim_ids)
+    assert after >= {d for d, _ in before if d not in victim_ids}

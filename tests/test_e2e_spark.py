@@ -250,6 +250,23 @@ def test_synonym_rank_identity(built_index):
     assert_rank_identical(exp, got, msg="[synonym]")
 
 
+def test_blended_rank_identity(built_index):
+    """BlendedTermQuery: rare+common term pair scored with the blended
+    (max) df, DisjunctionMax tie 0.01 — engine float32 == oracle."""
+    _, oracle, searcher = built_index
+    for terms in (["license", "import"], ["apache", "var0"]):
+        got = [
+            (r["docID"], r["score"])
+            for r in searcher.search_blended(terms, k=10).collect()
+        ]
+        exp = oracle.search_blended(terms, k=10)
+        # dismax-style combination runs in float64 then casts: compare
+        # docs exactly, scores with tolerance (like the dismax duel)
+        assert [d for d, _ in got] == [d for d, _ in exp], f"[blended {terms}]"
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) <= 1e-6 * max(1.0, abs(es))
+
+
 # ---------------------------------------------------------------------------
 # Sloppy phrase (B13): slop=0 == exact phrase; engine == oracle at slop>0
 # ---------------------------------------------------------------------------

@@ -119,7 +119,7 @@ def test_salted_and_multiflush_build_identical(spark, tmp_path, oneshot):
         hot_salt_span=64,         # many salt groups per hot term
         flush_docs=64,            # many runs per partition
     )
-    assert manifest["hot_terms"], "salting was not triggered"
+    assert manifest["n_hot_terms"] > 0, "salting was not triggered"
 
     s_ref = IndexSearcher(spark, oneshot)
     s_alt = IndexSearcher(spark, out)
