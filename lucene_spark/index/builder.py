@@ -274,31 +274,43 @@ def _invert_window(
     firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], []
     dvbs, tvbs, nbs, pvbs = [], [], [], []
     if total:
+        # the kernel is MEMORY-BANDWIDTH-bound (~15 full passes over the
+        # window's token-parallel arrays; that ceiling is what caps the
+        # 2->8-core build scaling), so everything token-parallel is held
+        # in the narrowest dtype: int32 term codes & positions, int32
+        # WINDOW-LOCAL doc indexes, uint8 norms. Windows never span rpid
+        # boundaries, so their docIDs are one contiguous arange and a
+        # local index + ids[0] reconstructs the global docID exactly.
+        assert int(ids[-1]) - int(ids[0]) + 1 == n, "window docIDs not contiguous"
         flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
-        codes, uniq = pd.factorize(flat)
-        codes = np.asarray(codes, dtype=np.int64)
-        doc_rep = np.repeat(ids, dls)
+        codes32, uniq = pd.factorize(flat)
+        codes32 = np.asarray(codes32, dtype=np.int32)
+        del flat
+        doc_rep = np.repeat(np.arange(n, dtype=np.int32), dls)
         norm_rep = np.repeat(norms.astype(np.uint8), dls)
         doc_starts = np.concatenate(([0], np.cumsum(dls)[:-1]))
-        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dls)
-        if total < 3_000_000_000:
-            # stable grouping via ONE in-place introsort of unique packed
-            # keys (code*total + index) — ~2.5x faster than a stable
-            # argsort of the repeated codes at flush-window sizes
-            key = codes * np.int64(total) + np.arange(total, dtype=np.int64)
-            key.sort()
-            order = key % np.int64(total)
-        else:  # pack would overflow int64; windows never get this big
-            order = np.argsort(codes, kind="stable")
-        sc = codes[order]
+        pos = np.arange(total, dtype=np.int32) - np.repeat(
+            doc_starts.astype(np.int32), dls
+        )
+        # stable grouping via ONE in-place introsort of unique packed keys
+        # (code*total + index) — ~2.5x faster than a stable argsort of the
+        # repeated codes at flush-window sizes (windows are bounded well
+        # below int64 pack overflow)
+        key = codes32.astype(np.int64) * np.int64(total) + np.arange(
+            total, dtype=np.int64
+        )
+        key.sort()
+        order = key % np.int64(total)
+        sc = codes32[order]
         sd = doc_rep[order]
         sn = norm_rep[order]
         sp = pos[order] if store_positions else None
+        del key, codes32, doc_rep, norm_rep, pos
         # posting boundaries: run breaks of (term code, doc)
         pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
         pstarts = np.flatnonzero(pb)
         tf = np.diff(np.append(pstarts, total))
-        pdocs = sd[pstarts]
+        pdocs = sd[pstarts].astype(np.int64) + np.int64(ids[0])
         pnorms = sn[pstarts]
         pcodes = sc[pstarts]
         # term boundaries within the posting arrays (codes ascend = dense
@@ -321,7 +333,7 @@ def _invert_window(
             tvbs.append(encode(t))
             nbs.append(pnorms[s:e].tobytes())
             if store_positions:
-                p = sp[tok_bounds[s]:tok_bounds[e]]
+                p = sp[tok_bounds[s]:tok_bounds[e]].astype(np.int64)
                 pvbs.append(encode(segmented_delta_encode(p, t)))
             else:
                 pvbs.append(b"")
