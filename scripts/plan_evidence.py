@@ -55,6 +55,17 @@ def main() -> None:
         _plan(pruned, head=14),
     ))
 
+    ph = s.search_phrase(["value", "table"], k=10)
+    p = _plan(ph, head=22)
+    sections.append((
+        "Exact phrase — rarest-term-first join, candidate side BROADCAST",
+        "The per-term position joins run rarest-df-first (ConjunctionDISI cost order) and the accumulated "
+        "candidate side is broadcast when the rarest df is driver-known small, so the common term's full "
+        "posting decode never crosses a shuffle (no Exchange between the position decodes).",
+        p,
+    ))
+    assert "BroadcastHashJoin" in p, "phrase join lost its broadcast!"
+
     from lucene_spark.pipeline.dedup import minhash_signatures
 
     docs = gate._documents(spark, SF)
