@@ -102,6 +102,10 @@ def main() -> None:
         "dismax_top10",
         "synonym_top10",
         "group_top2",
+        "blended_top10",
+        "interval_unordered_top10",
+        "fuzzy_scored_top10",
+        "parsed_sloppy_boost_top10",
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

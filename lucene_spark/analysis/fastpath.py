@@ -1,0 +1,127 @@
+"""Byte-level vectorized StandardAnalyzer fast path for ASCII windows.
+
+The per-doc `analyze()` regex is C-speed but allocates one Python string
+per token — ~25M objects per flush window. Under concurrent executors
+the allocator/page-zeroing traffic for those objects saturates the
+shared memory system (measured: tokenize degraded 6.4x from 1 to 8
+workers while the numpy kernel degraded 2.5x). This module tokenizes a
+whole window of ASCII documents with numpy byte masks and materializes
+the tokens directly as ONE Arrow StringArray (offsets + data buffers) —
+zero per-token Python objects; only the (tiny) vocabulary ever becomes
+Python strings, via Arrow's C++ dictionary_encode.
+
+Everything is a handful of single-pass C kernels over the window blob:
+one flag-LUT gather classifies every byte (word/letter/digit/mid-char,
+case-insensitively), bitwise ops mark the joined token runs, the values
+buffer is ONE boolean-mask gather (token bytes in order, gaps removed),
+and lowercasing runs over just the gathered token bytes.
+
+Equivalence contract with `analyze()` (the per-doc reference):
+  - input must be pure ASCII (caller checks `str.isascii()`)
+  - the grammar is `_ASCII_PATTERN`: word chars [0-9a-z_] after
+    lowercasing; ':' '.' '\'' join two letter-adjacent runs; '.' ',' ';'
+    '\'' join two digit-adjacent runs
+  - windows containing a token run longer than MAX_TOKEN_LENGTH are
+    REJECTED (return None) — the caller falls back to `analyze()`, which
+    implements the JFlex 255-char re-lex split
+Property-tested against `analyze()` in tests/test_analyzer.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.analysis.standard import MAX_TOKEN_LENGTH
+
+# one uint8 flag LUT: classification is case-insensitive (the grammar's
+# character classes are case-symmetric), lowercasing happens later on
+# the gathered token bytes only
+_F_WORD, _F_LETTER, _F_DIGIT, _F_MIDL, _F_MIDD = 1, 2, 4, 8, 16
+_CLS = np.zeros(256, dtype=np.uint8)
+for _c in b"0123456789_abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _CLS[_c] |= _F_WORD
+for _c in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _CLS[_c] |= _F_LETTER
+for _c in b"0123456789":
+    _CLS[_c] |= _F_DIGIT
+for _c in b":.'":
+    _CLS[_c] |= _F_MIDL
+for _c in b".,;'":
+    _CLS[_c] |= _F_MIDD
+
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32
+
+
+def tokenize_window_ascii(texts: list[str]):
+    """Tokenize a window of ASCII documents in one vectorized pass.
+
+    Returns ``(codes, uniq, dls)`` — int32 dense term codes in document
+    order (first-appearance code assignment), the vocabulary list, and
+    per-doc token counts — or ``None`` when the window contains an
+    over-long token run (caller must re-lex those docs via `analyze()`).
+    """
+    import pyarrow as pa
+
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int32), [], np.empty(0, np.int64)
+    # one C-speed join+encode; '\n' is neither word nor mid char, so it
+    # can never join tokens across document boundaries
+    blob = "\n".join(texts).encode("ascii")
+    b = np.frombuffer(blob, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, np.int32), [], np.zeros(n, np.int64)
+
+    cls = _CLS[b]
+    tok = (cls & _F_WORD) != 0
+    if b.size >= 3:
+        inner = cls[1:-1]
+        prev = cls[:-2]
+        nxt = cls[2:]
+        tok[1:-1] |= (
+            ((inner & _F_MIDL) != 0)
+            & ((prev & _F_LETTER) != 0)
+            & ((nxt & _F_LETTER) != 0)
+        ) | (
+            ((inner & _F_MIDD) != 0)
+            & ((prev & _F_DIGIT) != 0)
+            & ((nxt & _F_DIGIT) != 0)
+        )
+
+    # token runs (diff over the bool's int8 view: no copy)
+    d = np.diff(tok.view(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if tok[0]:
+        starts = np.concatenate(([0], starts))
+    if tok[-1]:
+        ends = np.concatenate((ends, [tok.size]))
+    lengths = ends - starts
+    if lengths.size and int(lengths.max()) > MAX_TOKEN_LENGTH:
+        return None  # rare: caller re-lexes via analyze()
+
+    # doc attribution: char offset of each doc start in the blob
+    doc_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens[:-1] + 1)))
+    doc_of = np.searchsorted(doc_starts, starts, side="right") - 1
+    dls = np.bincount(doc_of, minlength=n).astype(np.int64)
+
+    total_tok = lengths.size
+    if total_tok == 0:
+        return np.empty(0, np.int32), [], dls
+
+    # values buffer: ONE boolean-mask gather keeps token bytes in order
+    # (gaps removed); lowercase only the gathered bytes
+    data = _LOWER[b[tok]]
+    val_off = np.zeros(total_tok + 1, dtype=np.int32)
+    np.cumsum(lengths, out=val_off[1:])
+    arr = pa.Array.from_buffers(
+        pa.utf8(),
+        total_tok,
+        [None, pa.py_buffer(val_off), pa.py_buffer(data)],
+    )
+    denc = arr.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int32, copy=False)
+    uniq = denc.dictionary.to_pylist()
+    return codes, uniq, dls

@@ -72,6 +72,7 @@ from pyspark.sql.types import (
 )
 
 from lucene_spark.analysis import analyze
+from lucene_spark.analysis.fastpath import tokenize_window_ascii
 from lucene_spark.util.blockcodec import CODEC_NAME
 from lucene_spark.util.blockcodec import decode_block as decode
 from lucene_spark.util.blockcodec import encode_block as encode
@@ -250,8 +251,90 @@ def _repartition_exact(
     )
 
 
-def _invert_window(
-    tok_lists: list[list[str]],
+# fast-path overlong prefilter: any ASCII token MATCH of length >= 256
+# starts with a word char and continues through 255+ word-or-mid chars
+import re as _re
+
+_OVERLONG_RE = _re.compile(r"[0-9A-Za-z_][0-9A-Za-z_.,;:']{255,}")
+
+
+def _window_codes(
+    texts: list[str],
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """(int32 term codes in document order, vocabulary, per-doc token
+    counts) for a batch of documents.
+
+    The heavy path is the byte-level vectorized ASCII tokenizer
+    (analysis/fastpath.py): numpy masks find token runs, one gather
+    materializes the tokens as an Arrow StringArray, and C++
+    dictionary_encode assigns dense codes — ZERO per-token Python
+    objects (the per-doc regex tokenizer allocated ~one Python string
+    per token, and under concurrent executors that allocator/page
+    traffic measured a 6.4x tokenize slowdown at 8 workers). Non-ASCII
+    documents (or whole windows with >255-char token runs, which need
+    the JFlex re-lex split) fall back to the reference `analyze()` and
+    are merged into the same code space."""
+    n = len(texts)
+    # fast-path eligibility: pure ASCII and no token MATCH that could
+    # exceed MAX_TOKEN_LENGTH (analyze() re-lexes those with the JFlex
+    # 255-char split; the prefilter over-triggers safely — a word char
+    # followed by 255+ word-or-mid chars covers every >=256-char match)
+    ascii_ok = [
+        t.isascii() and _OVERLONG_RE.search(t) is None for t in texts
+    ]
+    if all(ascii_ok):
+        r = tokenize_window_ascii(texts)
+        if r is not None:
+            return r
+        ascii_ok = [False] * n  # safety net: re-lex everything
+        r = None
+    else:
+        a_texts = [t for t, ok in zip(texts, ascii_ok) if ok]
+        r = tokenize_window_ascii(a_texts)
+        if r is None:
+            ascii_ok = [False] * n
+    if r is None:
+        # full python fallback (prefilter safety net; should not happen)
+        tok_lists = [analyze(t) for t in texts]
+        dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        total = int(dls.sum())
+        flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
+        codes, uniq = pd.factorize(flat)
+        return np.asarray(codes, dtype=np.int32), list(uniq), dls
+    codes_a, uniq, dls_a = r
+    uniq = list(uniq)
+    vocab = {t: i for i, t in enumerate(uniq)}
+    a_off = np.concatenate(([0], np.cumsum(dls_a))).astype(np.int64)
+    dls = np.empty(n, dtype=np.int64)
+    parts: list[np.ndarray] = []
+    ai = 0
+    for i, ok in enumerate(ascii_ok):
+        if ok:
+            parts.append(codes_a[a_off[ai]:a_off[ai + 1]])
+            dls[i] = dls_a[ai]
+            ai += 1
+        else:
+            toks = analyze(texts[i])
+            arr = np.empty(len(toks), dtype=np.int32)
+            for j, tk in enumerate(toks):
+                c = vocab.get(tk)
+                if c is None:
+                    c = len(uniq)
+                    vocab[tk] = c
+                    uniq.append(tk)
+                arr[j] = c
+            parts.append(arr)
+            dls[i] = len(toks)
+    codes = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
+    )
+    return codes, uniq, dls
+
+
+def _invert_codes(
+    codes32: np.ndarray,
+    uniq: list[str],
+    dls: np.ndarray,
     ids: np.ndarray,
     norms: np.ndarray,
     store_positions: bool,
@@ -260,15 +343,12 @@ def _invert_window(
     into per-term posting runs — fully vectorized, no per-token Python.
 
     FieldInvertState accounting (tf + positions per term per doc) falls
-    out of one pd.factorize (C hash join: token -> dense term code) plus
-    one stable argsort of the codes: within a term code, tokens keep
-    (doc asc, position asc) order, so posting boundaries are run breaks
-    of (code, doc) and positions are already the per-doc concatenation
-    the codec wants. Term output order == first-appearance order
-    (factorize order), matching the old dict-accumulator byte-for-byte.
+    out of the dense term codes plus one packed sort: within a term
+    code, tokens keep (doc asc, position asc) order, so posting
+    boundaries are run breaks of (code, doc) and positions are already
+    the per-doc concatenation the codec wants.
     """
-    n = len(tok_lists)
-    dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    n = len(dls)
     total = int(dls.sum())
     terms: list[str] = []
     firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], []
@@ -282,10 +362,6 @@ def _invert_window(
         # boundaries, so their docIDs are one contiguous arange and a
         # local index + ids[0] reconstructs the global docID exactly.
         assert int(ids[-1]) - int(ids[0]) + 1 == n, "window docIDs not contiguous"
-        flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
-        codes32, uniq = pd.factorize(flat)
-        codes32 = np.asarray(codes32, dtype=np.int32)
-        del flat
         doc_rep = np.repeat(np.arange(n, dtype=np.int32), dls)
         norm_rep = np.repeat(norms.astype(np.uint8), dls)
         doc_starts = np.concatenate(([0], np.cumsum(dls)[:-1]))
@@ -313,17 +389,20 @@ def _invert_window(
         pdocs = sd[pstarts].astype(np.int64) + np.int64(ids[0])
         pnorms = sn[pstarts]
         pcodes = sc[pstarts]
-        # term boundaries within the posting arrays (codes ascend = dense
-        # 0..V-1, so slice k belongs to uniq[k])
+        # term boundaries within the posting arrays. Codes ascend but are
+        # NOT necessarily dense: a window assembled from batch slices can
+        # skip vocabulary entries, so each slice is labeled by its ACTUAL
+        # code, never by slice ordinal.
         tb = np.concatenate(([True], pcodes[1:] != pcodes[:-1]))
         tstarts = np.flatnonzero(tb)
         tends = np.append(tstarts[1:], pstarts.size)
         tok_bounds = np.append(pstarts, total)
+        tcodes = pcodes[tstarts]
         for k in range(tstarts.size):
             s, e = int(tstarts[k]), int(tends[k])
             d = pdocs[s:e]
             t = tf[s:e]
-            terms.append(uniq[k])
+            terms.append(uniq[int(tcodes[k])])
             firsts.append(int(d[0]))
             ndocs.append(d.size)
             cfs.append(int(t.sum()))
@@ -375,21 +454,49 @@ def _invert_partition(
         # doc range has to be disjoint from every other run's for the
         # merge-by-first_doc concatenation to stay sorted.
         next_ids: dict[int, int] = {}
-        win_toks: list[list[str]] = []
+        # window state: per-batch code chunks with their own vocabularies
+        # (token STRINGS never accumulate — only int32 codes + tiny
+        # chunk vocabs live across batches; the flush remaps chunk codes
+        # into one window code space via a |vocab|-sized table)
+        win_chunks: list[tuple[np.ndarray, list[str]]] = []
+        win_dls: list[np.ndarray] = []
         win_ids: list[np.ndarray] = []
         win_norms: list[np.ndarray] = []
         buffered = 0
         cur_rp: int | None = None
 
         def _flush_window() -> pd.DataFrame:
-            nonlocal win_toks, win_ids, win_norms, buffered
-            out = _invert_window(
-                win_toks,
+            nonlocal win_chunks, win_dls, win_ids, win_norms, buffered
+            vocab: dict[str, int] = {}
+            uniq: list[str] = []
+            parts: list[np.ndarray] = []
+            for codes_c, uniq_c in win_chunks:
+                if not uniq:
+                    uniq = list(uniq_c)
+                    vocab = {t: i for i, t in enumerate(uniq)}
+                    parts.append(codes_c)
+                    continue
+                remap = np.empty(len(uniq_c), dtype=np.int32)
+                for k, t in enumerate(uniq_c):
+                    c = vocab.get(t)
+                    if c is None:
+                        c = len(uniq)
+                        vocab[t] = c
+                        uniq.append(t)
+                    remap[k] = c
+                parts.append(remap[codes_c])
+            codes = (
+                np.concatenate(parts) if parts else np.empty(0, np.int32)
+            )
+            out = _invert_codes(
+                codes,
+                uniq,
+                np.concatenate(win_dls),
                 np.concatenate(win_ids),
                 np.concatenate(win_norms),
                 store_positions,
             )
-            win_toks, win_ids, win_norms = [], [], []
+            win_chunks, win_dls, win_ids, win_norms = [], [], [], []
             buffered = 0
             return out
 
@@ -408,9 +515,10 @@ def _invert_partition(
                 ids[s:e] = np.arange(st, st + (e - s), dtype=np.int64)
                 next_ids[rp] = st + (e - s)
 
-            # tokenize the whole batch first so norms vectorize in one call
-            tok_lists = [analyze(t) for t in pdf["content"]]
-            dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            # tokenize the whole batch in one vectorized pass
+            texts = list(pdf["content"])
+            codes_b, uniq_b, dls = _window_codes(texts)
+            off_b = np.concatenate(([0], np.cumsum(dls)))
             norms_arr = int_to_byte4(dls)
 
             meta_pdf = pd.DataFrame(
@@ -422,7 +530,7 @@ def _invert_partition(
                     "lang": pdf["lang"].to_numpy(),
                     "content_sha256": [
                         hashlib.sha256(t.encode("utf-8")).digest()
-                        for t in pdf["content"]
+                        for t in texts
                     ],
                     "dl": pd.array(dls, dtype="int32"),
                     "norm": pd.array(norms_arr, dtype="int32"),
@@ -443,7 +551,10 @@ def _invert_partition(
                 i = s
                 while i < e:
                     take = min(e - i, flush_docs - buffered)
-                    win_toks.extend(tok_lists[i:i + take])
+                    win_chunks.append(
+                        (codes_b[off_b[i]:off_b[i + take]], uniq_b)
+                    )
+                    win_dls.append(dls[i:i + take])
                     win_ids.append(ids[i:i + take])
                     win_norms.append(norms_arr[i:i + take])
                     buffered += take

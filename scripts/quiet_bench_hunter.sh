@@ -20,10 +20,12 @@ while true; do
   if [ -f $REPO/.build/BENCH_PAUSE ]; then sleep 30; continue; fi
   if [ -f $REPO/.build/BENCH_STOP ]; then echo "$(date +%T) stopped" >> $LOG; exit 0; fi
   L=$(cut -d' ' -f1 /proc/loadavg)
-  if awk "BEGIN{exit !($L < 0.8)}"; then
+  if awk "BEGIN{exit !($L < 0.6)}"; then
     echo "$(date +%T) quiet (load=$L) -> bench" >> $LOG
-    cd $REPO && python scripts/scaling_bench.py --docs 300000 --repeat 1 \
+    rm -f $REPO/BENCH/scaling.json
+    cd $REPO && SPARK_GRAFT_QUIET_GUARD=1 python scripts/scaling_bench.py --docs 300000 --repeat 1 \
       > $REPO/.build/quiet_try_$(date +%s).log 2>&1
+    if [ $? -eq 3 ]; then echo "$(date +%T) aborted (load returned mid-run)" >> $LOG; sleep 45; continue; fi
     POST=$(cut -d' ' -f1 /proc/loadavg)
     if [ -f $REPO/BENCH/scaling.json ]; then
       EFF=$(python -c "import json;print(json.load(open('$REPO/BENCH/scaling.json'))['scaling_efficiency'])")

@@ -77,10 +77,28 @@ def main() -> None:
     # load of ~2-4 cores comes and goes; it barely touches local[2] but
     # inflates local[8] 2-4x). INTERLEAVE the levels so both sample the
     # same noise windows, and report the best of `repeat` runs per level.
+    # optional quiet guard (SPARK_GRAFT_QUIET_GUARD=1): between legs, wait
+    # for our own load contribution to decay, then abort if the host's
+    # external background load came back — a contaminated leg poisons the
+    # ratio either direction (slow low fakes GOOD efficiency), so a
+    # partial run is worth discarding.
+    def _guard() -> None:
+        if os.environ.get("SPARK_GRAFT_QUIET_GUARD") != "1":
+            return
+        import time as _time
+
+        _time.sleep(50)
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 > 1.2:
+            sys.stderr.write(f"quiet guard: load {load1} > 1.2, aborting\n")
+            raise SystemExit(3)
+
     lo_runs, hi_runs = [], []
     for _ in range(args.repeat):
         lo_runs.append(run_build(args.low, args.docs, args.queries, corpus_path))
+        _guard()
         hi_runs.append(run_build(args.high, args.docs, args.queries, corpus_path))
+        _guard()
     lo = min(lo_runs, key=lambda d: d["build_wall_sec"])
     hi = min(hi_runs, key=lambda d: d["build_wall_sec"])
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
