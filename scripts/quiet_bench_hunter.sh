@@ -23,7 +23,7 @@ while true; do
   if awk "BEGIN{exit !($L < 0.6)}"; then
     echo "$(date +%T) quiet (load=$L) -> bench" >> $LOG
     rm -f $REPO/BENCH/scaling.json
-    cd $REPO && SPARK_GRAFT_QUIET_GUARD=1 python scripts/scaling_bench.py --docs 300000 --repeat 1 \
+    cd $REPO && SPARK_GRAFT_QUIET_GUARD=1 python scripts/scaling_bench.py --docs ${HUNT_DOCS:-600000} --partitions ${HUNT_PARTS:-32} --repeat 1 \
       > $REPO/.build/quiet_try_$(date +%s).log 2>&1
     if [ $? -eq 3 ]; then echo "$(date +%T) aborted (load returned mid-run)" >> $LOG; sleep 45; continue; fi
     POST=$(cut -d' ' -f1 /proc/loadavg)

