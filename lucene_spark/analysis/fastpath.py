@@ -53,8 +53,19 @@ _LOWER = np.arange(256, dtype=np.uint8)
 _LOWER[65:91] += 32
 
 
+# Cache-block size for the mask pipeline. The classifier makes ~15
+# passes over blob-sized temporaries (cls, tok, the mid-char join
+# temps, diff); on a whole 50MB Arrow batch every pass streams DRAM,
+# and 8 concurrent workers saturate the host memory system (measured
+# 1.41x per-worker degradation at 8 procs). Chunking the blob keeps
+# the ~5x-blob working set inside per-core cache so DRAM sees only
+# the unavoidable passes (read blob, write/read token bytes for the
+# final dictionary_encode). 512KB chunk => ~2.5MB working set.
+_CHUNK_BYTES = 512 * 1024
+
+
 def tokenize_window_ascii(texts: list[str]):
-    """Tokenize a window of ASCII documents in one vectorized pass.
+    """Tokenize a window of ASCII documents, cache-blocked.
 
     Returns ``(codes, uniq, dls)`` — int32 dense term codes in document
     order (first-appearance code assignment), the vocabulary list, and
@@ -66,12 +77,55 @@ def tokenize_window_ascii(texts: list[str]):
     n = len(texts)
     if n == 0:
         return np.empty(0, np.int32), [], np.empty(0, np.int64)
+    # split on doc boundaries into ~_CHUNK_BYTES chunks; the mask
+    # pipeline runs per chunk (cache-resident), dictionary_encode runs
+    # ONCE over the concatenated token array so the code space is
+    # window-wide first-appearance order, same as the unchunked kernel
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    acc = 0
+    for i, t in enumerate(texts):
+        acc += len(t) + 1
+        if acc >= _CHUNK_BYTES:
+            chunks.append((start, i + 1))
+            start, acc = i + 1, 0
+    if start < n:
+        chunks.append((start, n))
+    arrs = []
+    dls_parts = []
+    for s, e in chunks:
+        r = _mask_chunk(texts[s:e])
+        if r is None:
+            return None
+        arr, dls_c = r
+        arrs.append(arr)
+        dls_parts.append(dls_c)
+    dls = np.concatenate(dls_parts)
+    arr = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+    if len(arr) == 0:
+        return np.empty(0, np.int32), [], dls
+    denc = arr.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int32, copy=False)
+    uniq = denc.dictionary.to_pylist()
+    return codes, uniq, dls
+
+
+def _mask_chunk(texts: list[str]):
+    """Token-byte extraction for one cache-sized chunk of documents.
+
+    Returns ``(pa.StringArray of tokens in order, per-doc counts)`` or
+    ``None`` on an over-long token run.
+    """
+    import pyarrow as pa
+
+    n = len(texts)
     # one C-speed join+encode; '\n' is neither word nor mid char, so it
     # can never join tokens across document boundaries
     blob = "\n".join(texts).encode("ascii")
     b = np.frombuffer(blob, dtype=np.uint8)
     if b.size == 0:
-        return np.empty(0, np.int32), [], np.zeros(n, np.int64)
+        empty = pa.array([], type=pa.utf8())
+        return empty, np.zeros(n, np.int64)
 
     cls = _CLS[b]
     tok = (cls & _F_WORD) != 0
@@ -109,7 +163,7 @@ def tokenize_window_ascii(texts: list[str]):
 
     total_tok = lengths.size
     if total_tok == 0:
-        return np.empty(0, np.int32), [], dls
+        return pa.array([], type=pa.utf8()), dls
 
     # values buffer: ONE boolean-mask gather keeps token bytes in order
     # (gaps removed); lowercase only the gathered bytes
@@ -121,7 +175,4 @@ def tokenize_window_ascii(texts: list[str]):
         total_tok,
         [None, pa.py_buffer(val_off), pa.py_buffer(data)],
     )
-    denc = arr.dictionary_encode()
-    codes = denc.indices.to_numpy().astype(np.int32, copy=False)
-    uniq = denc.dictionary.to_pylist()
-    return codes, uniq, dls
+    return arr, dls
