@@ -26,7 +26,9 @@ def get_spark(
             repo_root + (os.pathsep + pp if pp else "")
         )
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(32, cpus)
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")
+    ) or max(32, cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -48,7 +48,15 @@ def main() -> None:
     if args.cpus is not None:
         from lucene_spark.session import get_spark
 
-        spark = get_spark(args.cpus, app_name="lucene_spark_build")
+        # builds want more, smaller reducer tasks than the query-path
+        # default: the postings merge + term-range write are wave-packed
+        # (measured: 96 parts beats 32 by ~17% at 8 cores), and on a real
+        # cluster shuffle.partitions scales with executors the same way
+        spark = get_spark(
+            args.cpus,
+            app_name="lucene_spark_build",
+            shuffle_partitions=max(32, 12 * args.cpus),
+        )
     else:
         # under spark-submit the master/conf come from the submit command
         spark = SparkSession.builder.appName("lucene_spark_build").getOrCreate()
