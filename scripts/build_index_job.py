@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--segments", type=int, default=4)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--flush-docs", type=int, default=None,
+                    help="invert flush-window docs (default: builder's)")
     ap.add_argument("--queries", default="",
                     help="comma-separated post-build probe queries (timed)")
     args = ap.parse_args()
@@ -86,11 +88,15 @@ def main() -> None:
             store_positions=not args.no_positions,
         )
     else:
+        kw = {}
+        if args.flush_docs:
+            kw["flush_docs"] = args.flush_docs
         manifest = build_index(
             spark, docs, args.out,
             partitions=args.partitions,
             store_positions=not args.no_positions,
             key_sample=ks,
+            **kw,
         )
 
     out = dict(manifest)
