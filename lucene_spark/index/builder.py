@@ -76,6 +76,7 @@ from lucene_spark.analysis.fastpath import tokenize_window_ascii
 from lucene_spark.util.blockcodec import CODEC_NAME
 from lucene_spark.util.blockcodec import decode_block as decode
 from lucene_spark.util.blockcodec import encode_block as encode
+from lucene_spark.util.metaio import write_meta_parquet
 from lucene_spark.util.smallfloat import int_to_byte4
 from lucene_spark.util.varbyte import (
     delta_decode,
@@ -873,9 +874,8 @@ def build_index(
     terms_out.unpersist()
     _mark("terms_write", _t)
 
-    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "stats")
-    )
+    write_meta_parquet(os.path.join(out_dir, "stats"), [stats])
+    _mark("stats_write", _t)
 
     # --- lineage (per-partition segment metrics, resume unit) ------------
     lineage = [
@@ -887,9 +887,8 @@ def build_index(
         }
         for pid in sorted(sizes)
     ]
-    spark.createDataFrame(lineage).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineage")
-    )
+    write_meta_parquet(os.path.join(out_dir, "lineage"), lineage)
+    _mark("lineage_write", _t)
 
     terms_df.unpersist()
     # drop the intermediate run checkpoint (merged into postings) — in the

