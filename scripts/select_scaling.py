@@ -16,7 +16,6 @@ import argparse
 import glob
 import json
 import os
-import shutil
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -47,8 +46,35 @@ def main() -> None:
     winner = max(eligible, key=lambda t: t[1]["scaling_efficiency"])
     print("winner:", os.path.basename(winner[0]),
           "eff", winner[1]["scaling_efficiency"])
+
+    # Min-estimator across the archive: the external load only ever ADDS
+    # wall time, so the fastest observed leg (same docs/config) is the
+    # least-contaminated estimate of that leg's true time, and their
+    # ratio is the best estimate of true efficiency. Reported alongside
+    # the single-run winner with full provenance.
+    docs = winner[1]["docs"]
+    same = [(p, d) for p, d in runs if d["docs"] == docs]
+    lo_p, lo_d = min(same, key=lambda t: t[1]["low_wall_sec"])
+    hi_p, hi_d = min(same, key=lambda t: t[1]["high_wall_sec"])
+    ratio = lo_d["low_wall_sec"] / hi_d["high_wall_sec"]
+    best_pair_eff = ratio / (winner[1]["high_cpus"] / winner[1]["low_cpus"])
+    print(f"best-clean-leg estimator: low {lo_d['low_wall_sec']}s "
+          f"({os.path.basename(lo_p)}) / high {hi_d['high_wall_sec']}s "
+          f"({os.path.basename(hi_p)}) -> eff {best_pair_eff:.3f}")
     if args.apply:
-        shutil.copy(winner[0], os.path.join(REPO, "BENCH", "scaling.json"))
+        out = dict(winner[1])
+        out["best_clean_leg"] = {
+            "low_wall_sec": lo_d["low_wall_sec"],
+            "low_source": os.path.basename(lo_p),
+            "high_wall_sec": hi_d["high_wall_sec"],
+            "high_source": os.path.basename(hi_p),
+            "efficiency": round(best_pair_eff, 3),
+            "note": "min over archived quiet-window runs per leg; "
+                    "external load only adds time, so the min is the "
+                    "least-contaminated estimate of each leg",
+        }
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(out, f, indent=2)
         print("applied to BENCH/scaling.json")
 
 
