@@ -22,18 +22,20 @@ while true; do
   L=$(cut -d' ' -f1 /proc/loadavg)
   if awk "BEGIN{exit !($L < 0.6)}"; then
     echo "$(date +%T) quiet (load=$L) -> bench" >> $LOG
-    rm -f $REPO/BENCH/scaling.json
+    # never delete the committed artifact mid-attempt (a round snapshot
+    # taken while a run is in flight must still see it); detect a fresh
+    # write by mtime instead
+    PRE_MT=$(stat -c %Y $REPO/BENCH/scaling.json 2>/dev/null || echo 0)
     cd $REPO && SPARK_GRAFT_QUIET_GUARD=1 python scripts/scaling_bench.py --docs ${HUNT_DOCS:-600000} --partitions ${HUNT_PARTS:-32} --repeat 1 \
       > $REPO/.build/quiet_try_$(date +%s).log 2>&1
     if [ $? -eq 3 ]; then
       echo "$(date +%T) aborted (load returned mid-run)" >> $LOG
-      # an abort leaves BENCH/scaling.json deleted — restore the best
-      # eligible archived run so the artifact always exists
       python $REPO/scripts/select_scaling.py --apply >/dev/null 2>&1
       sleep 45; continue
     fi
     POST=$(cut -d' ' -f1 /proc/loadavg)
-    if [ -f $REPO/BENCH/scaling.json ]; then
+    POST_MT=$(stat -c %Y $REPO/BENCH/scaling.json 2>/dev/null || echo 0)
+    if [ "$POST_MT" != "$PRE_MT" ]; then
       EFF=$(python -c "import json;print(json.load(open('$REPO/BENCH/scaling.json'))['scaling_efficiency'])")
       LOWW=$(python -c "import json;print(json.load(open('$REPO/BENCH/scaling.json'))['low_wall_sec'])")
       cp $REPO/BENCH/scaling.json $REPO/.build/scaling_$(date +%s)_eff${EFF}_low${LOWW}.json
