@@ -417,11 +417,12 @@ def q_fuzzy_expand(spark, sf_dir):
 
 
 def q_regexp_df(spark, sf_dir):
-    """RegexpQuery term expansion: dictionary terms matching a regex
-    (AutomatonTermsEnum analog via RLIKE — Catalyst pushes the predicate
-    to the sorted terms scan)."""
+    """RegexpQuery term expansion: dictionary terms matching a regex.
+    regexp_terms pushes the pattern's mandatory literal prefix ('get')
+    as a startswith predicate into the sorted terms scan before RLIKE —
+    the AutomatonTermsEnum common-prefix analog (RegexpQuery.java:215)."""
     s = searcher_for(spark, sf_dir)
-    return s.terms_table.where(F.col("term").rlike("^get[a-z]*[0-9]$")).select(
+    return s.regexp_terms("get[a-z]*[0-9]").select(
         "term", F.col("df").cast("long").alias("df")
     )
 
@@ -505,7 +506,12 @@ def q_blended_top10(spark, sf_dir):
     n = s.manifest["doc_count"]
     avgdl = s.manifest["sum_total_term_freq"] / n
     stats = s.term_stats(SYN_TERMS)
-    df_blend = float(max(stats[t].df for t in SYN_TERMS if t in stats))
+    present = [t for t in SYN_TERMS if t in stats]
+    if not present:
+        # mirror search_blended's present-terms check: no term in the
+        # corpus -> empty result, never a ValueError on max() of nothing
+        return spark.createDataFrame([], "doc_id long, score double")
+    df_blend = float(max(stats[t].df for t in present))
     tf = s.postings_tf(SYN_TERMS)
     dm = _docid_map(s)
     idf = F.log(

@@ -98,6 +98,12 @@ BLOCK_SIZE = 256  # Lucene104PostingsFormat ForUtil.BLOCK_SIZE (ForUtil.java:34)
 # the merge shuffle.
 FLUSH_DOCS = 1 << 14
 
+# Cap on driver-side boundary-sample rows (doc keys or vocabulary terms).
+# Boundary quality needs only ~n_part * O(100) points; 64k keeps every
+# sample constant-size w.r.t. corpus/vocabulary size (SCALE.md: driver
+# state is O(#ranges), never O(data)).
+KEY_SAMPLE_MAX = 65536.0
+
 # Mixed output of the invert pass: meta rows (term NULL, one per doc) and
 # run rows (one per (flush, term), compact varbyte payloads).
 INVERT_SCHEMA = StructType(
@@ -371,18 +377,26 @@ def _invert_codes(
         )
         # stable grouping via ONE in-place introsort of unique packed keys
         # (code*total + index) — ~2.5x faster than a stable argsort of the
-        # repeated codes at flush-window sizes (windows are bounded well
-        # below int64 pack overflow)
-        key = codes32.astype(np.int64) * np.int64(total) + np.arange(
-            total, dtype=np.int64
-        )
-        key.sort()
-        order = key % np.int64(total)
+        # repeated codes at flush-window sizes. The pack needs
+        # max_code*total + total-1 < 2^63; real flush windows are orders of
+        # magnitude below that, but a pathological window (16k docs of
+        # ~185k tokens each) could overflow SILENTLY and corrupt posting
+        # grouping, so the bound is CHECKED and the rare giant window
+        # falls back to a stable argsort (same result, ~2.5x slower).
+        if (len(uniq) + 1) * total < (1 << 62):
+            key = codes32.astype(np.int64) * np.int64(total) + np.arange(
+                total, dtype=np.int64
+            )
+            key.sort()
+            order = key % np.int64(total)
+            del key
+        else:
+            order = np.argsort(codes32, kind="stable")
         sc = codes32[order]
         sd = doc_rep[order]
         sn = norm_rep[order]
         sp = pos[order] if store_positions else None
-        del key, codes32, doc_rep, norm_rep, pos
+        del codes32, doc_rep, norm_rep, pos
         # posting boundaries: run breaks of (term code, doc)
         pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
         pstarts = np.flatnonzero(pb)
@@ -740,10 +754,19 @@ def build_index(
 
     # --- shuffle 1: deterministic doc order ------------------------------
     if key_sample is None:
+        # COUNT-bounded boundary sample (write_segment pattern): a plain
+        # fraction collects O(corpus) keys to the driver — 10^11 rows at
+        # 10^12 files. The count is parquet-metadata-cheap; the collected
+        # sample stays ~KEY_SAMPLE_MAX rows at any corpus size (boundaries
+        # affect only balance, never correctness).
+        n_docs_est = docs.count()
+        frac = min(
+            float(sample_fraction), KEY_SAMPLE_MAX / max(1.0, float(n_docs_est))
+        )
         key_sample = [
             (r["repo"], r["path"], r["commit"])
             for r in docs.select("repo", "path", "commit")
-            .sample(fraction=min(1.0, sample_fraction), seed=seed)
+            .sample(fraction=min(1.0, frac), seed=seed)
             .collect()
         ]
     bounds = _quantile_bounds(
@@ -838,11 +861,14 @@ def build_index(
     # range-partition the output by term (the parquet file/rowgroup min-max
     # stats ARE our term dictionary) — boundaries come from the cached
     # terms table, so the expensive merge runs exactly once
+    # count-bounded vocabulary sample (distinct_terms is already known):
+    # 0.2 of a web-scale vocabulary would collect 10^9+ terms driverside
+    term_frac = min(0.2, KEY_SAMPLE_MAX / max(1.0, float(stats["distinct_terms"])))
     term_bounds = _quantile_bounds(
         sorted(
             r["term"]
             for r in terms_df.select("term")
-            .sample(fraction=min(1.0, 0.2), seed=seed)
+            .sample(fraction=min(1.0, term_frac), seed=seed)
             .collect()
         ),
         n_part,

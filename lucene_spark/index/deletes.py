@@ -68,8 +68,8 @@ def load_deleted_ids(spark: SparkSession, index_dir: str) -> np.ndarray:
     tdf = tombstones_df(spark, index_dir)
     if tdf is None:
         return np.empty(0, dtype=np.int64)
-    rows = tdf.collect()
-    return np.array(sorted(r["docID"] for r in rows), dtype=np.int64)
+    # Arrow transfer + numpy sort (no driver-side Row objects)
+    return np.sort(tdf.toPandas()["docID"].to_numpy(dtype=np.int64, copy=True))
 
 
 def delete_by_keys(

@@ -254,10 +254,19 @@ def merge_segments(
     # terms table (repartitionByRange would re-run the whole expensive
     # merge once more just to sample boundaries — builder.build_index
     # avoids that the same way)
+    # count-bounded vocabulary sample (builder.KEY_SAMPLE_MAX): 0.2 of a
+    # web-scale vocabulary would collect 10^9+ terms driver-side
+    from lucene_spark.index.builder import KEY_SAMPLE_MAX
+
+    term_frac = min(
+        0.2, KEY_SAMPLE_MAX / max(1.0, float(stats["distinct_terms"]))
+    )
     term_bounds = _quantile_bounds(
         sorted(
             r["term"]
-            for r in terms_df.select("term").sample(fraction=0.2, seed=7).collect()
+            for r in terms_df.select("term")
+            .sample(fraction=min(1.0, term_frac), seed=7)
+            .collect()
         ),
         n_part,
     )

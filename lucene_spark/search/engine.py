@@ -104,6 +104,7 @@ class IndexSearcher:
                 F.col("gen").isin(list(self.manifest["gens"]))
             )
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self._dl_hist: tuple[np.ndarray, np.ndarray] | None = None
         self.reload_deletes()
 
     # above this many tombstones the set is no longer shipped to tasks at
@@ -125,8 +126,12 @@ class IndexSearcher:
         n = 0 if tdf is None else tdf.count()
         self._n_deleted = int(n)
         if n and n <= self.ANTIJOIN_DELETES_THRESHOLD:
-            arr = np.array(
-                sorted(r["docID"] for r in tdf.collect()), dtype=np.int64
+            # Arrow transfer + numpy sort: collect() would materialize up
+            # to 5M Row OBJECTS and sort them in pure Python on the driver;
+            # toPandas ships Arrow batches and the sort is one C pass over
+            # a flat int64 array (~40 MB at the threshold).
+            arr = np.sort(
+                tdf.toPandas()["docID"].to_numpy(dtype=np.int64, copy=True)
             )
             self._tombstones = None
         else:
@@ -193,12 +198,66 @@ class IndexSearcher:
 
     MAX_EXPANSIONS = 1024  # IndexSearcher.maxClauseCount analog
 
+    @staticmethod
+    def _regex_literal_prefix(pattern: str) -> str:
+        """Longest MANDATORY literal prefix of a regex — the automaton
+        common-prefix analog (reference search/RegexpQuery.java:215 via
+        CompiledAutomaton.commonPrefix): every match of a start-anchored
+        pattern must begin with this prefix, so it can be pushed as a
+        `startswith` range predicate bounding the dictionary scan.
+        Conservative: stops at the first metacharacter or escape, and
+        drops a trailing literal that a following quantifier could make
+        optional — an empty result just means no pushdown."""
+        specials = ".^$*+?()[]{}|\\"
+        out: list[str] = []
+        n = len(pattern)
+        i = 0
+        while i < n:
+            c = pattern[i]
+            if c in specials:
+                break
+            if i + 1 < n and pattern[i + 1] in "*?{":
+                break  # quantified literal is not mandatory
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _regexp_filter(self, t: DataFrame, pattern: str, full_match: bool):
+        """rlike filter plus the literal-prefix pushdown (sound only when
+        the match is anchored at the start of the term)."""
+        if full_match:
+            pre = self._regex_literal_prefix(pattern)
+            t = t.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        else:
+            pre = (
+                self._regex_literal_prefix(pattern[1:])
+                if pattern.startswith("^")
+                else ""
+            )
+            t = t.filter(F.col("term").rlike(pattern))
+        if pre:
+            t = t.filter(F.col("term").startswith(pre))
+        return t
+
+    def regexp_terms(self, pattern: str, full_match: bool = True) -> DataFrame:
+        """Dictionary terms matching ``pattern`` as a (term, df) DataFrame
+        — RegexpQuery's term expansion (search/RegexpQuery.java).
+        full_match anchors the pattern like Lucene (a RegexpQuery matches
+        whole terms); the scan is bounded by the pattern's mandatory
+        literal prefix pushed as a startswith predicate over the sorted
+        terms table (parquet min/max pruning = the sorted-term-dict
+        intersection of AutomatonTermsEnum)."""
+        return self._regexp_filter(self._terms, pattern, full_match).select(
+            "term", "df"
+        )
+
     def expand_terms(
         self,
         *,
         prefix: str | None = None,
         like: str | None = None,
         regex: str | None = None,
+        regex_full_match: bool = False,
         lo: str | None = None,
         hi: str | None = None,
         include_lo: bool = True,
@@ -222,7 +281,7 @@ class IndexSearcher:
         if like is not None:
             t = t.filter(F.col("term").like(like))
         if regex is not None:
-            t = t.filter(F.col("term").rlike(regex))
+            t = self._regexp_filter(t, regex, regex_full_match)
         if lo is not None:
             t = t.filter(
                 F.col("term") >= lo if include_lo else F.col("term") > lo
@@ -463,6 +522,21 @@ class IndexSearcher:
     @property
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    def _dl_histogram(self) -> tuple[np.ndarray, np.ndarray]:
+        """(dl values, doc counts) histogram of the docmap — computed once
+        per searcher (distinct dl count is tiny next to doc count) so
+        derived collection statistics (combined-field avgdl for ANY
+        title_len/weights) become driver-side numpy, not a per-query
+        docmap scan. Matches Lucene reading per-field sumTotalTermFreq
+        from precomputed segment stats rather than rescanning norms."""
+        if self._dl_hist is None:
+            pdf = self.docmap.groupBy("dl").count().toPandas()
+            self._dl_hist = (
+                pdf["dl"].to_numpy(dtype=np.int64),
+                pdf["count"].to_numpy(dtype=np.int64),
+            )
+        return self._dl_hist
 
     @property
     def terms_table(self) -> DataFrame:
@@ -1381,14 +1455,21 @@ class IndexSearcher:
             raise ValueError("index built without positions")
 
         wt, wb, tl = float(title_weight), float(body_weight), int(title_len)
-        # combined collection stats from docmap (exact lengths)
-        agg = self.docmap.agg(
-            F.sum(
-                F.lit(wt) * F.least(F.col("dl"), F.lit(tl))
-                + F.lit(wb) * F.greatest(F.col("dl") - F.lit(tl), F.lit(0))
-            ).alias("sdl")
-        ).collect()[0]
-        avgdl_c = float(agg["sdl"]) / max(1, self.doc_count)
+        # combined collection stats from the dl HISTOGRAM — one narrow
+        # docmap scan per searcher, reused by every combined-field query
+        # with any (title_len, weights); the previous per-query docmap
+        # aggregate was a full-table pass per query for a constant. The
+        # histogram sum is exactly equal to the per-doc sum: wt/wb scale
+        # integer lengths, so each product is exact in double and the
+        # grouped sum commutes without rounding differences.
+        dls, cnts = self._dl_histogram()
+        sdl = float(
+            np.dot(
+                wt * np.minimum(dls, tl) + wb * np.maximum(dls - tl, 0),
+                cnts.astype(np.float64),
+            )
+        )
+        avgdl_c = sdl / max(1, self.doc_count)
         weights = {
             t: float(np.float32(idf(stats[t].df, self.doc_count)))
             for t in present

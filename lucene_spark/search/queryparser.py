@@ -274,11 +274,12 @@ def _leaf_scores(searcher, node: Node) -> DataFrame | None:
             ),
         )
     elif node.kind == "regexp":
-        # RegexpQuery matches the WHOLE term -> anchor the pattern
+        # RegexpQuery matches the WHOLE term; full-match mode also pushes
+        # the pattern's literal prefix into the dictionary scan
         scored = _expansion_scores(
             searcher,
             searcher.expand_terms(
-                regex=f"^(?:{node.terms[0]})$", top_terms=True
+                regex=node.terms[0], regex_full_match=True, top_terms=True
             ),
         )
     elif node.kind == "phrase":
