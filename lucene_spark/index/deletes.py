@@ -133,12 +133,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         manifest = json.load(f)
     validate_manifest_codec(manifest)
     if manifest.get("gens"):
-        # tiered incremental layout: segment runs would re-introduce the
-        # deleted docs on the next refresh; expunge there means rewriting
-        # runs too — not supported, tombstones stay until then
-        raise ValueError(
-            "expunge_deletes supports batch indexes; incremental indexes "
-            "keep tombstones across refresh()"
+        # tiered incremental layout: per-gen rewrite path (refreshes
+        # first so stale segment runs can never re-introduce the docs)
+        from lucene_spark.streaming.incremental import expunge_deletes_tiered
+
+        return expunge_deletes_tiered(
+            spark, index_dir,
+            store_positions=manifest.get("store_positions", True),
         )
     if deleted.size == 0:
         return manifest

@@ -539,7 +539,11 @@ def refresh(
     os.replace(terms_new, terms_final)
 
     stats = {
-        "doc_count": int(state["next_doc"]),
+        # next_doc is the docID high-water mark (maxDoc analog);
+        # n_expunged counts docs PHYSICALLY removed by
+        # expunge_deletes_tiered (docID gaps stay — docIDs are never
+        # reassigned), so live doc_count = next_doc - n_expunged
+        "doc_count": int(state["next_doc"]) - int(state.get("n_expunged", 0)),
         "sum_total_term_freq": int(agg["sttf"] or 0),
         "sum_doc_freq": int(agg["sdf"] or 0),
         "distinct_terms": int(agg["nterms"] or 0),
@@ -564,12 +568,126 @@ def refresh(
         "merged_new_segments": touched,
         "compacted_gens": compacted,
     }
+    if state.get("expunged_at"):
+        manifest["expunged_at"] = state["expunged_at"]
     _atomic_json(os.path.join(out_dir, "manifest.json"), manifest)
     _atomic_json(_state_path(out_dir), state)
     shutil.rmtree(terms_old, ignore_errors=True)
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return manifest
+
+
+def expunge_deletes_tiered(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    partitions: int | None = None,
+    store_positions: bool = True,
+) -> dict:
+    """forceMergeDeletes for tiered incremental indexes (reference
+    index/IndexWriter.java forceMergeDeletes): physically rewrite every
+    generation still holding tombstoned docs, drop those docs from the
+    docmap, clear the tombstone table, and republish stats/manifest.
+
+    Order of operations (crash-safe):
+      1. refresh() — absorbs any unmerged segment runs into generations
+         first, so clearing tombstones later can never let a stale
+         segment run re-introduce a deleted doc.
+      2. Per-gen rewrite via _compact_gens(deleted=...) — only gens whose
+         docID ranges intersect the tombstone set are touched (Lucene
+         skips segments without deletes). Gens hold whole segments and
+         segment docID ranges are contiguous by construction, so the
+         intersection test is a searchsorted over the sorted tombstones.
+      3. Docmap anti-join rewrite + tombstone clear + state update,
+         then a second refresh() to rebuild terms/stats/manifest from
+         the surviving generations (doc_count reflects n_expunged).
+
+    docIDs of survivors are preserved (sparse docID space, same as the
+    batch expunge); statistics are recomputed, so scores change exactly
+    as Lucene's do after the merge that applies deletes."""
+    import shutil
+
+    from lucene_spark.index.deletes import load_deleted_ids, _deletes_dir
+
+    refresh(
+        spark, out_dir, partitions=partitions, store_positions=store_positions
+    )
+    deleted = load_deleted_ids(spark, out_dir)
+    if deleted.size == 0:
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            return json.load(f)
+
+    state = _load_state(out_dir)
+    # segment docID ranges: write_segment assigns [start, start+n) in
+    # state["segments"] order (next_doc high-water mark)
+    seg_range: dict[str, tuple[int, int]] = {}
+    acc = 0
+    for s in state["segments"]:
+        seg_range[s["seg"]] = (acc, acc + s["num_docs"])
+        acc += s["num_docs"]
+
+    def _n_deleted_in(gen: dict) -> int:
+        n = 0
+        for seg in gen["segs"]:
+            lo, hi = seg_range[seg]
+            n += int(
+                np.searchsorted(deleted, hi) - np.searchsorted(deleted, lo)
+            )
+        return n
+
+    gens: list[dict] = state["gens"]
+    old_dirs: list[str] = []
+    total_dropped = 0
+    for g in list(gens):
+        n_del = _n_deleted_in(g)
+        if n_del == 0:
+            continue
+        n = state.get("next_gen", 0)
+        state["next_gen"] = n + 1
+        gname = f"g{n:06d}"
+        _compact_gens(spark, out_dir, [g], gname, deleted=deleted)
+        old_dirs.append(os.path.join(out_dir, "postings", f"gen={g['gen']}"))
+        old_dirs.append(os.path.join(out_dir, "terms_gens", f"gen={g['gen']}"))
+        gens[:] = [x for x in gens if x["gen"] != g["gen"]]
+        gens.append(
+            {
+                "gen": gname,
+                "segs": g["segs"],
+                "num_docs": int(g["num_docs"]) - n_del,
+            }
+        )
+        total_dropped += n_del
+
+    # docmap rewrite: drop tombstoned rows, preserving the seg=... layout
+    # (future write_segment calls keep appending seg dirs)
+    docmap_dir = os.path.join(out_dir, "docmap")
+    from lucene_spark.index.deletes import tombstones_df
+
+    tdf = tombstones_df(spark, out_dir)
+    dm = spark.read.parquet(docmap_dir)
+    dm2 = dm.join(tdf, "docID", "left_anti")
+    dm_new = docmap_dir + ".new"
+    dm2.write.partitionBy("seg").mode("overwrite").parquet(dm_new)
+    dm_old = docmap_dir + ".old"
+    shutil.rmtree(dm_old, ignore_errors=True)
+    os.replace(docmap_dir, dm_old)
+    os.replace(dm_new, docmap_dir)
+
+    # publish: state first (new gens live), then clear tombstones — a
+    # crash in between leaves tombstones over already-expunged docs,
+    # which is a harmless no-op filter
+    state["n_expunged"] = int(state.get("n_expunged", 0)) + total_dropped
+    state["expunged_at"] = time.time()
+    _atomic_json(_state_path(out_dir), state)
+    shutil.rmtree(_deletes_dir(out_dir), ignore_errors=True)
+    shutil.rmtree(dm_old, ignore_errors=True)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return refresh(
+        spark, out_dir, partitions=partitions, store_positions=store_positions
+    )
 
 
 def update_documents(

@@ -217,3 +217,102 @@ def test_compaction_reclaims_tombstones(spark, tmp_path):
     after = {r["docID"] for r in s2.search("license apache", k=300).collect()}
     assert not (after & victim_ids)
     assert after >= {d for d, _ in before if d not in victim_ids}
+
+
+def test_expunge_deletes_tiered(spark, tmp_path):
+    """forceMergeDeletes on a tiered incremental index: expunge_deletes
+    routes to the per-gen rewrite — tombstones physically applied and
+    cleared, docmap rows dropped, doc_count reflects survivors, queries
+    match a fresh oracle over the surviving docs, and a later segment +
+    refresh can't resurrect the victims."""
+    import json
+
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        refresh,
+        write_segment,
+    )
+    from lucene_spark.util.blockcodec import decode_block
+    from lucene_spark.util.varbyte import delta_decode
+
+    out = str(tmp_path / "texp_idx")
+    os.makedirs(out)
+    n = 240
+    pdf = generate_corpus(n).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+    def add_segment(name, lo, hi, start):
+        part = pdf.iloc[lo:hi]
+        nd = write_segment(
+            spark, spark.createDataFrame(part), out, name, start, partitions=2
+        )
+        state = _load_state(out)
+        state["next_doc"] = start + nd
+        state["segments"].append({"seg": name, "num_docs": nd})
+        _atomic_json(_state_path(out), state)
+        return nd
+
+    # three gens (refresh per segment), victims spread across gens
+    add_segment("s0", 0, 80, 0)
+    refresh(spark, out, partitions=2)
+    add_segment("s1", 80, 160, 80)
+    refresh(spark, out, partitions=2)
+    add_segment("s2", 160, 240, 160)
+    refresh(spark, out, partitions=2)
+
+    s = IndexSearcher(spark, out)
+    assert len(s.manifest["gens"]) == 3
+    before = [
+        (r["docID"], r["score"]) for r in s.search("license apache", k=240).collect()
+    ]
+    # victims from distinct thirds of the docID space (distinct gens)
+    victim_ids = sorted(
+        [d for d, _ in before if d < 80][:2]
+        + [d for d, _ in before if 80 <= d < 160][:2]
+        + [d for d, _ in before if d >= 160][:2]
+    )
+    dm = s.docmap.filter(F.col("docID").isin([int(x) for x in victim_ids]))
+    keys = [(r["repo"], r["path"]) for r in dm.collect()]
+    assert delete_by_keys(spark, out, keys) == len(victim_ids)
+
+    manifest = expunge_deletes(spark, out)
+    assert manifest["doc_count"] == n - len(victim_ids)
+    assert manifest.get("expunged_at")
+
+    s2 = IndexSearcher(spark, out)
+    assert s2._deleted.size == 0  # tombstones gone
+    surviving = sorted(r["docID"] for r in s2.docmap.select("docID").collect())
+    assert len(surviving) == n - len(victim_ids)
+    assert not (set(surviving) & set(victim_ids))
+
+    # raw postings (decoded WITHOUT tombstone filtering) hold no victims
+    raw_ids = set()
+    for g in manifest["gens"]:
+        gen_dir = os.path.join(out, "postings", f"gen={g}")
+        for r in spark.read.parquet(gen_dir).select("docs_vb").collect():
+            raw_ids.update(delta_decode(decode_block(bytes(r["docs_vb"]))).tolist())
+    assert not (raw_ids & set(victim_ids))
+
+    # post-expunge results equal a fresh oracle over the survivors
+    # (docIDs preserved, stats recomputed — same contract as batch expunge)
+    contents = [pdf.iloc[i]["content"] for i in surviving]
+    oracle = OracleIndex(contents, doc_ids=surviving)
+    for q, mode in [("license apache", "or"), ("def return", "and")]:
+        got = [(r["docID"], r["score"]) for r in s2.search(q, k=10, mode=mode).collect()]
+        exp = oracle.search([t for t in q.split()], k=10, mode=mode)
+        assert_rank_identical(exp, got, msg=f"[tiered post-expunge {q} {mode}]")
+
+    # a later segment + refresh must not resurrect the victims, and
+    # doc_count keeps accounting for the expunged docs
+    extra = generate_corpus(280).sort_values(["repo", "path", "commit"]).reset_index(drop=True).iloc[240:280]
+    nd = write_segment(spark, spark.createDataFrame(extra), out, "s3", 240, partitions=2)
+    state = _load_state(out)
+    state["next_doc"] = 240 + nd
+    state["segments"].append({"seg": "s3", "num_docs": nd})
+    _atomic_json(_state_path(out), state)
+    m3 = refresh(spark, out, partitions=2)
+    assert m3["doc_count"] == n - len(victim_ids) + nd
+    s3 = IndexSearcher(spark, out)
+    after = {r["docID"] for r in s3.search("license apache", k=300).collect()}
+    assert not (after & set(victim_ids))
