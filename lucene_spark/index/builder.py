@@ -674,7 +674,9 @@ def _salt_runs(
     )
 
 
-def lb10_by_term(spark: SparkSession, postings_path: str, cache) -> DataFrame:
+def lb10_by_term(
+    spark: SparkSession, postings_path: str, cache, gens: list[str] | None = None
+) -> DataFrame:
     """Per-term build-time WAND threshold floor: `lb_key10` = the tf*inv
     product of the TOPK_LB-th best per-doc score LOWER bound.
 
@@ -694,12 +696,21 @@ def lb10_by_term(spark: SparkSession, postings_path: str, cache) -> DataFrame:
     applies the per-term idf weight (which depends on the query only
     through the term). NULL when df < TOPK_LB (no pruning allowed: the
     result set may have fewer than k docs). Scan is narrow — parquet
-    prunes the vbyte payload columns."""
+    prunes the vbyte payload columns.
+
+    ``gens``: on tiered incremental layouts, restrict to the ACTIVE
+    postings generations (partition-pruned). Blocks of one term across
+    gens hold disjoint docs (gens own disjoint docID ranges), so the
+    cumulative-ndocs slot argument holds unchanged — this is what lets
+    refresh() recompute the floor against refresh-time avgdl (Lucene's
+    impacts exist in every segment no matter how it was written,
+    Lucene104PostingsWriter.java:389-540)."""
     from pyspark.sql import Window
 
-    meta = spark.read.parquet(postings_path).select(
-        "term", "ndocs", "min_tf", "max_norm"
-    )
+    meta = spark.read.parquet(postings_path)
+    if gens is not None:
+        meta = meta.filter(F.col("gen").isin(list(gens)))
+    meta = meta.select("term", "ndocs", "min_tf", "max_norm")
     cache_arr = F.array(*[F.lit(float(x)) for x in cache])
     lbk = F.col("min_tf").cast("double") * F.element_at(
         cache_arr, F.col("max_norm") + 1

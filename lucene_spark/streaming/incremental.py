@@ -439,9 +439,10 @@ def refresh(
 
     The searcher reads postings/gen=* partition-pruned to the manifest's
     active generation list, so stale dirs from a crash mid-cleanup are
-    invisible. Incremental terms tables carry no lb_key10 (its cache is
-    baked against build-time avgdl, which drifts as the corpus grows),
-    so pruned search uses the bootstrap path on incremental indexes.
+    invisible. The terms table's lb_key10 threshold floor is RECOMPUTED
+    here against refresh-time stats (avgdl drifts as the corpus grows,
+    so the build-time floor would be stale — recomputing per refresh
+    keeps the single-job pruned fast path available on NRT indexes).
     Pass segs_per_tier=1 to force full compaction (bit-identical to the
     one-shot batch build)."""
     n_part = partitions or spark.sparkContext.defaultParallelism
@@ -508,26 +509,46 @@ def refresh(
             )
             compacted += len(group)
 
-    # global terms table from the narrow per-gen stats (no postings read)
+    # global terms table from the narrow per-gen stats (no postings
+    # payload read — only the block METADATA scan for lb_key10 below)
     active = sorted(g["gen"] for g in gens)
-    terms_all = (
-        spark.read.parquet(os.path.join(out_dir, "terms_gens"))
-        .filter(F.col("gen").isin(active))
-        .groupBy("term")
-        .agg(
-            F.sum("df").cast("long").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_norm").alias("min_norm"),
-        )
+    tg_active = spark.read.parquet(os.path.join(out_dir, "terms_gens")).filter(
+        F.col("gen").isin(active)
     )
-    terms_new = os.path.join(out_dir, "terms_new")
-    terms_all.sortWithinPartitions("term").write.mode("overwrite").parquet(terms_new)
-    agg = spark.read.parquet(terms_new).agg(
+    terms_all = tg_active.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_norm").alias("min_norm"),
+    )
+    # collection stats straight from the per-gen rows (sums commute with
+    # the per-term groupBy) so the BM25 cache for lb_key10 is available
+    # BEFORE the terms table is written
+    agg = tg_active.agg(
         F.sum("cf").alias("sttf"),
         F.sum("df").alias("sdf"),
-        F.count("*").alias("nterms"),
+        F.count_distinct("term").alias("nterms"),
     ).collect()[0]
+    doc_count_live = int(state["next_doc"]) - int(state.get("n_expunged", 0))
+
+    # refresh-time lb_key10 (the reason incremental terms tables used to
+    # write it NULL was the avgdl drift — recomputing here against the
+    # CURRENT stats keeps the floor valid until the next refresh, which
+    # recomputes it again; segments written after this refresh are
+    # invisible until then, so avgdl cannot drift under a live searcher)
+    from lucene_spark.index.builder import lb10_by_term
+    from lucene_spark.search.bm25 import BM25Scorer
+
+    cache = BM25Scorer.build(
+        max(1, doc_count_live), max(1, int(agg["sttf"] or 0))
+    ).cache
+    lb10 = lb10_by_term(
+        spark, os.path.join(out_dir, "postings"), cache, gens=active
+    )
+    terms_new = os.path.join(out_dir, "terms_new")
+    terms_all.join(lb10, "term", "left").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(terms_new)
 
     import shutil
 
@@ -543,7 +564,7 @@ def refresh(
         # n_expunged counts docs PHYSICALLY removed by
         # expunge_deletes_tiered (docID gaps stay — docIDs are never
         # reassigned), so live doc_count = next_doc - n_expunged
-        "doc_count": int(state["next_doc"]) - int(state.get("n_expunged", 0)),
+        "doc_count": doc_count_live,
         "sum_total_term_freq": int(agg["sttf"] or 0),
         "sum_doc_freq": int(agg["sdf"] or 0),
         "distinct_terms": int(agg["nterms"] or 0),

@@ -187,8 +187,9 @@ def test_pruned_search_on_multi_gen_index(spark, tmp_path):
     key on (gen, term, salt, block_seq) — joining without gen fans out,
     double-counts doc scores, inflates theta, and phase 2 then prunes
     blocks holding true top-k docs. prune=True must equal prune=False on
-    a multi-gen index (the lb_key10 fast path never applies there, so the
-    bootstrap path is the one exercised)."""
+    a multi-gen index. Since r4 refresh() computes lb_key10, the k<=10
+    OR cases take the fast path; the k=20 and AND cases still exercise
+    the bootstrap join."""
     from lucene_spark.streaming.incremental import (
         _atomic_json,
         _load_state,
@@ -236,3 +237,53 @@ def test_pruned_search_on_multi_gen_index(spark, tmp_path):
         got = [(r["docID"], r["score"])
                for r in s.search(query, k=k, mode=mode, prune=True).collect()]
         assert got == exp, f"pruned != unpruned for {query!r} mode={mode} k={k}"
+
+
+def test_lb10_fast_path_on_refreshed_index(spark, tmp_path):
+    """refresh() recomputes the lb_key10 threshold floor against
+    refresh-time stats, so NRT indexes get the SINGLE-JOB pruned fast
+    path: the floor is present in the terms table, pruned == unpruned
+    for k<=10 OR-mode, and the pruned plan contains no bootstrap
+    subtree (no Window = no phase-1 candidate job)."""
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        write_segment,
+    )
+
+    out = str(tmp_path / "lb10_idx")
+    os.makedirs(out)
+    n, n_chunks = 240, 2
+    pdf = generate_corpus(n).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    per = n // n_chunks
+    for c in range(n_chunks):
+        part = pdf.iloc[c * per:(c + 1) * per]
+        state = _load_state(out)
+        seg = f"s{c}"
+        nd = write_segment(
+            spark, spark.createDataFrame(part), out, seg, state["next_doc"],
+            partitions=2,
+        )
+        state["next_doc"] += nd
+        state["segments"].append({"seg": seg, "num_docs": nd})
+        _atomic_json(_state_path(out), state)
+        refresh(spark, out, partitions=2)
+
+    s = IndexSearcher(spark, out)
+    assert len(s.manifest["gens"]) == n_chunks
+    stats = s.term_stats(["return", "value", "table"])
+    assert any(
+        st.lb_key10 is not None for st in stats.values()
+    ), "refresh wrote no lb_key10 floors"
+
+    for query in ["return value table", "return value", "table"]:
+        exp = [(r["docID"], r["score"]) for r in s.search(query, k=10).collect()]
+        pruned_df = s.search(query, k=10, prune=True)
+        plan = pruned_df._jdf.queryExecution().toString()
+        assert "Window" not in plan, (
+            "pruned search on a refreshed index still bootstraps "
+            f"(Window subtree present) for {query!r}"
+        )
+        got = [(r["docID"], r["score"]) for r in pruned_df.collect()]
+        assert got == exp, f"fast-path pruned != unpruned for {query!r}"
