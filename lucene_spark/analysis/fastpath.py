@@ -64,19 +64,27 @@ _LOWER[65:91] += 32
 _CHUNK_BYTES = 512 * 1024
 
 
-def tokenize_window_ascii(texts: list[str]):
+def tokenize_window_ascii(texts: list[str], with_offsets: bool = False):
     """Tokenize a window of ASCII documents, cache-blocked.
 
     Returns ``(codes, uniq, dls)`` — int32 dense term codes in document
     order (first-appearance code assignment), the vocabulary list, and
     per-doc token counts — or ``None`` when the window contains an
     over-long token run (caller must re-lex those docs via `analyze()`).
-    """
+
+    ``with_offsets=True`` appends ``(starts, ends)`` int32 arrays: each
+    token's [start, end) character offset within ITS OWN document
+    (ASCII, so byte == char offsets) — the OffsetAttribute payload. The
+    run starts/ends are already computed by the mask pipeline; the only
+    extra work is one doc-base subtraction."""
     import pyarrow as pa
 
     n = len(texts)
     if n == 0:
-        return np.empty(0, np.int32), [], np.empty(0, np.int64)
+        empty = (np.empty(0, np.int32), [], np.empty(0, np.int64))
+        if with_offsets:
+            empty = empty + (np.empty(0, np.int32), np.empty(0, np.int32))
+        return empty
     # split on doc boundaries into ~_CHUNK_BYTES chunks; the mask
     # pipeline runs per chunk (cache-resident), dictionary_encode runs
     # ONCE over the concatenated token array so the code space is
@@ -93,28 +101,39 @@ def tokenize_window_ascii(texts: list[str]):
         chunks.append((start, n))
     arrs = []
     dls_parts = []
+    off_s_parts, off_e_parts = [], []
     for s, e in chunks:
         r = _mask_chunk(texts[s:e])
         if r is None:
             return None
-        arr, dls_c = r
+        arr, dls_c, off_s, off_e = r
         arrs.append(arr)
         dls_parts.append(dls_c)
+        if with_offsets:
+            off_s_parts.append(off_s)
+            off_e_parts.append(off_e)
     dls = np.concatenate(dls_parts)
     arr = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
     if len(arr) == 0:
-        return np.empty(0, np.int32), [], dls
-    denc = arr.dictionary_encode()
-    codes = denc.indices.to_numpy().astype(np.int32, copy=False)
-    uniq = denc.dictionary.to_pylist()
-    return codes, uniq, dls
+        out = (np.empty(0, np.int32), [], dls)
+    else:
+        denc = arr.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int32, copy=False)
+        uniq = denc.dictionary.to_pylist()
+        out = (codes, uniq, dls)
+    if not with_offsets:
+        return out
+    if len(arr) == 0:
+        return out + (np.empty(0, np.int32), np.empty(0, np.int32))
+    return out + (np.concatenate(off_s_parts), np.concatenate(off_e_parts))
 
 
 def _mask_chunk(texts: list[str]):
     """Token-byte extraction for one cache-sized chunk of documents.
 
-    Returns ``(pa.StringArray of tokens in order, per-doc counts)`` or
-    ``None`` on an over-long token run.
+    Returns ``(pa.StringArray of tokens in order, per-doc counts,
+    doc-relative token start offsets, doc-relative token end offsets)``
+    or ``None`` on an over-long token run.
     """
     import pyarrow as pa
 
@@ -125,7 +144,8 @@ def _mask_chunk(texts: list[str]):
     b = np.frombuffer(blob, dtype=np.uint8)
     if b.size == 0:
         empty = pa.array([], type=pa.utf8())
-        return empty, np.zeros(n, np.int64)
+        e32 = np.empty(0, np.int32)
+        return empty, np.zeros(n, np.int64), e32, e32
 
     cls = _CLS[b]
     tok = (cls & _F_WORD) != 0
@@ -160,10 +180,14 @@ def _mask_chunk(texts: list[str]):
     doc_starts = np.concatenate(([0], np.cumsum(doc_lens[:-1] + 1)))
     doc_of = np.searchsorted(doc_starts, starts, side="right") - 1
     dls = np.bincount(doc_of, minlength=n).astype(np.int64)
+    # doc-relative [start, end) offsets (OffsetAttribute; ASCII byte==char)
+    base = doc_starts[doc_of]
+    off_s = (starts - base).astype(np.int32)
+    off_e = (ends - base).astype(np.int32)
 
     total_tok = lengths.size
     if total_tok == 0:
-        return pa.array([], type=pa.utf8()), dls
+        return pa.array([], type=pa.utf8()), dls, off_s, off_e
 
     # values buffer: ONE boolean-mask gather keeps token bytes in order
     # (gaps removed); lowercase only the gathered bytes
@@ -175,4 +199,4 @@ def _mask_chunk(texts: list[str]):
         total_tok,
         [None, pa.py_buffer(val_off), pa.py_buffer(data)],
     )
-    return arr, dls
+    return arr, dls, off_s, off_e

@@ -191,3 +191,47 @@ def analyze(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
                     i = mm.end()
         return fixed
     return [lowercase(t) for t in tokenize(text, max_token_length)]
+
+
+def analyze_with_offsets(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> tuple[list[str], list[int], list[int]]:
+    """analyze() plus each token's [start, end) CHARACTER offsets in the
+    ORIGINAL text — Lucene's OffsetAttribute (startOffset inclusive,
+    endOffset exclusive; packedTokenAttributeImpl semantics, reference
+    lucene/core/src/java/org/apache/lucene/analysis/tokenattributes/
+    OffsetAttribute.java). Token list is identical to analyze() —
+    property-tested; boundaries come from the same pattern, and for
+    ASCII the pattern's classes are case-symmetric so matching over
+    text.lower() preserves original offsets. Over-long matches re-lex
+    through the max_token_length window with absolute offsets, exactly
+    like the JFlex 255-char buffer split."""
+    if text.isascii():
+        src = text.lower()
+        pat = _ASCII_PATTERN
+        lower_each = False
+    else:
+        src = text
+        pat = _unicode_pattern()
+        lower_each = True
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in pat.finditer(src):
+        if m.end() - m.start() <= max_token_length:
+            g = m.group()
+            toks.append(lowercase(g) if lower_each else g)
+            starts.append(m.start())
+            ends.append(m.end())
+        else:
+            i, e = m.start(), m.end()
+            while i < e:
+                mm = pat.search(src, i, min(i + max_token_length, e))
+                if mm is None:
+                    break
+                g = mm.group()
+                toks.append(lowercase(g) if lower_each else g)
+                starts.append(mm.start())
+                ends.append(mm.end())
+                i = mm.end()
+    return toks, starts, ends

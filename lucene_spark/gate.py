@@ -86,6 +86,40 @@ def searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_off: dict[str, IndexSearcher] = {}
+
+
+def searcher_for_offsets(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Separate cached index built with store_offsets=True (IndexOptions
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) — kept apart from the main
+    gate index so the headline build/query benchmarks measure the
+    default positions-only configuration."""
+    if sf_dir in _searchers_off:
+        return _searchers_off[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_off"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or not m.get("store_offsets")
+        )
+    if rebuild:
+        build_index(spark, docs, idx_dir, store_positions=True, store_offsets=True)
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_off[sf_dir] = s
+    return s
+
+
 def _docid_map(s: IndexSearcher) -> DataFrame:
     """(docID, doc_id, dl) — path was the zero-padded doc_id."""
     return s.docmap.select(
@@ -424,6 +458,26 @@ def q_regexp_df(spark, sf_dir):
     s = searcher_for(spark, sf_dir)
     return s.regexp_terms("get[a-z]*[0-9]").select(
         "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def q_term_offsets(spark, sf_dir):
+    """Occurrence offsets of TERM_1 (PostingsEnum OFFSETS flag over an
+    index with DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS): every match's
+    position + [start, end) character offsets in the original text,
+    decoded from the offs_vb/olen_vb payloads. The oracle re-derives
+    token boundaries character-by-character in SQL."""
+    s = searcher_for_offsets(spark, sf_dir)
+    dm = _docid_map(s)
+    return (
+        s.postings_offsets([TERM_1])
+        .join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("start_offset").cast("long").alias("start_offset"),
+            F.col("end_offset").cast("long").alias("end_offset"),
+        )
     )
 
 
@@ -1242,6 +1296,7 @@ QUERIES = {
     "parsed_sloppy_boost_top10": q_parsed_sloppy_boost_top10,
     "term_range_df": q_term_range_df,
     "regexp_df": q_regexp_df,
+    "term_offsets": q_term_offsets,
     "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
@@ -1436,6 +1491,27 @@ ORDER BY mx + {BLEND_TIE} * (sm - mx) DESC, doc_id ASC LIMIT 10
     sqls["regexp_df"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
         SELECT term, count(*)::BIGINT AS df FROM tf
         WHERE regexp_matches(term, '^get[a-z]*[0-9]$') GROUP BY term"""
+    sqls["term_offsets"] = f"""
+WITH n AS (SELECT doc_id, text, length(text) AS L FROM documents),
+c AS (SELECT doc_id, text, L, i,
+        regexp_matches(substring(text, i, 1), '^[a-z0-9]$') AS w
+      FROM n, unnest(range(1, L+1)) AS r(i)),
+f AS (SELECT doc_id, text, i, w,
+        (i = 1 OR NOT lag(w) OVER (PARTITION BY doc_id ORDER BY i)) AS sb,
+        (lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         OR NOT lead(w) OVER (PARTITION BY doc_id ORDER BY i)) AS eb
+      FROM c),
+s AS (SELECT doc_id, text, i AS s1,
+        row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM f WHERE w AND sb),
+e AS (SELECT doc_id, i AS e1,
+        row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM f WHERE w AND eb)
+SELECT s.doc_id AS doc_id, (s.rn - 1)::BIGINT AS pos,
+       (s.s1 - 1)::BIGINT AS start_offset, e.e1::BIGINT AS end_offset
+FROM s JOIN e ON s.doc_id = e.doc_id AND s.rn = e.rn
+WHERE lower(substring(s.text, s.s1, e.e1 - s.s1 + 1)) = '{TERM_1}'"""
+
     sqls["sort_by_field"] = f"""WITH {TOKENS_CTE}
         SELECT d.doc_id, d.n_chars FROM documents d
         WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{TERM_1}')

@@ -73,6 +73,7 @@ from pyspark.sql.types import (
 
 from lucene_spark.analysis import analyze
 from lucene_spark.analysis.fastpath import tokenize_window_ascii
+from lucene_spark.analysis.standard import analyze_with_offsets
 from lucene_spark.util.blockcodec import CODEC_NAME
 from lucene_spark.util.blockcodec import decode_block as decode
 from lucene_spark.util.blockcodec import encode_block as encode
@@ -118,6 +119,8 @@ INVERT_SCHEMA = StructType(
         StructField("tfs_vb", BinaryType()),
         StructField("norms_b", BinaryType()),
         StructField("pos_vb", BinaryType()),
+        StructField("offs_vb", BinaryType()),
+        StructField("olen_vb", BinaryType()),
         StructField("docID", LongType()),
         StructField("repo", StringType()),
         StructField("path", StringType()),
@@ -145,12 +148,14 @@ BLOCK_SCHEMA = StructType(
         StructField("tfs_vb", BinaryType()),
         StructField("norms_b", BinaryType()),
         StructField("pos_vb", BinaryType()),
+        StructField("offs_vb", BinaryType()),
+        StructField("olen_vb", BinaryType()),
     ]
 )
 
 _RUN_COLS = [
     "term", "first_doc", "ndocs", "cf", "max_tf", "min_norm",
-    "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+    "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
 ]
 _META_COLS = [
     "docID", "repo", "path", "commit", "lang", "content_sha256", "dl", "norm",
@@ -267,9 +272,14 @@ _OVERLONG_RE = _re.compile(r"[0-9A-Za-z_][0-9A-Za-z_.,;:']{255,}")
 
 def _window_codes(
     texts: list[str],
-) -> tuple[np.ndarray, list[str], np.ndarray]:
+    with_offsets: bool = False,
+) -> tuple:
     """(int32 term codes in document order, vocabulary, per-doc token
-    counts) for a batch of documents.
+    counts[, token start offsets, token end offsets]) for a batch of
+    documents. Offsets (requested via ``with_offsets``) are [start, end)
+    CHARACTER offsets within each token's own document — the
+    OffsetAttribute payload threaded through to the postings when the
+    index is built with store_offsets.
 
     The heavy path is the byte-level vectorized ASCII tokenizer
     (analysis/fastpath.py): numpy masks find token runs, one gather
@@ -290,38 +300,66 @@ def _window_codes(
         t.isascii() and _OVERLONG_RE.search(t) is None for t in texts
     ]
     if all(ascii_ok):
-        r = tokenize_window_ascii(texts)
+        r = tokenize_window_ascii(texts, with_offsets)
         if r is not None:
             return r
         ascii_ok = [False] * n  # safety net: re-lex everything
         r = None
     else:
         a_texts = [t for t, ok in zip(texts, ascii_ok) if ok]
-        r = tokenize_window_ascii(a_texts)
+        r = tokenize_window_ascii(a_texts, with_offsets)
         if r is None:
             ascii_ok = [False] * n
     if r is None:
         # full python fallback (prefilter safety net; should not happen)
-        tok_lists = [analyze(t) for t in texts]
+        if with_offsets:
+            trip = [analyze_with_offsets(t) for t in texts]
+            tok_lists = [t for t, _, _ in trip]
+        else:
+            tok_lists = [analyze(t) for t in texts]
         dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
         total = int(dls.sum())
         flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
         codes, uniq = pd.factorize(flat)
-        return np.asarray(codes, dtype=np.int32), list(uniq), dls
-    codes_a, uniq, dls_a = r
+        out = (np.asarray(codes, dtype=np.int32), list(uniq), dls)
+        if with_offsets:
+            st = np.fromiter(
+                chain.from_iterable(s for _, s, _ in trip),
+                dtype=np.int32, count=total,
+            )
+            en = np.fromiter(
+                chain.from_iterable(e for _, _, e in trip),
+                dtype=np.int32, count=total,
+            )
+            out = out + (st, en)
+        return out
+    if with_offsets:
+        codes_a, uniq, dls_a, offs_a, offe_a = r
+    else:
+        codes_a, uniq, dls_a = r
     uniq = list(uniq)
     vocab = {t: i for i, t in enumerate(uniq)}
     a_off = np.concatenate(([0], np.cumsum(dls_a))).astype(np.int64)
     dls = np.empty(n, dtype=np.int64)
     parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    e_parts: list[np.ndarray] = []
     ai = 0
     for i, ok in enumerate(ascii_ok):
         if ok:
             parts.append(codes_a[a_off[ai]:a_off[ai + 1]])
+            if with_offsets:
+                s_parts.append(offs_a[a_off[ai]:a_off[ai + 1]])
+                e_parts.append(offe_a[a_off[ai]:a_off[ai + 1]])
             dls[i] = dls_a[ai]
             ai += 1
         else:
-            toks = analyze(texts[i])
+            if with_offsets:
+                toks, t_st, t_en = analyze_with_offsets(texts[i])
+                s_parts.append(np.asarray(t_st, dtype=np.int32))
+                e_parts.append(np.asarray(t_en, dtype=np.int32))
+            else:
+                toks = analyze(texts[i])
             arr = np.empty(len(toks), dtype=np.int32)
             for j, tk in enumerate(toks):
                 c = vocab.get(tk)
@@ -335,6 +373,10 @@ def _window_codes(
     codes = (
         np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
     )
+    if with_offsets:
+        st = np.concatenate(s_parts) if s_parts else np.empty(0, np.int32)
+        en = np.concatenate(e_parts) if e_parts else np.empty(0, np.int32)
+        return codes, uniq, dls, st, en
     return codes, uniq, dls
 
 
@@ -345,6 +387,7 @@ def _invert_codes(
     ids: np.ndarray,
     norms: np.ndarray,
     store_positions: bool,
+    offs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """Invert one flush window (ascending-docID docs of ONE rpid range)
     into per-term posting runs — fully vectorized, no per-token Python.
@@ -360,6 +403,7 @@ def _invert_codes(
     terms: list[str] = []
     firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], []
     dvbs, tvbs, nbs, pvbs = [], [], [], []
+    ovbs, lvbs = [], []
     if total:
         # the kernel is MEMORY-BANDWIDTH-bound (~15 full passes over the
         # window's token-parallel arrays; that ceiling is what caps the
@@ -396,6 +440,9 @@ def _invert_codes(
         sd = doc_rep[order]
         sn = norm_rep[order]
         sp = pos[order] if store_positions else None
+        if offs is not None:
+            so = offs[0][order]
+            sl = (offs[1] - offs[0]).astype(np.int32)[order]  # token lengths
         del codes32, doc_rep, norm_rep, pos
         # posting boundaries: run breaks of (term code, doc)
         pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
@@ -431,6 +478,17 @@ def _invert_codes(
                 pvbs.append(encode(segmented_delta_encode(p, t)))
             else:
                 pvbs.append(b"")
+            if offs is not None:
+                # per-doc token order == position order, so start offsets
+                # ascend within each posting's tf segment (same shape as
+                # positions); lengths are small non-negative ints
+                ost = so[tok_bounds[s]:tok_bounds[e]].astype(np.int64)
+                oln = sl[tok_bounds[s]:tok_bounds[e]].astype(np.int64)
+                ovbs.append(encode(segmented_delta_encode(ost, t)))
+                lvbs.append(encode(oln))
+            else:
+                ovbs.append(b"")
+                lvbs.append(b"")
     frame = pd.DataFrame(
         {
             "term": terms,
@@ -443,6 +501,8 @@ def _invert_codes(
             "tfs_vb": tvbs,
             "norms_b": nbs,
             "pos_vb": pvbs,
+            "offs_vb": ovbs,
+            "olen_vb": lvbs,
         }
     )
     for c in _META_COLS:
@@ -451,7 +511,10 @@ def _invert_codes(
 
 
 def _invert_partition(
-    offsets: dict[int, int], store_positions: bool, flush_docs: int = FLUSH_DOCS
+    offsets: dict[int, int],
+    store_positions: bool,
+    flush_docs: int = FLUSH_DOCS,
+    store_offsets: bool = False,
 ):
     """mapInPandas kernel: one generator instance == one range partition;
     assigns dense docIDs from the partition's global offset, buffers each
@@ -477,11 +540,12 @@ def _invert_partition(
         win_dls: list[np.ndarray] = []
         win_ids: list[np.ndarray] = []
         win_norms: list[np.ndarray] = []
+        win_offs: list[tuple[np.ndarray, np.ndarray]] = []
         buffered = 0
         cur_rp: int | None = None
 
         def _flush_window() -> pd.DataFrame:
-            nonlocal win_chunks, win_dls, win_ids, win_norms, buffered
+            nonlocal win_chunks, win_dls, win_ids, win_norms, win_offs, buffered
             vocab: dict[str, int] = {}
             uniq: list[str] = []
             parts: list[np.ndarray] = []
@@ -503,6 +567,14 @@ def _invert_partition(
             codes = (
                 np.concatenate(parts) if parts else np.empty(0, np.int32)
             )
+            offs_w = None
+            if store_offsets:
+                offs_w = (
+                    np.concatenate([o[0] for o in win_offs])
+                    if win_offs else np.empty(0, np.int32),
+                    np.concatenate([o[1] for o in win_offs])
+                    if win_offs else np.empty(0, np.int32),
+                )
             out = _invert_codes(
                 codes,
                 uniq,
@@ -510,8 +582,9 @@ def _invert_partition(
                 np.concatenate(win_ids),
                 np.concatenate(win_norms),
                 store_positions,
+                offs=offs_w,
             )
-            win_chunks, win_dls, win_ids, win_norms = [], [], [], []
+            win_chunks, win_dls, win_ids, win_norms, win_offs = [], [], [], [], []
             buffered = 0
             return out
 
@@ -532,7 +605,12 @@ def _invert_partition(
 
             # tokenize the whole batch in one vectorized pass
             texts = list(pdf["content"])
-            codes_b, uniq_b, dls = _window_codes(texts)
+            if store_offsets:
+                codes_b, uniq_b, dls, tok_st, tok_en = _window_codes(
+                    texts, with_offsets=True
+                )
+            else:
+                codes_b, uniq_b, dls = _window_codes(texts)
             off_b = np.concatenate(([0], np.cumsum(dls)))
             norms_arr = int_to_byte4(dls)
 
@@ -572,6 +650,13 @@ def _invert_partition(
                     win_dls.append(dls[i:i + take])
                     win_ids.append(ids[i:i + take])
                     win_norms.append(norms_arr[i:i + take])
+                    if store_offsets:
+                        win_offs.append(
+                            (
+                                tok_st[off_b[i]:off_b[i + take]],
+                                tok_en[off_b[i]:off_b[i + take]],
+                            )
+                        )
                     buffered += take
                     i += take
                     if buffered >= flush_docs:
@@ -590,7 +675,9 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
     term, salt = key
     pdf = pdf.sort_values("first_doc")
     doc_parts, tf_parts, norm_parts, pos_parts = [], [], [], []
+    off_parts, olen_parts = [], []
     has_pos = False
+    has_offs = False
     for r in pdf.itertuples():
         d = delta_decode(decode(bytes(r.docs_vb)))
         t = decode(bytes(r.tfs_vb))
@@ -600,24 +687,39 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if r.pos_vb:
             has_pos = True
             pos_parts.append(segmented_delta_decode(decode(bytes(r.pos_vb)), t))
+        # offs_vb/olen_vb absent on runs written before the offsets option
+        if getattr(r, "offs_vb", b""):
+            has_offs = True
+            off_parts.append(
+                segmented_delta_decode(decode(bytes(r.offs_vb)), t)
+            )
+            olen_parts.append(decode(bytes(r.olen_vb)))
     doc_ids = np.concatenate(doc_parts)
     tfs = np.concatenate(tf_parts)
     norms = np.concatenate(norm_parts)
+    occ_ends = np.cumsum(tfs)  # per-posting occurrence boundaries
     if has_pos:
         pos_flat = np.concatenate(pos_parts)
-        pos_ends = np.cumsum(tfs)
+    if has_offs:
+        off_flat = np.concatenate(off_parts)
+        olen_flat = np.concatenate(olen_parts)
     rows = []
     for b, start in enumerate(range(0, len(doc_ids), BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, len(doc_ids))
         d = doc_ids[start:end]
         t = tfs[start:end]
         nb = norms[start:end]
+        o0 = occ_ends[start - 1] if start else 0
+        o1 = occ_ends[end - 1]
         if has_pos:
-            p0 = pos_ends[start - 1] if start else 0
-            flat = pos_flat[p0 : pos_ends[end - 1]]
-            pos_vb = encode(segmented_delta_encode(flat, t))
+            pos_vb = encode(segmented_delta_encode(pos_flat[o0:o1], t))
         else:
             pos_vb = b""
+        if has_offs:
+            offs_vb = encode(segmented_delta_encode(off_flat[o0:o1], t))
+            olen_vb = encode(olen_flat[o0:o1])
+        else:
+            offs_vb, olen_vb = b"", b""
         rows.append(
             (
                 term,
@@ -634,6 +736,8 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 encode(t),
                 nb.astype(np.uint8).tobytes(),
                 pos_vb,
+                offs_vb,
+                olen_vb,
             )
         )
     return pd.DataFrame(
@@ -641,7 +745,7 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         columns=[
             "term", "salt", "block_seq", "ndocs", "min_doc", "max_doc",
             "max_tf", "min_norm", "min_tf", "max_norm",
-            "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+            "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
         ],
     )
 
@@ -738,6 +842,7 @@ def build_index(
     hot_df_threshold: int = 1 << 16,
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
+    store_offsets: bool = False,
     flush_docs: int = FLUSH_DOCS,
     key_sample: list[tuple[str, str, str]] | None = None,
     sample_fraction: float = 0.1,
@@ -750,8 +855,19 @@ def build_index(
     synthetic corpus derives keys analytically; on parquet the default
     column-pruned sample scan is already cheap).
 
+    ``store_offsets``: additionally store each occurrence's [start, end)
+    character offsets — IndexOptions
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (reference
+    lucene/core/src/java/org/apache/lucene/index/IndexOptions.java:46-50);
+    requires store_positions (the enum is strictly increasing in Lucene
+    too). Occurrence payloads are parquet-pruned from every scoring
+    scan, so query latency is unaffected; only build encode time and
+    index bytes grow.
+
     Output layout: {out_dir}/{docmap,terms,postings,stats,lineage}/ parquet
     + manifest.json (written last = commit point)."""
+    if store_offsets and not store_positions:
+        raise ValueError("store_offsets requires store_positions")
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -815,7 +931,9 @@ def build_index(
     # parquet file doubles as the segment-run checkpoint)
     inv_path = os.path.join(out_dir, "inverted_runs")
     sorted_docs.mapInPandas(
-        _invert_partition(offsets, store_positions, flush_docs),
+        _invert_partition(
+            offsets, store_positions, flush_docs, store_offsets=store_offsets
+        ),
         schema=INVERT_SCHEMA,
     ).write.mode("overwrite").parquet(inv_path)
     inverted = spark.read.parquet(inv_path)
@@ -955,6 +1073,7 @@ def build_index(
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
+        "store_offsets": store_offsets,
         "block_size": BLOCK_SIZE,
         "flush_docs": flush_docs,
         "partitions": n_part,

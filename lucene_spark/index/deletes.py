@@ -146,11 +146,22 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     t0 = time.time()
     del_b = spark.sparkContext.broadcast(deleted)
 
+    def _seg_keep(payload_vb, t, t2, keep, delta: bool):
+        raw = decode(bytes(payload_vb))
+        flat = segmented_delta_decode(raw, t) if delta else raw
+        ends = np.cumsum(t)
+        parts = [flat[(ends[i] - t[i]): ends[i]] for i in np.flatnonzero(keep)]
+        flat2 = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return encode(segmented_delta_encode(flat2, t2) if delta else flat2)
+
     def filter_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dele = del_b.value
         rows = []
         term, salt = key
         for r in pdf.sort_values("block_seq").itertuples():
+            # offs columns absent on indexes built before the offsets option
+            offs_vb0 = bytes(getattr(r, "offs_vb", b"") or b"")
+            olen_vb0 = bytes(getattr(r, "olen_vb", b"") or b"")
             d = delta_decode(decode(bytes(r.docs_vb)))
             keep = ~np.isin(d, dele)
             if keep.all():
@@ -160,26 +171,28 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
                              int(getattr(r, "min_tf", 1)),
                              int(getattr(r, "max_norm", 255)),
                              bytes(r.docs_vb), bytes(r.tfs_vb),
-                             bytes(r.norms_b), bytes(r.pos_vb)))
+                             bytes(r.norms_b), bytes(r.pos_vb),
+                             offs_vb0, olen_vb0))
                 continue
             if not keep.any():
                 continue
             t = decode(bytes(r.tfs_vb))
             nb = np.frombuffer(bytes(r.norms_b), dtype=np.uint8)
             d2, t2, nb2 = d[keep], t[keep], nb[keep]
-            if r.pos_vb:
-                flat = segmented_delta_decode(decode(bytes(r.pos_vb)), t)
-                ends = np.cumsum(t)
-                parts = [flat[(ends[i] - t[i]): ends[i]] for i in np.flatnonzero(keep)]
-                flat2 = np.concatenate(parts) if parts else np.empty(0, np.int64)
-                pos_vb = encode(segmented_delta_encode(flat2, t2))
-            else:
-                pos_vb = b""
+            pos_vb = (
+                _seg_keep(r.pos_vb, t, t2, keep, delta=True) if r.pos_vb else b""
+            )
+            offs_vb = (
+                _seg_keep(offs_vb0, t, t2, keep, delta=True) if offs_vb0 else b""
+            )
+            olen_vb = (
+                _seg_keep(olen_vb0, t, t2, keep, delta=False) if olen_vb0 else b""
+            )
             rows.append((term, int(salt), int(r.block_seq), int(d2.size),
                          int(d2[0]), int(d2[-1]), int(t2.max()), int(nb2.min()),
                          int(t2.min()), int(nb2.max()),
                          encode(delta_encode(d2)), encode(t2),
-                         nb2.tobytes(), pos_vb))
+                         nb2.tobytes(), pos_vb, offs_vb, olen_vb))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))

@@ -218,7 +218,13 @@ def merge_segments(
     """Merge all segments' runs into the final terms/postings/stats tables
     and publish manifest.json (the commit point)."""
     n_part = partitions or spark.sparkContext.defaultParallelism
-    runs = spark.read.parquet(os.path.join(out_dir, "runs")).select(*_RUN_COLS)
+    runs = spark.read.parquet(os.path.join(out_dir, "runs"))
+    # runs checkpointed before the offsets option lack the occurrence-
+    # offset columns; resume them with empty payloads
+    for c in ("offs_vb", "olen_vb"):
+        if c not in runs.columns:
+            runs = runs.withColumn(c, F.lit(b""))
+    runs = runs.select(*_RUN_COLS)
 
     terms_df = (
         runs.groupBy("term")

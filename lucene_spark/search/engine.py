@@ -519,6 +519,79 @@ class IndexSearcher:
         ).select("term", "docs_vb", "tfs_vb", "pos_vb")
         return self._strip_deleted(blocks.mapInPandas(fn, schema=schema))
 
+    def postings_offsets(self, terms: list[str]) -> DataFrame:
+        """Decode occurrence offsets to exploded (docID, term, pos,
+        start_offset, end_offset) rows — PostingsEnum with the OFFSETS
+        flag over an index built with store_offsets (IndexOptions
+        DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS, reference
+        lucene/core/src/java/org/apache/lucene/index/IndexOptions.java:46-50).
+        start/end are [inclusive, exclusive) CHARACTER offsets into the
+        original document content."""
+        if not self.manifest.get("store_offsets"):
+            raise ValueError("index built without offsets")
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("pos", LongType()),
+                StructField("start_offset", LongType()),
+                StructField("end_offset", LongType()),
+            ]
+        )
+        dele_bc = self._deleted_bc
+
+        def fn(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb, pos_vb, offs_vb, olen_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"],
+                    pdf["pos_vb"], pdf["offs_vb"], pdf["olen_vb"],
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    pos = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    st = segmented_delta_decode(decode(bytes(offs_vb)), tfs)
+                    ln = decode(bytes(olen_vb))
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        if not keep.all():
+                            ends = np.cumsum(tfs)
+                            idx = np.flatnonzero(keep)
+                            parts = [
+                                np.arange(ends[i] - tfs[i], ends[i])
+                                for i in idx
+                            ]
+                            sel = (
+                                np.concatenate(parts)
+                                if parts
+                                else np.empty(0, np.int64)
+                            )
+                            pos, st, ln = pos[sel], st[sel], ln[sel]
+                            doc_ids, tfs = doc_ids[keep], tfs[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": np.repeat(doc_ids, tfs),
+                                "term": term,
+                                "pos": pos,
+                                "start_offset": st,
+                                "end_offset": st + ln,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "term": [],
+                     "pos": pd.array([], dtype="int64"),
+                     "start_offset": pd.array([], dtype="int64"),
+                     "end_offset": pd.array([], dtype="int64")}
+                )
+
+        blocks = self._postings.filter(
+            F.col("term").isin(list(set(terms)))
+        ).select("term", "docs_vb", "tfs_vb", "pos_vb", "offs_vb", "olen_vb")
+        return self._strip_deleted(blocks.mapInPandas(fn, schema=schema))
+
     @property
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))

@@ -89,6 +89,7 @@ def write_segment(
     *,
     partitions: int | None = None,
     store_positions: bool = True,
+    store_offsets: bool = False,
     flush_docs: int = FLUSH_DOCS,
 ) -> int:
     """Invert one batch into an immutable segment (docmap + runs parquet).
@@ -126,7 +127,9 @@ def write_segment(
         acc += sizes[rp]
 
     inverted = sorted_docs.mapInPandas(
-        _invert_partition(offsets, store_positions, flush_docs),
+        _invert_partition(
+            offsets, store_positions, flush_docs, store_offsets=store_offsets
+        ),
         schema=INVERT_SCHEMA,
     )
     inv_path = os.path.join(out_dir, "inverted_stream", seg_name)
@@ -152,6 +155,7 @@ def start_indexing_stream(
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
     store_positions: bool = True,
+    store_offsets: bool = False,
     trigger_available_now: bool = True,
 ):
     """Attach the indexing sink to a streaming DataFrame of documents
@@ -167,6 +171,7 @@ def start_indexing_stream(
         n = write_segment(
             spark, batch_df, out_dir, seg_name, state["next_doc"],
             partitions=partitions, store_positions=store_positions,
+            store_offsets=store_offsets,
         )
         if n == 0:
             return
@@ -196,7 +201,12 @@ def _merge_runs_to_gen(
     narrow per-gen term-stats table — the incremental unit of the tiered
     policy (reads O(new segments), never the whole index)."""
     run_paths = [os.path.join(out_dir, "runs", f"seg={s}") for s in seg_names]
-    runs = spark.read.parquet(*run_paths).select(*_RUN_COLS)
+    runs = spark.read.parquet(*run_paths)
+    # segments written before the offsets option lack the columns
+    for c in ("offs_vb", "olen_vb"):
+        if c not in runs.columns:
+            runs = runs.withColumn(c, F.lit(b""))
+    runs = runs.select(*_RUN_COLS)
     terms_df = runs.groupBy("term").agg(
         F.sum("ndocs").cast("long").alias("df"),
         F.sum("cf").alias("cf"),
@@ -233,6 +243,8 @@ _COMPACT_RUN_SCHEMA = StructType(
         StructField("tfs_vb", BinaryType()),
         StructField("norms_b", BinaryType()),
         StructField("pos_vb", BinaryType()),
+        StructField("offs_vb", BinaryType()),
+        StructField("olen_vb", BinaryType()),
     ]
 )
 
@@ -245,18 +257,31 @@ def _drop_deleted_rows(del_b):
     stay disjoint and ascending); fully-deleted runs vanish."""
     cols = [f.name for f in _COMPACT_RUN_SCHEMA.fields]
 
+    def _seg_keep(payload_vb, t, t2, keep, delta: bool):
+        """Re-segment one occurrence payload (positions or offset
+        starts/lengths) keeping only surviving docs' tf segments."""
+        raw = decode(bytes(payload_vb))
+        flat = segmented_delta_decode(raw, t) if delta else raw
+        ends = np.cumsum(t)
+        parts = [flat[(ends[i] - t[i]):ends[i]] for i in np.flatnonzero(keep)]
+        flat2 = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return encode(segmented_delta_encode(flat2, t2) if delta else flat2)
+
     def fn(batches):
         dele = del_b.value
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                offs_vb0 = bytes(getattr(r, "offs_vb", b"") or b"")
+                olen_vb0 = bytes(getattr(r, "olen_vb", b"") or b"")
                 d = delta_decode(decode(bytes(r.docs_vb)))
                 keep = ~np.isin(d, dele)
                 if keep.all():
                     rows.append(
                         (r.term, int(r.salt), int(r.first_doc),
                          bytes(r.docs_vb), bytes(r.tfs_vb),
-                         bytes(r.norms_b), bytes(r.pos_vb))
+                         bytes(r.norms_b), bytes(r.pos_vb),
+                         offs_vb0, olen_vb0)
                     )
                     continue
                 if not keep.any():
@@ -264,37 +289,31 @@ def _drop_deleted_rows(del_b):
                 t = decode(bytes(r.tfs_vb))
                 nb = np.frombuffer(bytes(r.norms_b), dtype=np.uint8)
                 d2, t2, nb2 = d[keep], t[keep], nb[keep]
-                if r.pos_vb:
-                    flat = segmented_delta_decode(decode(bytes(r.pos_vb)), t)
-                    ends = np.cumsum(t)
-                    parts = [
-                        flat[(ends[i] - t[i]):ends[i]]
-                        for i in np.flatnonzero(keep)
-                    ]
-                    flat2 = (
-                        np.concatenate(parts) if parts else np.empty(0, np.int64)
-                    )
-                    pos_vb = encode(segmented_delta_encode(flat2, t2))
-                else:
-                    pos_vb = b""
+                pos_vb = (
+                    _seg_keep(r.pos_vb, t, t2, keep, delta=True)
+                    if r.pos_vb else b""
+                )
+                offs_vb = (
+                    _seg_keep(offs_vb0, t, t2, keep, delta=True)
+                    if offs_vb0 else b""
+                )
+                olen_vb = (
+                    _seg_keep(olen_vb0, t, t2, keep, delta=False)
+                    if olen_vb0 else b""
+                )
                 rows.append(
                     (r.term, int(r.salt), int(d2[0]),
                      encode(delta_encode(d2)), encode(t2),
-                     nb2.tobytes(), pos_vb)
+                     nb2.tobytes(), pos_vb, offs_vb, olen_vb)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
             else:
                 yield pd.DataFrame(
-                    {
-                        "term": pd.array([], dtype=object),
-                        "salt": pd.array([], dtype="int64"),
-                        "first_doc": pd.array([], dtype="int64"),
-                        "docs_vb": pd.array([], dtype=object),
-                        "tfs_vb": pd.array([], dtype=object),
-                        "norms_b": pd.array([], dtype=object),
-                        "pos_vb": pd.array([], dtype=object),
-                    }
+                    {c: pd.array([], dtype="int64")
+                     if c in ("salt", "first_doc")
+                     else pd.array([], dtype=object)
+                     for c in cols}
                 )
 
     return fn
@@ -321,9 +340,14 @@ def _compact_gens(
     doc that is already gone is a no-op), so this is pure space/decode
     reclamation with identical query results."""
     paths = [os.path.join(out_dir, "postings", f"gen={g['gen']}") for g in group]
-    blocks = spark.read.parquet(*paths).select(
+    blocks = spark.read.parquet(*paths)
+    # pre-offsets generations lack the occurrence-offset columns
+    for c in ("offs_vb", "olen_vb"):
+        if c not in blocks.columns:
+            blocks = blocks.withColumn(c, F.lit(b""))
+    blocks = blocks.select(
         "term", "salt", F.col("min_doc").alias("first_doc"),
-        "docs_vb", "tfs_vb", "norms_b", "pos_vb",
+        "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
     )
     has_deletes = deleted is not None and deleted.size > 0
     if has_deletes:
@@ -427,6 +451,7 @@ def refresh(
     hot_df_threshold: int = 1 << 16,
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
+    store_offsets: bool = False,
     segs_per_tier: int = 8,
     floor_docs: int = 1 << 14,
     max_merged_docs: int = 5_000_000,
@@ -581,6 +606,7 @@ def refresh(
         "hot_df_threshold": hot_df_threshold,
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
+        "store_offsets": store_offsets,
         "block_size": 256,
         "incremental": True,
         "num_segments": len(state["segments"]),
