@@ -51,22 +51,32 @@ def main() -> None:
     spark = get_spark(CPUS, app_name="lucene_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPARK_GRAFT_BENCH_SKIP_BUILD=1: query-suite-only mode for
+    # alternating A/B runs (reuses the existing sf index; builds it only
+    # if missing) — the full default run always rebuilds everything
+    skip_build = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_BUILD"))
+
     # -- 1. index-build throughput: synthetic source-code corpus ----------
     # (Reuters-21578-sized per the reference's benchmark/conf/indexing.alg)
-    corpus_dir = os.path.join(BUILD_DIR, "corpus")
-    shutil.rmtree(corpus_dir, ignore_errors=True)
-    docs = corpus_spark_df(spark, CORPUS_DOCS, partitions=CPUS)
-    t0 = time.time()
-    manifest = build_index(
-        spark, docs, corpus_dir, store_positions=True,
-        key_sample=key_sample(CORPUS_DOCS),
-    )
-    corpus_build_sec = time.time() - t0
-    corpus_docs_per_sec = CORPUS_DOCS / corpus_build_sec
+    corpus_build_sec = float("nan")
+    corpus_docs_per_sec = float("nan")
+    manifest = {"sum_total_term_freq": 0}
+    if not skip_build:
+        corpus_dir = os.path.join(BUILD_DIR, "corpus")
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        docs = corpus_spark_df(spark, CORPUS_DOCS, partitions=CPUS)
+        t0 = time.time()
+        manifest = build_index(
+            spark, docs, corpus_dir, store_positions=True,
+            key_sample=key_sample(CORPUS_DOCS),
+        )
+        corpus_build_sec = time.time() - t0
+        corpus_docs_per_sec = CORPUS_DOCS / corpus_build_sec
 
     # -- 2. sf documents index build + headline queries -------------------
     idx_dir = gate._index_dir_for(SF_DIR)
-    shutil.rmtree(idx_dir, ignore_errors=True)
+    if not skip_build:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     gate._searchers.pop(SF_DIR, None)
     t0 = time.time()
     searcher = gate.searcher_for(spark, SF_DIR)  # builds the index
@@ -152,8 +162,12 @@ def main() -> None:
         "sf": _sf_value(SF_DIR),
         "query_p50_sec": p50,
         "corpus_build_docs": CORPUS_DOCS,
-        "corpus_build_sec": round(corpus_build_sec, 3),
-        "corpus_build_docs_per_sec": round(corpus_docs_per_sec, 1),
+        "corpus_build_sec": (
+            None if skip_build else round(corpus_build_sec, 3)
+        ),
+        "corpus_build_docs_per_sec": (
+            None if skip_build else round(corpus_docs_per_sec, 1)
+        ),
         "corpus_tokens": manifest["sum_total_term_freq"],
         "sf_build_docs": sf_doc_count,
         "sf_build_sec": round(sf_build_sec, 3),

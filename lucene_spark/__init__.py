@@ -28,9 +28,15 @@ def _tune_allocator() -> None:
     import lucene_spark modules).
     """
     import ctypes
+    import os
     import sys
 
     if not sys.platform.startswith("linux"):
+        return
+    # A/B escape hatch (inherited by pyspark workers, which fork from the
+    # driver-side daemon): lets benchmarks attribute regressions to the
+    # allocator tuning without a code checkout switch
+    if os.environ.get("SPARK_GRAFT_NO_MALLOC_TUNE"):
         return
     try:
         libc = ctypes.CDLL("libc.so.6")
