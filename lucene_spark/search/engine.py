@@ -105,6 +105,8 @@ class IndexSearcher:
             )
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self._dl_hist: tuple[np.ndarray, np.ndarray] | None = None
+        # per-reader TermStates cache (term -> TermStats | None-for-absent)
+        self._term_stats_cache: dict[str, TermStats | None] = {}
         self.reload_deletes()
 
     # above this many tombstones the set is no longer shipped to tasks at
@@ -182,19 +184,29 @@ class IndexSearcher:
     # -- planning ---------------------------------------------------------
 
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
-        """Resolve per-term statistics once per query (TermStates.build)."""
+        """Resolve per-term statistics (TermStates.build). Results are
+        memoized per searcher — Lucene caches TermStates per reader the
+        same way (stats are immutable for a reader's lifetime; deletes
+        deliberately leave them stale until a merge) — so repeated terms
+        across queries cost zero Spark jobs. Absent terms are cached as
+        None to avoid re-scanning for hopeless terms."""
         if not terms:
             return {}
-        rows = self._terms.filter(F.col("term").isin(list(set(terms)))).collect()
-        has_lb = "lb_key10" in self._terms.columns
-        return {
-            r["term"]: TermStats(
-                r["term"], r["df"], r["cf"], r["max_tf"], r["min_norm"],
-                (None if not has_lb or r["lb_key10"] is None
-                 else float(r["lb_key10"])),
-            )
-            for r in rows
-        }
+        want = list(dict.fromkeys(terms))
+        cache = self._term_stats_cache
+        missing = [t for t in want if t not in cache]
+        if missing:
+            rows = self._terms.filter(F.col("term").isin(missing)).collect()
+            has_lb = "lb_key10" in self._terms.columns
+            for r in rows:
+                cache[r["term"]] = TermStats(
+                    r["term"], r["df"], r["cf"], r["max_tf"], r["min_norm"],
+                    (None if not has_lb or r["lb_key10"] is None
+                     else float(r["lb_key10"])),
+                )
+            for t in missing:
+                cache.setdefault(t, None)
+        return {t: cache[t] for t in want if cache[t] is not None}
 
     MAX_EXPANSIONS = 1024  # IndexSearcher.maxClauseCount analog
 
