@@ -1,4 +1,5 @@
-"""Adaptive posting-payload codec: LEB128 varbyte OR FOR/PFOR bit-packing.
+"""Adaptive posting-payload codec: LEB128 varbyte, FOR/PFOR bit-packing,
+or group varint (C6).
 
 Behavioral reference (not a port):
   - FOR: 256-int blocks packed at a fixed bit width, all-equal blocks
@@ -6,6 +7,9 @@ Behavioral reference (not a port):
   - PFOR: up to 7 outliers ("exceptions") promoted out of the block so
     the base width tracks the 8th-largest value —
     lucene/core/src/java/org/apache/lucene/codecs/lucene104/PForUtil.java:29,48-66
+  - Group varint: 4 values per group, 2-bit length fields, 1-4 bytes
+    per value — lucene/core/src/java/org/apache/lucene/util/GroupVIntUtil.java:30-67
+    (see util.groupvint for the SIMD-friendly flags-first layout).
   - VInt fallback for payloads where varbyte is smaller (short/skewed
     arrays) — the Lucene tail-block analog.
 
@@ -15,19 +19,28 @@ Wire format (self-describing, 1 header byte):
         little-endian bit order][exc indices LEB][exc values LEB]
         exception slots hold 0 in the base array and are patched from
         the full values on decode.
+  0x03  group varint (util.groupvint wire format); only chosen for
+        payloads whose values all fit in 32 bits AND whose group-varint
+        size beats LEB — otherwise 0x01 is written. Any payload a
+        codec setting can produce, every decode_block can read.
 
-`encode_block` computes both candidate sizes analytically and
-materializes only the winner; both paths are O(total_bytes) numpy with
-no per-value Python. Values are non-negative < 2**63.
+`encode_block` computes candidate sizes analytically and materializes
+only the winner; all paths are O(total_bytes) numpy with no per-value
+Python. Values are non-negative < 2**63.
 
-DEFAULT IS VBYTE (set SPARK_GRAFT_CODEC=pfor to switch): measured at
-sf0.1, the bit-packed index is 2.8% LARGER after parquet ZSTD (dense
-bits carry more entropy per byte than byte-aligned LEB, so the page
-compressor gains less) and decode-heavy queries run ~1.3-1.7x slower
-(unpackbits materializes an n x w bit matrix). The PFOR path stays
-fully wired and contract-tested so the tradeoff can be re-measured on
-other data; decode always dispatches on the header, so both formats
-read either way.
+DEFAULT IS VBYTE (set SPARK_GRAFT_CODEC=pfor|groupvint to switch):
+measured at sf0.1, the bit-packed index is 2.8% LARGER after parquet
+ZSTD (dense bits carry more entropy per byte than byte-aligned LEB, so
+the page compressor gains less) and decode-heavy queries run ~1.3-1.7x
+slower (unpackbits materializes an n x w bit matrix). Group varint
+decodes faster where values need >1 byte (byte-aligned gathers, <=4
+passes vs <=10: measured 2.2x on 3-byte gaps n=50k, ~1.2x on mixed
+positions, and 16% smaller) but LOSES ~1.5x and +26% size on 1-byte
+gaps (flag-nibble overhead) — and small gaps dominate this corpus's
+payload mix, so vbyte stays the default. Re-measure on high-docID-gap
+indexes (sparse terms over huge doc spaces) where GV should win
+end-to-end. All paths stay fully wired and contract-tested; decode
+always dispatches on the header, so every format reads either way.
 """
 
 from __future__ import annotations
@@ -37,15 +50,21 @@ import struct
 
 import numpy as np
 
+from lucene_spark.util import groupvint
 from lucene_spark.util.varbyte import decode as leb_decode
 from lucene_spark.util.varbyte import encode as leb_encode
 
-DEFAULT_PACKED = os.environ.get("SPARK_GRAFT_CODEC", "vbyte") == "pfor"
-CODEC_NAME = "adaptive-pfor-v1" if DEFAULT_PACKED else "vbyte-v1"
+_CODEC_ENV = os.environ.get("SPARK_GRAFT_CODEC", "vbyte")
+DEFAULT_PACKED = _CODEC_ENV == "pfor"
+DEFAULT_GVINT = _CODEC_ENV == "groupvint"
+CODEC_NAME = {
+    "pfor": "adaptive-pfor-v1",
+    "groupvint": "groupvint-v1",
+}.get(_CODEC_ENV, "vbyte-v1")
 
-# every manifest['codec'] this decode_block can read (both names share
-# the self-describing 1-byte header, so either reads either)
-READABLE_CODECS = frozenset({"vbyte-v1", "adaptive-pfor-v1"})
+# every manifest['codec'] this decode_block can read (all names share
+# the self-describing 1-byte header, so any reads any)
+READABLE_CODECS = frozenset({"vbyte-v1", "adaptive-pfor-v1", "groupvint-v1"})
 
 
 def validate_manifest_codec(manifest: dict) -> str:
@@ -72,6 +91,7 @@ def validate_manifest_codec(manifest: dict) -> str:
 
 _LEB = 0x01
 _PACKED = 0x02
+_GVINT = 0x03
 _MAX_EXCEPTIONS = 7  # PForUtil.java:29
 
 
@@ -107,10 +127,43 @@ def _unpack_bits(buf: memoryview, n: int, w: int) -> np.ndarray:
 _LEB_PREFIX = bytes([_LEB])
 
 
-def encode_block(values: np.ndarray, packed: bool | None = None) -> bytes:
+def _encode_gvint(values: np.ndarray) -> bytes:
+    """Group-varint candidate: smaller of LEB128 and group varint per
+    payload; LEB whenever any value exceeds 32 bits (GroupVIntUtil is
+    int-ranged)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    leb_total = 1 + _leb_size(v)
+    if int(v.max()) > groupvint.MAX_VALUE:
+        return bytes([_LEB]) + leb_encode(v)
+    # analytic size: tag + u32 count + ceil(n/4) flags + data bytes
+    nb_sum = int(
+        v.size
+        + (v > 0xFF).sum()
+        + (v > 0xFFFF).sum()
+        + (v > 0xFFFFFF).sum()
+    )
+    gv_total = 1 + 4 + (v.size + 3) // 4 + nb_sum
+    if gv_total >= leb_total:
+        return bytes([_LEB]) + leb_encode(v)
+    return bytes([_GVINT]) + groupvint.encode(v)
+
+
+def encode_block(
+    values: np.ndarray,
+    packed: bool | None = None,
+    gvint: bool | None = None,
+) -> bytes:
     """Encode a non-negative int array. packed=True chooses the smaller
-    of LEB128 and FOR/PFOR bit-packing per payload; default follows
-    SPARK_GRAFT_CODEC (vbyte unless set to 'pfor' — see module doc)."""
+    of LEB128 and FOR/PFOR bit-packing per payload; gvint=True the
+    smaller of LEB128 and group varint; default follows
+    SPARK_GRAFT_CODEC (vbyte unless 'pfor'/'groupvint' — see module
+    doc)."""
+    if gvint is None:
+        gvint = DEFAULT_GVINT and packed is None
+    if gvint:
+        return _encode_gvint(values)
     if packed is None:
         packed = DEFAULT_PACKED
     if not packed:
@@ -178,6 +231,8 @@ def decode_block(buf: bytes) -> np.ndarray:
     tag = mv[0]
     if tag == _LEB:
         return leb_decode(mv[1:])
+    if tag == _GVINT:
+        return groupvint.decode(mv[1:])
     if tag != _PACKED:
         raise ValueError(f"unknown block codec tag {tag:#x}")
     w = mv[1]
