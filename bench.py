@@ -116,6 +116,10 @@ def main() -> None:
         "interval_unordered_top10",
         "fuzzy_scored_top10",
         "parsed_sloppy_boost_top10",
+        "bm25_explain",
+        # highlight_top10 is gate-only: it needs the separate offsets
+        # index; the headline bench measures the default positions-only
+        # configuration
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

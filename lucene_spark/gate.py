@@ -481,6 +481,55 @@ def q_term_offsets(spark, sf_dir):
     )
 
 
+HL_WINDOW = 100  # highlight passage width (chars)
+
+
+def q_bm25_explain(spark, sf_dir):
+    """IndexSearcher.explain duel: per-(doc, matching-term) BM25 score
+    decomposition (tf, df, dl, idf, tf_norm, contrib, doc total) for the
+    OR query's top-10 docs, double precision end-to-end."""
+    s = searcher_for(spark, sf_dir)
+    dm = _docid_map(s)
+    ex = s.explain(TERMS_OR, k=10, mode="or")
+    return ex.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "dl",
+        F.round("idf", ROUND).alias("idf"),
+        F.round("tf_norm", ROUND).alias("tf_norm"),
+        F.round("contrib", ROUND).alias("contrib"),
+        F.round("score", ROUND).alias("score"),
+    )
+
+
+def q_highlight_top10(spark, sf_dir):
+    """UnifiedHighlighter duel over the offsets index: best fixed-width
+    passage (window with the most query-term match starts, earliest-
+    anchor tie-break) + snippet text for the OR query's top-10 docs.
+    Doc selection runs in double precision so the duel is exact; the
+    oracle re-derives token boundaries character-by-character in SQL and
+    replays the identical anchored-window rule."""
+    s = searcher_for_offsets(spark, sf_dir)
+    dm = _docid_map(s)
+    top = _bm25_spark(spark, sf_dir, TERMS_OR, "or").select("doc_id")
+    top_docs = dm.join(F.broadcast(top), "doc_id").select("docID")
+    out = s.highlight(
+        TERMS_OR,
+        docs_df=_docs_df(spark, sf_dir),
+        window=HL_WINDOW,
+        top_docs=top_docs,
+    )
+    return out.join(F.broadcast(dm.select("docID", "doc_id")), "docID").select(
+        "doc_id",
+        "p_start",
+        "p_end",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        "snippet",
+    )
+
+
 def q_sort_by_field(spark, sf_dir):
     """Sort-by-field (B23): docs matching TERM_1 ordered by the n_chars
     metadata column DESC, doc_id ASC, top 15 (SortField.LONG analog)."""
@@ -1297,6 +1346,8 @@ QUERIES = {
     "term_range_df": q_term_range_df,
     "regexp_df": q_regexp_df,
     "term_offsets": q_term_offsets,
+    "bm25_explain": q_bm25_explain,
+    "highlight_top10": q_highlight_top10,
     "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
@@ -1511,6 +1562,66 @@ SELECT s.doc_id AS doc_id, (s.rn - 1)::BIGINT AS pos,
        (s.s1 - 1)::BIGINT AS start_offset, e.e1::BIGINT AS end_offset
 FROM s JOIN e ON s.doc_id = e.doc_id AND s.rn = e.rn
 WHERE lower(substring(s.text, s.s1, e.e1 - s.s1 + 1)) = '{TERM_1}'"""
+
+    _orl = ", ".join(f"'{t}'" for t in TERMS_OR)
+    sqls["bm25_explain"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_orl}) GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfs.df,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5)) AS idf,
+         tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS tfn
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, sum(idf * tfn) AS sc FROM per GROUP BY doc_id),
+top AS (SELECT doc_id, sc FROM agg ORDER BY sc DESC, doc_id ASC LIMIT 10)
+SELECT p.doc_id, p.term, p.tf AS tf, p.df AS df, p.dl AS dl,
+       round(p.idf, {ROUND}) AS idf, round(p.tfn, {ROUND}) AS tf_norm,
+       round(p.idf * p.tfn, {ROUND}) AS contrib, round(t.sc, {ROUND}) AS score
+FROM per p JOIN top t USING (doc_id)"""
+    sqls["highlight_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_orl}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+top AS (SELECT doc_id FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10),
+d AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id IN (SELECT doc_id FROM top)),
+c AS (SELECT doc_id, text, L, i,
+        regexp_matches(substring(text, i, 1), '^[a-z0-9]$') AS w
+      FROM d, unnest(range(1, L+1)) AS r(i)),
+f AS (SELECT doc_id, text, i, w,
+        (i = 1 OR NOT lag(w) OVER (PARTITION BY doc_id ORDER BY i)) AS sb,
+        (lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         OR NOT lead(w) OVER (PARTITION BY doc_id ORDER BY i)) AS eb
+      FROM c),
+st AS (SELECT doc_id, text, i AS s1,
+        row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM f WHERE w AND sb),
+en AS (SELECT doc_id, i AS e1,
+        row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM f WHERE w AND eb),
+mt AS (SELECT st.doc_id, (st.s1 - 1)::BIGINT AS ms
+       FROM st JOIN en ON st.doc_id = en.doc_id AND st.rn = en.rn
+       WHERE lower(substring(st.text, st.s1, en.e1 - st.s1 + 1)) IN ({_orl})),
+win AS (SELECT a.doc_id, a.ms AS astart, count(*)::BIGINT AS nm
+        FROM mt a JOIN mt b ON a.doc_id = b.doc_id
+          AND b.ms >= a.ms AND b.ms < a.ms + {HL_WINDOW}
+        GROUP BY a.doc_id, a.ms),
+best AS (SELECT doc_id, astart, nm,
+           row_number() OVER (PARTITION BY doc_id ORDER BY nm DESC, astart ASC) AS rn
+         FROM win)
+SELECT b.doc_id AS doc_id, b.astart AS p_start,
+       least(b.astart + {HL_WINDOW}, d.L)::BIGINT AS p_end, b.nm AS n_matches,
+       substring(d.text, (b.astart + 1)::INT, (least(b.astart + {HL_WINDOW}, d.L) - b.astart)::INT) AS snippet
+FROM best b JOIN d USING (doc_id) WHERE b.rn = 1"""
 
     sqls["sort_by_field"] = f"""WITH {TOKENS_CTE}
         SELECT d.doc_id, d.n_chars FROM documents d

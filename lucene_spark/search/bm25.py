@@ -81,13 +81,18 @@ class BM25Scorer:
     doc_count: int
     avg_dl: float
     cache: np.ndarray  # float32[256]
-    k1: float = float(K1)
-    b: float = float(B)
+    # stored as the NOMINAL double-precision parameters (1.2 / 0.75, not
+    # float(np.float32(1.2)) == 1.2000000476...): every float32 consumer
+    # casts through np.float32 first (identical value), while the
+    # double-precision paths (explain, gate duels) need the exact
+    # doubles the SQL oracles use
+    k1: float = 1.2
+    b: float = 0.75
 
     @classmethod
     def build(
         cls, doc_count: int, sum_total_term_freq: int,
-        k1: float = float(K1), b: float = float(B),
+        k1: float = 1.2, b: float = 0.75,
     ) -> "BM25Scorer":
         a = avgdl(sum_total_term_freq, doc_count)
         return cls(

@@ -891,6 +891,208 @@ class IndexSearcher:
             .count()
         )
 
+    def explain(
+        self, query: str | list[str], k: int = 10, mode: str = "or"
+    ) -> DataFrame:
+        """IndexSearcher.explain analog (reference
+        lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java
+        `explain(Query, int)` + BM25Similarity.explainScore,
+        search/similarities/BM25Similarity.java:233-269): for each of
+        the query's top-k documents, one row PER MATCHING TERM with the
+        full BM25 score decomposition —
+
+            idf     = ln(1 + (N - df + 0.5) / (df + 0.5))
+            tf_norm = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+            contrib = idf * tf_norm
+            score   = sum of the doc's contribs (repeated on each row,
+                      Explanation.getValue() of the root node)
+
+        Computed end-to-end in DOUBLE precision — the mathematical value
+        the float32 production scorer approximates — so the output duels
+        exactly against a SQL oracle (the same convention as every
+        double-precision gate). Not a hot path: Lucene's explain also
+        re-derives the score outside the bulk scorer.
+
+        Returns (docID, term, tf, df, dl, idf, tf_norm, contrib, score).
+        Scale shape: postings decode is bounded to the query terms, the
+        doc-length join is a docID equijoin against docmap, and only the
+        k winner docIDs (a broadcast) pull their rows back out.
+        """
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in dict.fromkeys(terms) if t in stats]
+        empty = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("tf", LongType()),
+                StructField("df", LongType()),
+                StructField("dl", LongType()),
+                StructField("idf", DoubleType()),
+                StructField("tf_norm", DoubleType()),
+                StructField("contrib", DoubleType()),
+                StructField("score", DoubleType()),
+            ]
+        )
+        if not present or (
+            mode == "and" and len(present) < len(set(terms))
+        ):
+            return self.spark.createDataFrame([], empty)
+        n = float(self.doc_count)
+        avgdl = self.manifest["sum_total_term_freq"] / self.doc_count
+        k1, b = self.scorer.k1, self.scorer.b
+        df_map = F.create_map(
+            *[F.lit(x) for t in present for x in (t, float(stats[t].df))]
+        )
+        per = (
+            self.postings_tf(present)
+            .join(self.docmap.select("docID", "dl"), "docID")
+            .withColumn("df", df_map[F.col("term")])
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            )
+            .withColumn(
+                "tf_norm",
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .withColumn("contrib", F.col("idf") * F.col("tf_norm"))
+        )
+        agg = per.groupBy("docID").agg(
+            F.sum("contrib").alias("score"), F.count("*").alias("nmatch")
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("nmatch") == len(present))
+        top = (
+            agg.orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+            .select("docID", "score")
+        )
+        return per.join(F.broadcast(top), "docID").select(
+            "docID",
+            "term",
+            F.col("tf").cast(LongType()).alias("tf"),
+            F.col("df").cast(LongType()).alias("df"),
+            F.col("dl").cast(LongType()).alias("dl"),
+            "idf",
+            "tf_norm",
+            "contrib",
+            "score",
+        )
+
+    def highlight(
+        self,
+        query: str | list[str],
+        docs_df: DataFrame | None = None,
+        k: int = 10,
+        window: int = 120,
+        top_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """UnifiedHighlighter analog over POSTINGS offsets (reference
+        lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+        UnifiedHighlighter.java, OffsetSource.POSTINGS — no re-analysis;
+        requires an index built with store_offsets). For each of the
+        query's top-k docs, picks the best fixed-width passage: the
+        window [s, s + window) anchored at a match's start offset that
+        contains the MOST query-term match starts (FieldHighlighter's
+        passage scoring simplified to a deterministic density rule; ties
+        break to the earliest anchor).
+
+        Returns (docID, p_start, p_end, n_matches). When `docs_df` — the
+        source-of-truth content table (repo, path, commit, content), the
+        stored-fields analog — is given, p_end is additionally capped at
+        the document's character length and a `snippet` substring column
+        is included; without it p_end is p_start + window (may overhang
+        a short document's end).
+
+        top_docs overrides doc selection (any DataFrame with a docID
+        column, e.g. a double-precision ranking for oracle duels);
+        default is the float32 `search()` top-k.
+
+        Scale shape: offsets decode only for the query terms, then a
+        BROADCAST semi-join keeps the k candidate docs before any
+        pairing work; the self-join that scores anchors touches only
+        those k docs' matches; the snippet fetch broadcasts k (repo,
+        path, commit) keys against the source table (a stored-fields
+        seek, not a scan).
+        """
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in dict.fromkeys(terms) if t in stats]
+        fields = [
+            StructField("docID", LongType()),
+            StructField("p_start", LongType()),
+            StructField("p_end", LongType()),
+            StructField("n_matches", LongType()),
+        ]
+        if docs_df is not None:
+            fields.append(StructField("snippet", StringType()))
+        if not present:
+            return self.spark.createDataFrame([], StructType(fields))
+        if top_docs is None:
+            top_docs = self.search(present, k=k)
+        hits = F.broadcast(top_docs.select("docID"))
+        m = (
+            self.postings_offsets(present)
+            .join(hits, "docID")
+            .select("docID", "start_offset")
+        )
+        anchors = m.select("docID", F.col("start_offset").alias("astart"))
+        counts = (
+            anchors.alias("a")
+            .join(m.alias("b"), "docID")
+            .where(
+                (F.col("b.start_offset") >= F.col("a.astart"))
+                & (F.col("b.start_offset") < F.col("a.astart") + window)
+            )
+            .groupBy("docID", "astart")
+            .agg(F.count("*").alias("n_matches"))
+        )
+        from pyspark.sql import Window
+
+        best = (
+            counts.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("docID").orderBy(
+                        F.desc("n_matches"), F.asc("astart")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "docID",
+                F.col("astart").alias("p_start"),
+                (F.col("astart") + window).alias("p_end"),
+                "n_matches",
+            )
+        )
+        if docs_df is None:
+            return best
+        keyed = self.docmap.select("docID", "repo", "path", "commit").join(
+            F.broadcast(best), "docID"
+        )
+        return (
+            F.broadcast(keyed)
+            .join(docs_df, ["repo", "path", "commit"])
+            .withColumn(
+                "p_end", F.least(F.col("p_end"), F.length("content").cast(LongType()))
+            )
+            .withColumn(
+                "snippet",
+                F.expr("substring(content, p_start + 1, p_end - p_start)"),
+            )
+            .select("docID", "p_start", "p_end", "n_matches", "snippet")
+        )
+
     # -- internals --------------------------------------------------------
 
     @staticmethod
