@@ -117,6 +117,7 @@ def main() -> None:
         "fuzzy_scored_top10",
         "parsed_sloppy_boost_top10",
         "bm25_explain",
+        "mlt_top10",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

@@ -530,6 +530,24 @@ def q_highlight_top10(spark, sf_dir):
     )
 
 
+MLT_SEED_DOC = 453  # 29 MLT candidates at sf0.01: exercises the top-25
+# cut (0.005 score margin) AND the score-tie term-ASC rule just past it
+
+
+def q_mlt_top10(spark, sf_dir):
+    """MoreLikeThis duel: select query terms from the seed doc's text
+    (tf >= 2, df >= 5, ranked tf * ClassicSimilarity-idf, top 25, ties
+    score DESC term ASC), then double-precision BM25 OR top-10 over the
+    selected terms. The oracle replays the identical selection in SQL."""
+    s = searcher_for(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    row = docs.filter(F.col("doc_id") == MLT_SEED_DOC).select("text").head()
+    if row is None:  # tiny sf dirs (not dueled); keep the query runnable
+        row = docs.orderBy(F.desc("doc_id")).select("text").head()
+    terms = s.mlt_terms(row[0])
+    return _bm25_spark(spark, sf_dir, terms, "or")
+
+
 def q_sort_by_field(spark, sf_dir):
     """Sort-by-field (B23): docs matching TERM_1 ordered by the n_chars
     metadata column DESC, doc_id ASC, top 15 (SortField.LONG analog)."""
@@ -1348,6 +1366,7 @@ QUERIES = {
     "term_offsets": q_term_offsets,
     "bm25_explain": q_bm25_explain,
     "highlight_top10": q_highlight_top10,
+    "mlt_top10": q_mlt_top10,
     "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
@@ -1622,6 +1641,28 @@ SELECT b.doc_id AS doc_id, b.astart AS p_start,
        least(b.astart + {HL_WINDOW}, d.L)::BIGINT AS p_end, b.nm AS n_matches,
        substring(d.text, (b.astart + 1)::INT, (least(b.astart + {HL_WINDOW}, d.L) - b.astart)::INT) AS snippet
 FROM best b JOIN d USING (doc_id) WHERE b.rn = 1"""
+
+    sqls["mlt_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+seed AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_SEED_DOC}),
+sel AS (SELECT s.term FROM seed s JOIN dfall d USING (term)
+        WHERE s.tf >= 2 AND d.df >= 5
+        ORDER BY s.tf * (ln(((SELECT n FROM n) + 1) / (d.df + 1.0)) + 1) DESC,
+                 s.term ASC
+        LIMIT 25),
+dfs AS (SELECT term, df FROM dfall WHERE term IN (SELECT term FROM sel)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10"""
 
     sqls["sort_by_field"] = f"""WITH {TOKENS_CTE}
         SELECT d.doc_id, d.n_chars FROM documents d

@@ -22,6 +22,7 @@ so results are rank-identical to Lucene for term/AND/OR queries.
 from __future__ import annotations
 
 import json
+import math
 import os
 from dataclasses import dataclass
 
@@ -890,6 +891,72 @@ class IndexSearcher:
             .distinct()
             .count()
         )
+
+    def mlt_terms(
+        self,
+        seed_text: str,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq: int | None = None,
+    ) -> list[str]:
+        """MoreLikeThis term selection (reference
+        lucene/queries/src/java/org/apache/lucene/queries/mlt/
+        MoreLikeThis.java:595-675, defaults :165-232): analyze the seed
+        text (Lucene's no-term-vectors fallback re-analyzes the stored
+        field the same way), keep terms with tf >= min_term_freq and
+        min_doc_freq <= df (<= max_doc_freq), rank by
+
+            tf * (ln((N + 1) / (df + 1)) + 1)    # ClassicSimilarity.idf,
+                                                 # similarities/ClassicSimilarity.java:69
+        and take the top max_query_terms. Ties rank score DESC, term ASC
+        (deterministic; Lucene's PriorityQueue leaves equal-score order
+        unspecified). Driver-side on one document — the only Spark job
+        is the memoized term_stats lookup."""
+        tf: dict[str, int] = {}
+        for t in analyze(seed_text):
+            tf[t] = tf.get(t, 0) + 1
+        cand = [t for t, c in tf.items() if c >= min_term_freq]
+        stats = self.term_stats(cand)
+        n = self.doc_count
+        scored = []
+        for t in cand:
+            s = stats.get(t)
+            if s is None or s.df < min_doc_freq:
+                continue
+            if max_doc_freq is not None and s.df > max_doc_freq:
+                continue
+            idf_c = math.log((n + 1) / (s.df + 1)) + 1.0
+            scored.append((tf[t] * idf_c, t))
+        scored.sort(key=lambda st: (-st[0], st[1]))
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        seed_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq: int | None = None,
+    ) -> DataFrame:
+        """MoreLikeThis (MoreLikeThis.like -> BooleanQuery of SHOULD
+        TermQuerys, executed under the searcher's BM25 — boost=false
+        default per MoreLikeThis.java:246): top-k docs most similar to
+        the seed text. The seed document itself is NOT excluded (Lucene
+        doesn't either; callers filter it). Terms are already analyzed,
+        so scoring bypasses _parse re-analysis (a token like
+        'dotted.pair' must not be re-split)."""
+        terms = self.mlt_terms(
+            seed_text, max_query_terms, min_term_freq, min_doc_freq,
+            max_doc_freq,
+        )
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk()
+        scored = self._scored_postings(present, stats)
+        return self._topk(scored, k, "or", n_terms=len(present))
 
     def explain(
         self, query: str | list[str], k: int = 10, mode: str = "or"

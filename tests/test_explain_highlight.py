@@ -184,3 +184,44 @@ def test_highlight_without_docs_df(spark, hl_idx):
     assert rows and "snippet" not in rows[0].asDict()
     for r in rows:
         assert r["p_end"] == r["p_start"] + WINDOW
+
+
+def test_mlt_terms_matches_bruteforce(spark, hl_idx):
+    """mlt_terms == Python replay of MoreLikeThis.java:595-675 selection
+    (tf >= min_term_freq, df >= min_doc_freq, rank tf * ClassicSimilarity
+    idf, ties score DESC / term ASC, top max_query_terms)."""
+    out, pdf = hl_idx
+    s = IndexSearcher(spark, out)
+    texts, tfs, dfc, dls = _brute(s, pdf)
+    n = len(texts)
+
+    seed = next(t for t in texts.values() if t.startswith("query alone"))
+    stf = {}
+    for t in analyze(seed):
+        stf[t] = stf.get(t, 0) + 1
+    min_tf, min_df, maxq = 1, 2, 5
+    cand = [
+        (stf[t] * (math.log((n + 1) / (dfc[t] + 1)) + 1.0), t)
+        for t in stf
+        if stf[t] >= min_tf and t in dfc and dfc[t] >= min_df
+    ]
+    cand.sort(key=lambda st: (-st[0], st[1]))
+    exp = [t for _, t in cand[:maxq]]
+
+    got = s.mlt_terms(
+        seed, max_query_terms=maxq, min_term_freq=min_tf, min_doc_freq=min_df
+    )
+    assert got == exp
+
+    # defaults: absent/low-df terms filtered, never more than the cap
+    terms_default = s.mlt_terms(seed)
+    assert len(terms_default) <= 25
+    # corpus-scaled thresholds (the Lucene defaults assume a big index:
+    # min_doc_freq=5 filters everything on a 63-doc corpus)
+    hits = s.more_like_this(
+        seed, k=5, min_term_freq=1, min_doc_freq=2
+    ).collect()
+    assert hits
+    # the seed doc itself is a hit (not excluded, matching Lucene)
+    seed_doc = next(d for d, t in texts.items() if t == seed)
+    assert any(r["docID"] == seed_doc for r in hits)
