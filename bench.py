@@ -118,6 +118,7 @@ def main() -> None:
         "parsed_sloppy_boost_top10",
         "bm25_explain",
         "mlt_top10",
+        "suggest_prefix",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

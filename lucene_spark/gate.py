@@ -310,6 +310,14 @@ def q_prefix_df(spark, sf_dir):
     )
 
 
+def q_suggest_prefix(spark, sf_dir):
+    """Completion suggester duel: top-10 dictionary terms under the
+    prefix, ranked by df DESC then term ASC (suggest-module lookup with
+    df as the weight)."""
+    s = searcher_for(spark, sf_dir)
+    return s.suggest(PREFIX, k=10)
+
+
 def q_top_cf_terms(spark, sf_dir):
     s = searcher_for(spark, sf_dir)
     return (
@@ -1367,6 +1375,7 @@ QUERIES = {
     "bm25_explain": q_bm25_explain,
     "highlight_top10": q_highlight_top10,
     "mlt_top10": q_mlt_top10,
+    "suggest_prefix": q_suggest_prefix,
     "sort_by_field": q_sort_by_field,
     "wildcard_count": q_wildcard_count,
     "synonym_top10": q_synonym_top10,
@@ -1642,6 +1651,10 @@ SELECT b.doc_id AS doc_id, b.astart AS p_start,
        substring(d.text, (b.astart + 1)::INT, (least(b.astart + {HL_WINDOW}, d.L) - b.astart)::INT) AS snippet
 FROM best b JOIN d USING (doc_id) WHERE b.rn = 1"""
 
+    sqls["suggest_prefix"] = f"""WITH {TOKENS_CTE}, {TF_CTE}
+        SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term LIKE '{PREFIX}%' GROUP BY term
+        ORDER BY count(*) DESC, term ASC LIMIT 10"""
     sqls["mlt_top10"] = f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
 n AS (SELECT count(*)::BIGINT AS n FROM documents),

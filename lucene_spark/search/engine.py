@@ -892,6 +892,21 @@ class IndexSearcher:
             .count()
         )
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Search-as-you-type completion over the term dictionary —
+        the suggest module's lookup with document frequency as the
+        weight (reference lucene/suggest/src/java/org/apache/lucene/
+        search/suggest/fst/WFSTCompletionLookup.java): top-k terms
+        starting with `prefix`, heaviest (highest df) first, ties term
+        ASC. The startswith predicate prunes the term-range-partitioned
+        terms scan via parquet min/max — the FST prefix-walk analog."""
+        return (
+            self._terms.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term", F.col("df").cast(LongType()).alias("df"))
+        )
+
     def mlt_terms(
         self,
         seed_text: str,
