@@ -792,3 +792,155 @@ def update_documents(
             spark, out_dir, partitions=partitions, store_positions=store_positions
         )
     return out
+
+
+def add_indexes(
+    spark: SparkSession,
+    dst_dir: str,
+    src_dir: str,
+    *,
+    partitions: int | None = None,
+    store_positions: bool = True,
+    do_refresh: bool = True,
+) -> dict:
+    """IndexWriter.addIndexes(Directory...) analog (reference
+    lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
+    addIndexes: foreign segments are COPIED with rebased docIDs, never
+    re-tokenized): import a built index — batch or tiered layout — into
+    a tiered destination as one new generation + one pseudo-segment.
+
+    Imported docs get docIDs [next_doc, next_doc + span) preserving
+    source-docID order — arrival-order semantics, exactly like a
+    streamed batch; the batch builder's global-rank docID identity does
+    NOT extend across imports. Duplicate (repo, path, commit) keys are
+    NOT deduplicated (Lucene's addIndexes doesn't either).
+
+    The rebase is a map-only Arrow pass over the source postings: only
+    the raw FIRST value of each block's docID delta chain and the
+    min_doc/max_doc block metadata shift by the offset; tf/norm/
+    position/offset payloads and all term statistics are docID-invariant
+    and copied verbatim (term stats land as the new gen's terms_gens
+    rows, so the next refresh folds them into the global terms table and
+    recomputes lb_key10). Refuses a source with live tombstones (run
+    expunge first — copying a foreign tombstone table would alias
+    rebased docIDs) and a store_offsets mismatch with the destination.
+
+    A source that was expunged has a SPARSE docID space: the pseudo-
+    segment records the full span (expunge_deletes_tiered's range
+    arithmetic needs contiguous per-segment ranges) and the hole count
+    is added to state["n_expunged"] so doc_count stays honest."""
+    from lucene_spark.index.deletes import load_deleted_ids
+    from lucene_spark.util.blockcodec import validate_manifest_codec
+
+    with open(os.path.join(src_dir, "manifest.json")) as f:
+        src_m = json.load(f)
+    validate_manifest_codec(src_m)
+    if load_deleted_ids(spark, src_dir).size:
+        raise ValueError(
+            "add_indexes: source index has live tombstones — expunge it "
+            "first (rebased docIDs cannot alias a foreign tombstone table)"
+        )
+    dst_mpath = os.path.join(dst_dir, "manifest.json")
+    if os.path.exists(dst_mpath):
+        with open(dst_mpath) as f:
+            dst_m = json.load(f)
+        validate_manifest_codec(dst_m)
+        if bool(dst_m.get("store_offsets")) != bool(src_m.get("store_offsets")):
+            raise ValueError(
+                "add_indexes: store_offsets mismatch between source and "
+                "destination (mixed-payload generations would corrupt "
+                "postings_offsets)"
+            )
+    os.makedirs(dst_dir, exist_ok=True)
+    state = _load_state(dst_dir)
+    offset = int(state["next_doc"])
+
+    src_dm = spark.read.parquet(os.path.join(src_dir, "docmap"))
+    agg = src_dm.agg(
+        F.count("*").alias("live"), F.max("docID").alias("mx")
+    ).collect()[0]
+    live = int(agg["live"] or 0)
+    if live == 0:  # empty source: no-op (Lucene's addIndexes likewise)
+        if os.path.exists(dst_mpath):
+            with open(dst_mpath) as f:
+                return json.load(f)
+        return {"imported": 0, "gen": None}
+    span = int(agg["mx"]) + 1  # sparse after a source expunge
+
+    state.setdefault("gens", [])
+    n_imp = sum(1 for s in state["segments"] if s["seg"].startswith("imp"))
+    seg_name = f"imp{n_imp:06d}"
+    gname = f"g{state.get('next_gen', 0):06d}"
+    state["next_gen"] = state.get("next_gen", 0) + 1
+
+    # 1. postings: rebase docIDs in one Arrow pass
+    src_post = spark.read.parquet(os.path.join(src_dir, "postings"))
+    if src_m.get("gens"):
+        src_post = src_post.filter(F.col("gen").isin(list(src_m["gens"])))
+    for c in ("offs_vb", "olen_vb"):
+        if c not in src_post.columns:
+            src_post = src_post.withColumn(c, F.lit(b""))
+    src_post = src_post.select(*[f.name for f in BLOCK_SCHEMA.fields])
+
+    def _shift(batches):
+        for pdf in batches:
+            shifted = []
+            for blob in pdf["docs_vb"]:
+                gaps = decode(bytes(blob))
+                gaps[0] += offset  # delta chain keeps its raw first value
+                shifted.append(bytes(encode(gaps)))
+            yield pdf.assign(
+                docs_vb=shifted,
+                min_doc=pdf["min_doc"] + offset,
+                max_doc=pdf["max_doc"] + offset,
+            )
+
+    (
+        src_post.mapInPandas(_shift, schema=BLOCK_SCHEMA)
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "postings", f"gen={gname}"))
+    )
+
+    # 2. per-gen term stats from the source's global terms table
+    (
+        spark.read.parquet(os.path.join(src_dir, "terms"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "max_tf",
+            "min_norm",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "terms_gens", f"gen={gname}"))
+    )
+
+    # 3. docmap rows with rebased docIDs under the pseudo-segment
+    (
+        src_dm.select(*_META_COLS)
+        .withColumn("docID", F.col("docID") + offset)
+        .select(*_META_COLS)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "docmap", f"seg={seg_name}"))
+    )
+
+    # 4. state LAST (files durable first — the write_segment commit order)
+    state["next_doc"] = offset + span
+    state["n_expunged"] = int(state.get("n_expunged", 0)) + (span - live)
+    state["segments"].append(
+        {"seg": seg_name, "num_docs": span, "imported": True,
+         "ts": time.time()}
+    )
+    state["gens"].append(
+        {"gen": gname, "segs": [seg_name], "num_docs": span}
+    )
+    _atomic_json(_state_path(dst_dir), state)
+
+    if not do_refresh:
+        return {"imported": live, "gen": gname}
+    return refresh(
+        spark, dst_dir, partitions=partitions,
+        store_positions=store_positions,
+        store_offsets=bool(src_m.get("store_offsets")),
+    )
