@@ -103,6 +103,7 @@ def main() -> None:
         "interval_near_top10",
         "combined_field_top10",
         "minhash_near_dup",
+        "dedup_components",
         "simhash",
         "lang_id",
         "doc_fingerprint",

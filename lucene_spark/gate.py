@@ -761,6 +761,21 @@ def q_minhash_near_dup(spark, sf_dir):
     return minhash_near_dup(spark, _documents(spark, sf_dir), k=3, threshold=0.8)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster resolution duel: MinHash-LSH pairs -> iterative
+    min-label connected components -> (doc_id, rep = min docid of the
+    component). The oracle replays a recursive transitive closure over
+    the exact-Jaccard pair graph (identical pairs whenever LSH recall is
+    1, which minhash_near_dup's own duel already asserts)."""
+    from lucene_spark.pipeline.dedup import dedup_components, minhash_near_dup
+
+    pairs = minhash_near_dup(spark, _documents(spark, sf_dir), k=3, threshold=0.8)
+    return dedup_components(spark, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep").cast("long").alias("rep"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     from lucene_spark.pipeline.dedup import simhash64
 
@@ -1386,6 +1401,7 @@ QUERIES = {
     # training-data pipeline
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
+    "dedup_components": q_dedup_components,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1412,6 +1428,30 @@ SELECT a, b, round(i::DOUBLE / (sa.n + sb.n - i), {ROUND}) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
 """
+
+
+def _components_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Connected components of the exact-Jaccard pair graph via a
+    recursive transitive closure; rep = min docid reachable (incl. self).
+    Ground truth for dedup_components' iterative min-label propagation."""
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(k))
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+g AS (SELECT doc_id, list_distinct([{gram} for i in range(1, greatest(len(a)-{k - 1}, 0) + 1)]) AS sh FROM t),
+e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+          FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b
+          FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS rep
+FROM reach GROUP BY u"""
 
 
 def _simhash_sql() -> str:
@@ -1975,6 +2015,7 @@ SELECT doc_id, round(s, {ROUND}) AS score FROM agg ORDER BY s DESC, doc_id ASC L
 """
     sqls["ngram_jaccard"] = _jaccard_pairs_sql(3, 0.8)
     sqls["minhash_near_dup"] = _jaccard_pairs_sql(3, 0.8)
+    sqls["dedup_components"] = _components_sql(3, 0.8)
     sqls["simhash"] = _simhash_sql()
     sqls["lang_id"] = _lang_id_sql()
     from lucene_spark.pipeline.text import BPE_REGEX

@@ -383,3 +383,69 @@ def simhash_near_dup(
     return pairs.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+def dedup_components(
+    spark: SparkSession, pairs: DataFrame, max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, rep) where rep is
+    the MINIMUM doc_id in the doc's connected component of the pair
+    graph — the canonical survivor a dedup pipeline keeps (every other
+    member is dropped or weighted down). Only docs that appear in at
+    least one pair are returned; singletons are trivially their own rep.
+
+    Iterative min-label propagation — the standard large-scale
+    connected-components shape (cf. the MapReduce large/small-star
+    family): each round is one join of the edge list against the current
+    labels plus a min-aggregate, so per-round shuffle volume is O(|E|)
+    and the round count is bounded by the component diameter (near-dup
+    clusters are dense, so a handful in practice; max_iter is a safety
+    rail). Labels only ever DECREASE, so convergence is detected by one
+    cheap sum(label) action per round (strictly decreasing until fixed
+    point) — no extra join. Each round's labels are persisted (narrow
+    2-column frame — the CLAUDE.md persist rule allows these) and the
+    previous round unpersisted, cutting the iterative lineage."""
+    edges = (
+        pairs.select(
+            F.col("a").cast("long").alias("u"),
+            F.col("b").cast("long").alias("v"),
+        )
+        .union(
+            pairs.select(
+                F.col("b").cast("long").alias("u"),
+                F.col("a").cast("long").alias("v"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels, edges["v"] == labels["node"]
+            ).select(F.col("u").alias("node"), F.col("lbl"))
+            new_labels = (
+                labels.select("node", "lbl")
+                .union(nbr)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("rep")
+        )
+    finally:
+        edges.unpersist()

@@ -78,6 +78,23 @@ def main() -> None:
     ))
     assert "Exchange" not in p, "minhash signature plan grew a shuffle!"
 
+    s_off = gate.searcher_for_offsets(spark, SF)
+    hl = s_off.highlight(
+        ["table", "scan", "spark"],
+        docs_df=gate._docs_df(spark, SF),
+        k=10,
+        window=100,
+    )
+    p = _plan(hl, head=34)
+    sections.append((
+        "Highlight — candidate docs narrow the offsets decode via BROADCAST; snippet fetch broadcasts k keys",
+        "The top-k docIDs are a broadcast semi-join BEFORE the anchored-window pairing, and the source-table "
+        "content fetch joins a broadcast k-row key side against the documents scan (stored-fields seek, "
+        "never a full-content shuffle).",
+        p,
+    ))
+    assert p.count("BroadcastHashJoin") >= 2, "highlight lost a broadcast join!"
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")

@@ -194,3 +194,57 @@ def test_persisted_ivf_index(spark, emb, tmp_path):
     # partition pruning shows in the scan: only probed cells listed
     plan = ivf_search(spark, out, q, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_dedup_components_matches_bruteforce(spark):
+    """Iterative min-label propagation == brute-force union-find over a
+    handcrafted pair graph: a 4-doc chain (diameter > 1 round forces
+    real propagation), a 2-doc island, and an untouched singleton that
+    must NOT appear."""
+    from lucene_spark.pipeline.dedup import dedup_components
+
+    # chain 10-20-30-40, island 50-60; 99 never appears in a pair
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60)], "a long, b long"
+    )
+    got = {
+        (r["doc_id"], r["rep"])
+        for r in dedup_components(spark, pairs).collect()
+    }
+    assert got == {
+        (10, 10), (20, 10), (30, 10), (40, 10), (50, 50), (60, 50),
+    }
+
+
+def test_dedup_components_on_minhash_pairs(spark, docs):
+    """Components over real minhash pairs: every rep is the min of its
+    cluster, rep is a member, and membership matches a Python BFS."""
+    from lucene_spark.pipeline.dedup import dedup_components, minhash_near_dup
+
+    pairs = [
+        (r["a"], r["b"])
+        for r in minhash_near_dup(spark, docs).collect()
+    ]
+    got = {
+        (r["doc_id"], r["rep"])
+        for r in dedup_components(
+            spark, spark.createDataFrame(pairs or [(0, 0)], "a long, b long")
+        ).collect()
+    }
+    # Python reference: union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in (pairs or [(0, 0)]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {(x, find(x)) for x in parent}
+    # canonicalize: find() roots are already component minima because
+    # unions always point the larger root at the smaller
+    assert got == exp
