@@ -120,6 +120,7 @@ def main() -> None:
         "bm25_explain",
         "mlt_top10",
         "suggest_prefix",
+        "facet_ranges",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

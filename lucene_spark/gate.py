@@ -667,6 +667,26 @@ def q_blended_top10(spark, sf_dir):
     )
 
 
+def q_facet_ranges(spark, sf_dir):
+    """Range faceting (facet/range LongRangeFacetCounts analog,
+    reference lucene/facet/src/java/org/apache/lucene/facet/range/
+    LongRangeFacetCounts.java): among docs matching TERM_1, bucket
+    counts of the n_chars metadata in 500-char ranges, last bucket
+    open-ended — the numeric-range dimension facet_source's value
+    facet doesn't cover."""
+    s = searcher_for(spark, sf_dir)
+    hits = s.postings_tf([TERM_1]).select("docID")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dm = _docid_map(s)
+    bucket = F.least(F.floor(F.col("n_chars") / 500), F.lit(7)).cast("long")
+    return (
+        hits.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def q_facet_source(spark, sf_dir):
     """FacetsCollector analog: among docs matching TERM_1, value counts of
     the `source` metadata column."""
@@ -1396,6 +1416,7 @@ QUERIES = {
     "synonym_top10": q_synonym_top10,
     "blended_top10": q_blended_top10,
     "facet_source": q_facet_source,
+    "facet_ranges": q_facet_ranges,
     "group_top2": q_group_top2,
     "search_after": q_search_after,
     # training-data pipeline
@@ -1747,6 +1768,12 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT d.source, count(DISTINCT tok.doc_id)::BIGINT AS cnt
         FROM tok JOIN documents d USING (doc_id)
         WHERE tok.term = '{TERM_1}' GROUP BY d.source"""
+    sqls["facet_ranges"] = f"""WITH {TOKENS_CTE},
+        hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}')
+        SELECT least(floor(d.n_chars / 500), 7)::BIGINT AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM hit JOIN documents d USING (doc_id)
+        GROUP BY 1"""
     sqls["group_top2"] = f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
