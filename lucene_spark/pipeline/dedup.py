@@ -405,17 +405,15 @@ def dedup_components(
     point) — no extra join. Each round's labels are persisted (narrow
     2-column frame — the CLAUDE.md persist rule allows these) and the
     previous round unpersisted, cutting the iterative lineage."""
+    # narrow (u, v) projection persisted BEFORE symmetrization: the
+    # union's two branches would otherwise re-run the whole upstream
+    # pair pipeline (e.g. MinHash-LSH) twice inside the first job
+    p2 = pairs.select(
+        F.col("a").cast("long").alias("u"),
+        F.col("b").cast("long").alias("v"),
+    ).persist()
     edges = (
-        pairs.select(
-            F.col("a").cast("long").alias("u"),
-            F.col("b").cast("long").alias("v"),
-        )
-        .union(
-            pairs.select(
-                F.col("b").cast("long").alias("u"),
-                F.col("a").cast("long").alias("v"),
-            )
-        )
+        p2.union(p2.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
@@ -449,3 +447,4 @@ def dedup_components(
         )
     finally:
         edges.unpersist()
+        p2.unpersist()
