@@ -121,6 +121,7 @@ def main() -> None:
         "mlt_top10",
         "suggest_prefix",
         "facet_ranges",
+        "media_decode",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

@@ -831,6 +831,31 @@ def q_emb_near_dup(spark, sf_dir):
     return emb_near_dup_pairs(spark, emb, threshold=0.45)
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL codec duel (r4): genuine BMP + WAV-PCM16 payloads are
+    generated per doc (pure-numpy encoders), then media_decode_features
+    DECODES the bytes and measures width/height/Rec.601 luma/duration/
+    RMS from the decoded arrays. The oracle can't parse bytes, but every
+    property has a closed form in doc_id (solid-color images, square-
+    wave audio) — equality proves the encode->decode->measure path."""
+    from lucene_spark.pipeline.media import (
+        media_decode_features,
+        synth_real_media_df,
+    )
+
+    media = synth_real_media_df(spark, _documents(spark, sf_dir))
+    out = media_decode_features(spark, media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("mean_luma", ROUND).alias("mean_luma"),
+        F.round("rms", ROUND).alias("rms"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> md5-derived feature vector
     (deterministic stand-in for a real decoder; see pipeline/media.py).
@@ -1429,6 +1454,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "emb_near_dup": q_emb_near_dup,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "content_sha256": q_content_sha256,
     "ann_ivf_top10": q_ann_ivf_top10,
 }
@@ -2069,5 +2095,21 @@ SELECT doc_id AS media_id,
        ('0x' || substr(md5(text), 7, 2))::INT / 256.0 AS f3
 FROM documents
 """
+    sqls["media_decode"] = f"""
+WITH ids AS (SELECT doc_id AS i FROM documents)
+SELECT 2 * i AS media_id, 'image' AS kind,
+       (8 + i % 16)::BIGINT AS width, (8 + i % 8)::BIGINT AS height,
+       (-1)::BIGINT AS duration_ms,
+       round(0.299 * (37 * i % 256) + 0.587 * (59 * i % 256)
+             + 0.114 * (83 * i % 256), {ROUND}) AS mean_luma,
+       NULL::DOUBLE AS rms
+FROM ids
+UNION ALL
+SELECT 2 * i + 1 AS media_id, 'audio' AS kind,
+       (-1)::BIGINT AS width, (-1)::BIGINT AS height,
+       ((160 + 80 * (i % 5)) * 1000 // 8000)::BIGINT AS duration_ms,
+       NULL::DOUBLE AS mean_luma,
+       round((1000 + 500 * (i % 7))::DOUBLE, {ROUND}) AS rms
+FROM ids"""
     sqls["content_sha256"] = "SELECT doc_id, sha256(text) AS sha_hex FROM documents"
     return sqls

@@ -248,3 +248,68 @@ def test_dedup_components_on_minhash_pairs(spark, docs):
     # canonicalize: find() roots are already component minima because
     # unions always point the larger root at the smaller
     assert got == exp
+
+
+def test_real_media_codecs_round_trip():
+    """BMP and WAV are REAL codecs (pure numpy): encode->decode is
+    identity, resize measures right, and decode_image auto-routes BMP."""
+    import numpy as np
+
+    from lucene_spark.pipeline.media import (
+        decode_bmp,
+        decode_image,
+        decode_wav,
+        encode_bmp,
+        encode_wav_pcm16,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (13, 17), (8, 8)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        blob = encode_bmp(img)
+        assert (decode_bmp(blob) == img).all()
+        assert (decode_image(blob) == img).all()  # auto-detect, no fake
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    small = decode_bmp(resize_image(encode_bmp(img), 4, 6))
+    assert small.shape == (6, 4, 3)
+    yi = (np.arange(6) * 16) // 6
+    xi = (np.arange(4) * 16) // 4
+    assert (small == img[yi][:, xi]).all()  # exact nearest-neighbor grid
+
+    sq = (rng.integers(-3000, 3000, 777)).astype(np.int16)
+    rate, out = decode_wav(encode_wav_pcm16(sq, 16000))
+    assert rate == 16000 and (out == sq).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG1234")  # non-BMP still needs PIL
+
+
+def test_media_decode_features_spark(spark, docs):
+    """The Arrow kernel measures the DECODED arrays: width/height/luma
+    from real BMP bytes, duration/RMS from real WAV bytes, matching the
+    generator's closed forms."""
+    from lucene_spark.pipeline.media import (
+        media_decode_features,
+        synth_real_media_df,
+    )
+
+    media = synth_real_media_df(spark, docs)
+    rows = media_decode_features(spark, media).collect()
+    assert rows
+    for r in rows:
+        i = r["media_id"] // 2
+        if r["kind"] == "image":
+            assert r["width"] == 8 + i % 16 and r["height"] == 8 + i % 8
+            exp = (
+                0.299 * (37 * i % 256)
+                + 0.587 * (59 * i % 256)
+                + 0.114 * (83 * i % 256)
+            )
+            assert abs(r["mean_luma"] - exp) < 1e-9 and r["rms"] is None
+        else:
+            n, amp = 160 + 80 * (i % 5), 1000 + 500 * (i % 7)
+            assert r["duration_ms"] == n * 1000 // 8000
+            assert abs(r["rms"] - amp) < 1e-9 and r["mean_luma"] is None
