@@ -122,6 +122,7 @@ def main() -> None:
         "suggest_prefix",
         "facet_ranges",
         "media_decode",
+        "repetition_stats",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

@@ -831,6 +831,15 @@ def q_emb_near_dup(spark, sf_dir):
     return emb_near_dup_pairs(spark, emb, threshold=0.45)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (top-bigram occupancy + duplicate
+    trigram fraction) per doc — the n-gram family of quality signals a
+    training pipeline thresholds on."""
+    from lucene_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(spark, _documents(spark, sf_dir))
+
+
 def q_media_decode(spark, sf_dir):
     """REAL codec duel (r4): genuine BMP + WAV-PCM16 payloads are
     generated per doc (pure-numpy encoders), then media_decode_features
@@ -1455,6 +1464,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
+    "repetition_stats": q_repetition_stats,
     "content_sha256": q_content_sha256,
     "ann_ivf_top10": q_ann_ivf_top10,
 }
@@ -2095,6 +2105,18 @@ SELECT doc_id AS media_id,
        ('0x' || substr(md5(text), 7, 2))::INT / 256.0 AS f3
 FROM documents
 """
+    sqls["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+f AS (SELECT doc_id, a FROM t WHERE len(a) >= 3),
+g2 AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS g FROM f),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf, sum(c)::BIGINT AS nb FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2] for i in range(1, len(a) - 1)]) AS g FROM f),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dtf FROM c3 GROUP BY doc_id)
+SELECT s2.doc_id, s2.nb AS n_bigrams, round(s2.tbf, {ROUND}) AS top_bigram_frac,
+       round(s3.dtf, {ROUND}) AS dup_trigram_frac
+FROM s2 JOIN s3 USING (doc_id)"""
     sqls["media_decode"] = f"""
 WITH ids AS (SELECT doc_id AS i FROM documents)
 SELECT 2 * i AS media_id, 'image' AS kind,

@@ -101,3 +101,62 @@ def winnow_fingerprints(
         .distinct()
     )
     return fps
+
+
+def repetition_stats(
+    spark: SparkSession, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1
+    quality filters — the n-gram family; the line-based family is
+    meaningless on single-line docs):
+
+      top_bigram_frac  — occurrences of the modal word 2-gram / total
+                         2-gram occurrences
+      dup_trigram_frac — fraction of 3-gram occurrences whose 3-gram
+                         appears more than once in the doc
+
+    Docs with fewer than 3 tokens (no trigram) are excluded. One HOF
+    pass builds each gram array (cheap single transform — the repo's
+    HOF budget), then explode + groupBy: scales as O(total tokens)."""
+    from lucene_spark.pipeline.dedup import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col().alias("t")
+    ).filter(F.size("t") >= 3)
+
+    def grams(n):
+        idx = f"sequence({n - 1}, size(t) - 1)"
+        parts = " || ' ' || ".join(f"t[i - {n - 1 - j}]" for j in range(n))
+        return F.explode(F.expr(f"transform({idx}, i -> {parts})"))
+
+    g2 = (
+        toks.select("doc_id", grams(2).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count") / F.sum("count")).alias("top_bigram_frac"),
+            F.sum("count").alias("n_bigrams"),
+        )
+    )
+    g3 = (
+        toks.select("doc_id", grams(3).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+                / F.sum("count")
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+            F.round("dup_trigram_frac", 4).alias("dup_trigram_frac"),
+        )
+    )

@@ -313,3 +313,34 @@ def test_media_decode_features_spark(spark, docs):
             n, amp = 160 + 80 * (i % 5), 1000 + 500 * (i % 7)
             assert r["duration_ms"] == n * 1000 // 8000
             assert abs(r["rms"] - amp) < 1e-9 and r["mean_luma"] is None
+
+
+def test_repetition_stats_planted(spark):
+    """Planted docs with known gram structure: a fully-repetitive doc
+    saturates both signals; an all-distinct doc zeroes them; <3-token
+    docs are excluded."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "ab ab ab ab ab",          # 1 bigram repeated 4x
+                    "a b c d e",               # all distinct
+                    "x y",                     # too short: excluded
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["top_bigram_frac"], r["dup_trigram_frac"]
+        )
+        for r in repetition_stats(spark, docs).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (4, 1.0, 1.0)
+    assert got[2] == (4, 0.25, 0.0)
