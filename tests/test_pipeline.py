@@ -344,3 +344,43 @@ def test_repetition_stats_planted(spark):
     assert set(got) == {1, 2}
     assert got[1] == (4, 1.0, 1.0)
     assert got[2] == (4, 0.25, 0.0)
+
+
+def test_dedup_components_random_graphs_property(spark):
+    """Property: on random pair graphs, min-label propagation equals
+    union-find (deterministic seeds; covers multi-chain merges, cycles,
+    and label collisions a handcrafted case misses)."""
+    import numpy as np
+
+    from lucene_spark.pipeline.dedup import dedup_components
+
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n_nodes = int(rng.integers(10, 60))
+        n_edges = int(rng.integers(5, 80))
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        pairs = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        if not pairs:
+            continue
+        got = {
+            (r["doc_id"], r["rep"])
+            for r in dedup_components(
+                spark, spark.createDataFrame(pairs, "a long, b long")
+            ).collect()
+        }
+
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pairs:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        exp = {(x, find(x)) for x in parent}
+        assert got == exp, f"trial {trial}"
