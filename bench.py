@@ -123,6 +123,7 @@ def main() -> None:
         "facet_ranges",
         "media_decode",
         "repetition_stats",
+        "phrase_prefix_top10",
         # highlight_top10 is gate-only: it needs the separate offsets
         # index; the headline bench measures the default positions-only
         # configuration

@@ -1072,6 +1072,57 @@ def q_multiphrase_top10(spark, sf_dir):
     )
 
 
+PP_W1, PP_PREFIX = "filter", "s"
+
+
+def q_phrase_prefix_top10(spark, sf_dir):
+    """Phrase-prefix duel ('filter s*'): last slot = every dictionary
+    term under the prefix (expansion stays below the 64-term cap at
+    sf0.01, so the oracle's unbounded LIKE matches it exactly), scored
+    as a MultiPhraseQuery in double precision — summed idf over all slot
+    terms, freq = adjacency alignments. The float32 engine path
+    (search_phrase_prefix) composes expand_terms + search_multi_phrase
+    and is unit-tested for that composition."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    exp = s.expand_terms(prefix=PP_PREFIX, top_terms=True)
+    all_terms = [PP_W1] + exp
+    stats = s.term_stats(all_terms)
+    w = 0.0
+    for t in all_terms:
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions(all_terms)
+    p0 = pos.where(F.col("term") == PP_W1).select(
+        "docID", (F.col("pos") + 1).alias("nxt")
+    )
+    p1 = pos.where(F.col("term").isin(exp)).select(
+        "docID", F.col("pos").alias("nxt")
+    )
+    freq = p0.join(p1, ["docID", "nxt"]).groupBy("docID").agg(
+        F.count("*").alias("freq")
+    )
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def q_interval_near_top10(spark, sf_dir):
     """Ordered interval query key...table with total gaps <= 5: top-10
     docs by count of MINIMAL intervals (Intervals.maxgaps(ordered),
@@ -1425,6 +1476,7 @@ QUERIES = {
     "parsed_query_top10": q_parsed_query_top10,
     "sloppy_phrase_top10": q_sloppy_phrase_top10,
     "multiphrase_top10": q_multiphrase_top10,
+    "phrase_prefix_top10": q_phrase_prefix_top10,
     "interval_near_top10": q_interval_near_top10,
     "interval_unordered_top10": q_interval_unordered_top10,
     "interval_containing_top10": q_interval_containing_top10,
@@ -1870,6 +1922,23 @@ SELECT m.doc_id,
        round(({mp_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
 FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
 ORDER BY ({mp_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
+LIMIT 10
+"""
+    sqls["phrase_prefix_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp GROUP BY term),
+st AS (SELECT term, df FROM dict WHERE term = '{PP_W1}'
+       UNION ALL SELECT term, df FROM dict WHERE term LIKE '{PP_PREFIX}%'),
+w AS (SELECT sum(ln(1 + ((SELECT count(*) FROM documents)::DOUBLE - df + 0.5) / (df + 0.5))) AS w FROM st),
+m AS (SELECT p0.doc_id, count(*)::DOUBLE AS freq
+      FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      WHERE p0.term = '{PP_W1}' AND p1.term LIKE '{PP_PREFIX}%'
+      GROUP BY p0.doc_id)
+SELECT m.doc_id,
+       round((SELECT w FROM w) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
+ORDER BY (SELECT w FROM w) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
 LIMIT 10
 """
     sqls["interval_near_top10"] = f"""

@@ -1974,6 +1974,34 @@ class IndexSearcher:
 
     # -- interval queries (B14) -------------------------------------------
 
+    def search_phrase_prefix(
+        self,
+        phrase: str | list[str],
+        k: int = 10,
+        max_expansions: int = 64,
+    ) -> DataFrame:
+        """Phrase-prefix search-as-you-type ("microsoft app*"): the LAST
+        token is a prefix expanded against the term dictionary (top-df,
+        TopTermsRewrite bound), then executed as a MultiPhraseQuery with
+        the expansion as the final slot — exactly the composition
+        MultiPhraseQuery's javadoc prescribes (reference
+        lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java:41-47:
+        enumerate all terms starting with the prefix, then add(Term[])).
+        Scoring is multi-phrase float32 (freq = alignment count, weight
+        = summed idf over every slot term). Empty expansion -> empty
+        result, like a BooleanQuery with no matching clause."""
+        words = self._parse(phrase)
+        if not words:
+            return self._empty_topk()
+        exp = self.expand_terms(
+            prefix=words[-1], max_expansions=max_expansions, top_terms=True
+        )
+        if not exp:
+            return self._empty_topk()
+        return self.search_multi_phrase(
+            [[w] for w in words[:-1]] + [exp], k=k
+        )
+
     def search_intervals(
         self,
         terms: list[str],

@@ -225,3 +225,28 @@ def test_mlt_terms_matches_bruteforce(spark, hl_idx):
     # the seed doc itself is a hit (not excluded, matching Lucene)
     seed_doc = next(d for d, t in texts.items() if t == seed)
     assert any(r["docID"] == seed_doc for r in hits)
+
+
+def test_phrase_prefix_composition(spark, hl_idx):
+    """search_phrase_prefix == expand_terms + search_multi_phrase by
+    construction; the planted 'query index' adjacency makes 'query ind*'
+    hit, an unmatched prefix returns empty, and the expansion respects
+    the cap."""
+    out, _ = hl_idx
+    s = IndexSearcher(spark, out)
+
+    exp = s.expand_terms(prefix="ind", top_terms=True)
+    assert "index" in exp
+    via_mp = {
+        (r["docID"], r["score"])
+        for r in s.search_multi_phrase([["query"], exp], k=10).collect()
+    }
+    got = {
+        (r["docID"], r["score"])
+        for r in s.search_phrase_prefix("query ind", k=10).collect()
+    }
+    assert got == via_mp and got  # the planted doc matches
+
+    assert s.search_phrase_prefix("query zzzznope", k=5).count() == 0
+    assert s.search_phrase_prefix("", k=5).count() == 0
+    assert len(s.expand_terms(prefix="", max_expansions=3, top_terms=True)) == 3
