@@ -273,6 +273,29 @@ _OVERLONG_RE = _re.compile(r"[0-9A-Za-z_][0-9A-Za-z_.,;:']{255,}")
 def _window_codes(
     texts: list[str],
     with_offsets: bool = False,
+    token_filters: tuple[str, ...] = (),
+) -> tuple:
+    """`_window_codes_raw` plus an optional analyzer token-filter chain
+    (e.g. ("possessive", "porter") — PorterStemFilter.java:51 /
+    EnglishPossessiveFilter.java:25 analogs). Filters run on the window
+    VOCABULARY only (one call per distinct surface form) and the int32
+    token stream is remapped with a single numpy gather — stemming cost
+    is O(|vocab|), not O(tokens), which is what makes it free at 100-TB
+    scale. Token count / positions / offsets are unchanged (all filters
+    are 1:1 per token), so norms and dl stay valid."""
+    out = _window_codes_raw(texts, with_offsets)
+    if not token_filters:
+        return out
+    from lucene_spark.analysis.porter import filter_vocab
+
+    codes, uniq, dls, *rest = out
+    new_uniq, remap = filter_vocab(uniq, token_filters)
+    return (remap[codes], new_uniq, dls, *rest)
+
+
+def _window_codes_raw(
+    texts: list[str],
+    with_offsets: bool = False,
 ) -> tuple:
     """(int32 term codes in document order, vocabulary, per-doc token
     counts[, token start offsets, token end offsets]) for a batch of
@@ -515,6 +538,7 @@ def _invert_partition(
     store_positions: bool,
     flush_docs: int = FLUSH_DOCS,
     store_offsets: bool = False,
+    token_filters: tuple[str, ...] = (),
 ):
     """mapInPandas kernel: one generator instance == one range partition;
     assigns dense docIDs from the partition's global offset, buffers each
@@ -607,10 +631,12 @@ def _invert_partition(
             texts = list(pdf["content"])
             if store_offsets:
                 codes_b, uniq_b, dls, tok_st, tok_en = _window_codes(
-                    texts, with_offsets=True
+                    texts, with_offsets=True, token_filters=token_filters
                 )
             else:
-                codes_b, uniq_b, dls = _window_codes(texts)
+                codes_b, uniq_b, dls = _window_codes(
+                    texts, token_filters=token_filters
+                )
             off_b = np.concatenate(([0], np.cumsum(dls)))
             norms_arr = int_to_byte4(dls)
 
@@ -694,6 +720,21 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 segmented_delta_decode(decode(bytes(r.offs_vb)), t)
             )
             olen_parts.append(decode(bytes(r.olen_vb)))
+    # Mixed-payload guard: occ_ends indexes the FULL run concatenation,
+    # so if only SOME runs carry positions/offsets the flat arrays are
+    # silently misaligned against it. write_segment pins the index-wide
+    # options (index_options.json) so this can only mean corruption or a
+    # hand-mixed layout — fail loudly rather than emit garbage payloads.
+    if has_pos and len(pos_parts) != len(pdf):
+        raise ValueError(
+            f"term {term!r}: {len(pos_parts)}/{len(pdf)} runs carry "
+            "positions — segments were written with mixed store_positions"
+        )
+    if has_offs and len(off_parts) != len(pdf):
+        raise ValueError(
+            f"term {term!r}: {len(off_parts)}/{len(pdf)} runs carry "
+            "offsets — segments were written with mixed store_offsets"
+        )
     doc_ids = np.concatenate(doc_parts)
     tfs = np.concatenate(tf_parts)
     norms = np.concatenate(norm_parts)
@@ -847,8 +888,17 @@ def build_index(
     key_sample: list[tuple[str, str, str]] | None = None,
     sample_fraction: float = 0.1,
     seed: int = 42,
+    token_filters: tuple[str, ...] = (),
 ) -> dict:
     """Build the full index at ``out_dir`` and return build metrics.
+
+    ``token_filters``: ordered analyzer filter chain applied after
+    tokenize+lowercase — names from analysis.porter.TOKEN_FILTERS
+    (currently "possessive" = EnglishPossessiveFilter.java:25,
+    "porter" = PorterStemFilter.java:51). Recorded in the manifest;
+    IndexSearcher applies the same chain to query terms
+    (EnglishAnalyzer.java:43 pairs them index- and query-side). Filters
+    run per window VOCABULARY entry, not per token — see _window_codes.
 
     ``key_sample``: optional pre-computed (repo, path, commit) sample used
     for range boundaries (skips the sampling scan entirely — e.g. the
@@ -868,6 +918,15 @@ def build_index(
     + manifest.json (written last = commit point)."""
     if store_offsets and not store_positions:
         raise ValueError("store_offsets requires store_positions")
+    from lucene_spark.analysis.porter import TOKEN_FILTERS
+
+    token_filters = tuple(token_filters)
+    for tf_name in token_filters:
+        if tf_name not in TOKEN_FILTERS:
+            raise ValueError(
+                f"unknown token filter {tf_name!r}; "
+                f"available: {sorted(TOKEN_FILTERS)}"
+            )
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -932,7 +991,8 @@ def build_index(
     inv_path = os.path.join(out_dir, "inverted_runs")
     sorted_docs.mapInPandas(
         _invert_partition(
-            offsets, store_positions, flush_docs, store_offsets=store_offsets
+            offsets, store_positions, flush_docs,
+            store_offsets=store_offsets, token_filters=token_filters,
         ),
         schema=INVERT_SCHEMA,
     ).write.mode("overwrite").parquet(inv_path)
@@ -1074,6 +1134,7 @@ def build_index(
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "store_offsets": store_offsets,
+        "token_filters": list(token_filters),
         "block_size": BLOCK_SIZE,
         "flush_docs": flush_docs,
         "partitions": n_part,

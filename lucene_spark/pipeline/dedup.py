@@ -170,22 +170,30 @@ def minhash_candidates(
     ).select("doc_id", "e.band", "e.bh")
     # bucket-group instead of self-join: ONE shuffle of the band rows
     # (a self-join shuffles them twice), pairs expanded per bucket.
-    # Buckets are collision groups — tiny by construction; a degenerate
-    # all-docs-identical corpus makes one giant bucket, which is the
-    # same O(n^2) CPU the self-join would produce. Pair EXPANSION is
-    # chunked so a degenerate bucket never materializes its quadratic
-    # pair set inside a single row (2 GB array limit / executor OOM):
-    # the bucket explodes into chunk-pair rows carrying <= 2*CHUNK ids
-    # each, and each row expands at most CHUNK^2 pairs, streamed through
-    # whole-stage codegen into distinct()'s partial aggregate. Buckets
-    # with <= CHUNK ids take exactly the old single-row triangular path.
-    CHUNK = 1024
     buckets = (
         band_rows.groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
     )
-    nchunks = F.floor((F.size("ids") - 1) / CHUNK).cast("int") + F.lit(1)
+    return _expand_pairs_chunked(buckets)
+
+
+def _expand_pairs_chunked(buckets: DataFrame, chunk: int = 1024) -> DataFrame:
+    """Distinct unordered candidate pairs (a, b), a < b, from a bucketed
+    DataFrame with an ``ids`` array column (each bucket a collision
+    group, size > 1). Elements may be longs or structs whose FIRST field
+    is a unique id (struct least/greatest orders lexicographically).
+
+    Buckets are tiny by construction; a degenerate all-docs-identical
+    corpus makes one giant bucket, which is the same O(n^2) CPU a
+    self-join would produce. Pair EXPANSION is chunked so a degenerate
+    bucket never materializes its quadratic pair set inside a single row
+    (2 GB array limit / executor OOM): the bucket explodes into
+    chunk-pair rows carrying <= 2*chunk ids each, and each row expands at
+    most chunk^2 pairs, streamed through whole-stage codegen into
+    distinct()'s partial aggregate. Buckets with <= chunk ids take
+    exactly the single-row triangular path."""
+    nchunks = F.floor((F.size("ids") - 1) / chunk).cast("int") + F.lit(1)
     chunk_idx = F.flatten(
         F.transform(
             F.sequence(F.lit(0), nchunks - 1),
@@ -198,8 +206,8 @@ def minhash_candidates(
     chunked = buckets.select(
         "ids", F.explode(chunk_idx).alias("cp")
     ).select(
-        F.slice("ids", F.col("cp.i") * CHUNK + 1, F.lit(CHUNK)).alias("left"),
-        F.slice("ids", F.col("cp.j") * CHUNK + 1, F.lit(CHUNK)).alias("right"),
+        F.slice("ids", F.col("cp.i") * chunk + 1, F.lit(chunk)).alias("left"),
+        F.slice("ids", F.col("cp.j") * chunk + 1, F.lit(chunk)).alias("right"),
         (F.col("cp.i") == F.col("cp.j")).alias("same"),
     )
 
@@ -343,50 +351,94 @@ def simhash64(spark: SparkSession, docs: DataFrame, id_col: str = "doc_id") -> D
 
 
 def simhash_near_dup(
-    spark: SparkSession, docs: DataFrame, max_hamming: int = 3
+    spark: SparkSession, docs: DataFrame, max_hamming: int = 3,
+    n_blocks: int | None = None, n_keep: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming, blocked
-    on 16-bit quarters (pigeonhole: distance <=3 over 4 blocks implies at
-    least one identical block, so the block join loses no pairs)."""
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking is Manku-style multi-table (the Google near-dup paper's
+    permuted-table scheme): the 64-bit fingerprint splits into n_blocks
+    contiguous blocks and every C(n_blocks, n_keep) combination of
+    n_keep blocks forms one blocking key. Pigeonhole: <= max_hamming
+    flipped bits touch at most max_hamming blocks, so whenever
+    n_blocks - n_keep >= max_hamming some kept-combination is clean on
+    both docs and the pair collides — the blocking is EXACT (no recall
+    loss). With the defaults, keys are ~32 bits wide (vs the old 4x16-bit
+    quarters whose 65k buckets held ~15k docs each at 10^9 scale and
+    exploded quadratically): ~4e9 distinct buckets per table keeps the
+    expected bucket size ~1 even at 10^9 docs. Residual degenerate
+    buckets (true mass duplicates) expand through the same chunked
+    machinery as MinHash-LSH, so no single row ever materializes a
+    quadratic pair set. Candidate pairs then verify exact hamming via a
+    narrow join back to the fingerprints."""
+    if n_blocks is None:
+        # smallest exact table family for the requested radius (6/3 =
+        # C(6,3)=20 tables of ~32-bit keys at the default radius 3)
+        n_blocks = max(6, max_hamming + n_keep)
+    if n_blocks - n_keep < max_hamming:
+        raise ValueError(
+            f"blocking cannot be exact: n_blocks-n_keep="
+            f"{n_blocks - n_keep} < max_hamming={max_hamming}"
+        )
+    from itertools import combinations
+
     sig = simhash64(spark, docs).select(
         "doc_id",
         F.conv(F.substring("simhash_hex", 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring("simhash_hex", 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    quarters = sig.select(
-        "doc_id", "hi", "lo",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(q).alias("q"),
-                    (F.shiftrightunsigned(F.col("hi" if q < 2 else "lo"),
-                                          16 * (1 - q % 2)) % (1 << 16)).alias("qv"),
-                )
-                for q in range(4)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "hi", "lo", "e.q", "e.qv")
-    l, r = quarters.alias("l"), quarters.alias("r")
-    pairs = (
-        l.join(r, (F.col("l.q") == F.col("r.q")) & (F.col("l.qv") == F.col("r.qv"))
-               & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
-            F.col("l.hi").alias("ha"), F.col("l.lo").alias("la"),
-            F.col("r.hi").alias("hb"), F.col("r.lo").alias("lb"),
+    # reassemble the 64-bit pattern (signed long, bitwise-safe) and cut
+    # contiguous blocks; F.hash of (table, block values...) is the key —
+    # 32-bit hash collisions only ADD candidates, the exact hamming
+    # verification removes them
+    full = F.shiftleft(F.col("hi"), 32).bitwiseOR(F.col("lo"))
+    bounds = np.linspace(0, 64, n_blocks + 1).astype(int)
+
+    def _block(i: int):
+        lo_bit, hi_bit = int(bounds[i]), int(bounds[i + 1])
+        width = hi_bit - lo_bit
+        x = F.shiftrightunsigned(full, lo_bit)
+        if lo_bit + width < 64:
+            x = x.bitwiseAND(F.lit((1 << width) - 1))
+        return x
+
+    blocks = [_block(i) for i in range(n_blocks)]
+    keys = F.array(*[
+        F.hash(F.lit(t), *[blocks[i] for i in combo])
+        for t, combo in enumerate(combinations(range(n_blocks), n_keep))
+    ])
+    # the bucket rows carry (doc_id, hi, lo) structs so the fingerprint
+    # pipeline evaluates exactly ONCE (no join-back, no recompute);
+    # struct least/greatest orders by doc_id (first field, unique).
+    # _expand_pairs_chunked's distinct() collapses the same pair found
+    # by multiple tables before the hamming verification.
+    buckets = (
+        sig.select(
+            F.struct("doc_id", "hi", "lo").alias("s"),
+            F.explode(keys).alias("bkey"),
         )
-        .distinct()
+        .groupBy("bkey")
+        .agg(F.collect_list("s").alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
+    cands = _expand_pairs_chunked(buckets)
+    ham = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            "hamming",
+        )
     )
-    return pairs.withColumn("hamming", ham).where(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
 
 
 def dedup_components(
     spark: SparkSession, pairs: DataFrame, max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: (doc_id, rep) where rep is
     the MINIMUM doc_id in the doc's connected component of the pair
@@ -394,17 +446,28 @@ def dedup_components(
     member is dropped or weighted down). Only docs that appear in at
     least one pair are returned; singletons are trivially their own rep.
 
-    Iterative min-label propagation — the standard large-scale
-    connected-components shape (cf. the MapReduce large/small-star
-    family): each round is one join of the edge list against the current
-    labels plus a min-aggregate, so per-round shuffle volume is O(|E|)
-    and the round count is bounded by the component diameter (near-dup
-    clusters are dense, so a handful in practice; max_iter is a safety
-    rail). Labels only ever DECREASE, so convergence is detected by one
-    cheap sum(label) action per round (strictly decreasing until fixed
-    point) — no extra join. Each round's labels are persisted (narrow
-    2-column frame — the CLAUDE.md persist rule allows these) and the
-    previous round unpersisted, cutting the iterative lineage."""
+    Iterative min-label propagation WITH pointer doubling — the
+    large-scale connected-components shape (cf. the MapReduce
+    large/small-star family): each round takes the min over (a) the
+    node's own label, (b) every neighbor's label (one O(|E|) join), and
+    (c) the label's label (one O(|V|) self-join — the pointer jump).
+    Neighbor propagation alone needs O(component diameter) rounds — a
+    pathological chain component makes the driver-synchronized round
+    loop the bottleneck; the pointer jump roughly halves every label
+    chain per round, bounding rounds at O(log n) regardless of shape.
+    Labels only ever DECREASE and every label value is a node id in the
+    SAME component, so the fixed point is unchanged (constant = min id
+    per component) and convergence is still detected by one cheap
+    sum(label) action per round (strictly decreasing until fixed point).
+    Each round's labels are localCheckpoint'ed (eager, narrow 2-column
+    frame): persist() alone caches DATA but leaves the LOGICAL plan
+    growing — with labels referenced three times per round (self, nbr,
+    jump) the analyzer's plan tree is ~3^rounds nodes and Catalyst
+    analysis, not execution, becomes the bottleneck (observed: a 64-node
+    chain spun the driver for 15+ min). localCheckpoint truncates the
+    lineage to the materialized partitions, keeping every round's plan
+    O(1). If ``stats`` is given, stats['rounds'] records the executed
+    round count."""
     # narrow (u, v) projection persisted BEFORE symmetrization: the
     # union's two branches would otherwise re-run the whole upstream
     # pair pipeline (e.g. MinHash-LSH) twice inside the first job
@@ -421,27 +484,40 @@ def dedup_components(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             nbr = edges.join(
                 labels, edges["v"] == labels["node"]
             ).select(F.col("u").alias("node"), F.col("lbl"))
+            # pointer doubling: lbl <- lbl(lbl). Every label value is a
+            # node id present in the labels table, so the inner join
+            # loses nothing.
+            lut = labels.select(
+                F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+            )
+            jump = labels.join(lut, labels["lbl"] == F.col("pnode")).select(
+                "node", F.col("plbl").alias("lbl")
+            )
             new_labels = (
                 labels.select("node", "lbl")
                 .union(nbr)
+                .union(jump)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-            labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        if stats is not None:
+            stats["rounds"] = rounds
         return labels.select(
             F.col("node").alias("doc_id"), F.col("lbl").alias("rep")
         )

@@ -105,6 +105,7 @@ class IndexSearcher:
                 F.col("gen").isin(list(self.manifest["gens"]))
             )
         self._terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self._token_filters = tuple(self.manifest.get("token_filters", ()))
         self._dl_hist: tuple[np.ndarray, np.ndarray] | None = None
         # per-reader TermStates cache (term -> TermStats | None-for-absent)
         self._term_stats_cache: dict[str, TermStats | None] = {}
@@ -220,7 +221,14 @@ class IndexSearcher:
         `startswith` range predicate bounding the dictionary scan.
         Conservative: stops at the first metacharacter or escape, and
         drops a trailing literal that a following quantifier could make
-        optional — an empty result just means no pushdown."""
+        optional — an empty result just means no pushdown. Any top-level
+        alternation makes the preceding literal non-mandatory ('foo|bar'
+        matches 'bar...'), and '|' inside groups is top-level for some
+        branch too, so the presence of '|' anywhere disables pushdown
+        entirely (Lucene derives this through the automaton's true
+        common prefix; we stay conservative)."""
+        if "|" in pattern:
+            return ""
         specials = ".^$*+?()[]{}|\\"
         out: list[str] = []
         n = len(pattern)
@@ -907,6 +915,34 @@ class IndexSearcher:
             .select("term", F.col("df").cast(LongType()).alias("df"))
         )
 
+    def suggest_similar(
+        self, term: str, k: int = 5, max_edits: int = 2
+    ) -> DataFrame:
+        """Spell correction ("did you mean") — DirectSpellChecker analog
+        (reference lucene/suggest/src/java/org/apache/lucene/search/
+        spell/DirectSpellChecker.java:50): candidate dictionary terms
+        within ``max_edits`` Levenshtein edits of the (presumably
+        misspelled) input, the input itself excluded, ranked by edit
+        distance ASC (DirectSpellChecker's string-distance score, which
+        for whole-term Levenshtein orders identically), then document
+        frequency DESC (its docFreq tie-break), then term ASC for full
+        determinism. Reuses fuzzy_terms' pruned dictionary scan (length
+        window + pigeonhole substrings pushed into the parquet scan), so
+        the exact levenshtein runs only on survivors. Columns
+        (term, df, dist)."""
+        t = self.fuzzy_terms(term, max_edits).filter(F.col("term") != term)
+        return (
+            t.withColumn(
+                "dist",
+                F.levenshtein(F.col("term"), F.lit(term)).cast(LongType()),
+            )
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select(
+                "term", F.col("df").cast(LongType()).alias("df"), "dist"
+            )
+        )
+
     def mlt_terms(
         self,
         seed_text: str,
@@ -1177,13 +1213,23 @@ class IndexSearcher:
 
     # -- internals --------------------------------------------------------
 
-    @staticmethod
-    def _parse(query: str | list[str]) -> list[str]:
+    def _parse(self, query: str | list[str]) -> list[str]:
+        """Query-side analyzer: StandardAnalyzer tokenize+lowercase, then
+        the SAME token-filter chain the index was built with (manifest
+        ``token_filters`` — e.g. Porter stemming; EnglishAnalyzer.java:43
+        pairs the chains index- and query-side so "running" finds "run")."""
         if isinstance(query, str):
-            return analyze(query)
-        out: list[str] = []
-        for q in query:
-            out.extend(analyze(q))
+            out = analyze(query)
+        else:
+            out = []
+            for q in query:
+                out.extend(analyze(q))
+        if self._token_filters:
+            from lucene_spark.analysis.porter import TOKEN_FILTERS
+
+            fns = [TOKEN_FILTERS[n] for n in self._token_filters]
+            for fn in fns:
+                out = [fn(t) for t in out]
         return out
 
     def _empty_topk(self) -> DataFrame:

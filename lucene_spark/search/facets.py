@@ -1,0 +1,87 @@
+"""Hierarchical (taxonomy) facets — FastTaxonomyFacetCounts analog.
+
+The reference's taxonomy facets (lucene/facet/src/java/org/apache/lucene/
+facet/taxonomy/FastTaxonomyFacetCounts.java:40) count, over the docs
+matching a query, every ordinal in a category TREE ("Publish Date/2010/
+October"), then answer drill-down questions (children counts under a
+path prefix) from the per-ordinal counts.
+
+Spark-first translation: the category tree is a `/`-separated path
+column; counting every ordinal = exploding each doc's path into all of
+its prefixes (one JVM-side array expression, no UDF) and one groupBy —
+a single shuffle of (depth x matching docs) tiny rows. Drill-down =
+a pushed-down startswith filter plus a groupBy on the next component.
+Both are plain aggregations Catalyst handles at any scale; there is no
+taxonomy-ordinal side index to maintain because parquet column stats +
+the startswith pushdown play that role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _parts(path_col: str | Column) -> Column:
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return F.split(c, "/")
+
+
+def taxonomy_counts(
+    docs: DataFrame, path_col: str | Column = "path", max_depth: int = 2
+) -> DataFrame:
+    """Counts for EVERY taxonomy ordinal up to max_depth — the
+    FacetsCollector + FastTaxonomyFacetCounts aggregation: each doc
+    contributes one count to each of its path prefixes ("a/b/c" counts
+    toward "a", "a/b", "a/b/c"). Returns (path, cnt). Paths shallower
+    than max_depth contribute only their existing prefixes."""
+    parts = _parts(path_col)
+    prefixes = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.size(parts) > depth,
+                    F.concat_ws(
+                        "/",
+                        *[
+                            F.element_at(parts, j + 1)
+                            for j in range(depth + 1)
+                        ],
+                    ),
+                )
+                for depth in range(max_depth)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def taxonomy_top_children(
+    docs: DataFrame,
+    path_col: str | Column = "path",
+    drill: tuple[str, ...] | list[str] = (),
+    k: int | None = None,
+) -> DataFrame:
+    """getTopChildren(dim, path...) analog: among docs whose path starts
+    with the ``drill`` components, counts of the NEXT path component,
+    ordered cnt DESC then child ASC (Lucene orders children by count).
+    The drill filter is a startswith-style conjunction of component
+    equalities — each one a pushable predicate. Returns (child, cnt)."""
+    parts = _parts(path_col)
+    df = docs
+    for i, comp in enumerate(drill):
+        df = df.filter(F.element_at(parts, i + 1) == comp)
+    child = F.element_at(parts, len(drill) + 1)
+    out = (
+        df.select(child.alias("child"))
+        .where(F.col("child").isNotNull())
+        .groupBy("child")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("child"))
+    )
+    return out.limit(k) if k is not None else out

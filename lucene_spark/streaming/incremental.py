@@ -72,6 +72,56 @@ def _state_path(out_dir: str) -> str:
     return os.path.join(out_dir, "state.json")
 
 
+def _options_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "index_options.json")
+
+
+def _load_index_options(out_dir: str) -> dict | None:
+    """Index-wide payload options pinned at the FIRST write_segment.
+    store_positions/store_offsets are facts about the data on disk, not
+    per-call arguments: mixing them across segments of one index would
+    misalign merged payloads (builder._merge_runs_to_blocks guards the
+    symptom; this pins the cause). Returns None for pre-option indexes."""
+    p = _options_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _record_index_options(
+    out_dir: str,
+    store_positions: bool,
+    store_offsets: bool,
+    token_filters: tuple[str, ...] = (),
+) -> None:
+    opts = _load_index_options(out_dir)
+    if opts is None:
+        _atomic_json(
+            _options_path(out_dir),
+            {
+                "store_positions": bool(store_positions),
+                "store_offsets": bool(store_offsets),
+                "token_filters": list(token_filters),
+            },
+        )
+        return
+    if (
+        bool(opts["store_positions"]) != bool(store_positions)
+        or bool(opts["store_offsets"]) != bool(store_offsets)
+        or list(opts.get("token_filters", [])) != list(token_filters)
+    ):
+        raise ValueError(
+            "index options mismatch: index was created with "
+            f"store_positions={opts['store_positions']} "
+            f"store_offsets={opts['store_offsets']} "
+            f"token_filters={opts.get('token_filters', [])}, write "
+            f"requested store_positions={bool(store_positions)} "
+            f"store_offsets={bool(store_offsets)} "
+            f"token_filters={list(token_filters)}"
+        )
+
+
 def _load_state(out_dir: str) -> dict:
     p = _state_path(out_dir)
     if os.path.exists(p):
@@ -91,12 +141,17 @@ def write_segment(
     store_positions: bool = True,
     store_offsets: bool = False,
     flush_docs: int = FLUSH_DOCS,
+    token_filters: tuple[str, ...] = (),
 ) -> int:
     """Invert one batch into an immutable segment (docmap + runs parquet).
     Returns the number of docs written. docIDs are
     [doc_id_start, doc_id_start + n) in (repo, path, commit) order within
     the batch — arrival order across batches, Lucene's NRT docID model."""
     n_part = partitions or spark.sparkContext.defaultParallelism
+    os.makedirs(out_dir, exist_ok=True)
+    _record_index_options(
+        out_dir, store_positions, store_offsets, tuple(token_filters)
+    )
     n_batch = batch_df.count()
     if n_batch == 0:
         return 0
@@ -128,7 +183,9 @@ def write_segment(
 
     inverted = sorted_docs.mapInPandas(
         _invert_partition(
-            offsets, store_positions, flush_docs, store_offsets=store_offsets
+            offsets, store_positions, flush_docs,
+            store_offsets=store_offsets,
+            token_filters=tuple(token_filters),
         ),
         schema=INVERT_SCHEMA,
     )
@@ -157,6 +214,7 @@ def start_indexing_stream(
     store_positions: bool = True,
     store_offsets: bool = False,
     trigger_available_now: bool = True,
+    token_filters: tuple[str, ...] = (),
 ):
     """Attach the indexing sink to a streaming DataFrame of documents
     (repo, path, commit, lang, content). Returns the StreamingQuery."""
@@ -171,7 +229,7 @@ def start_indexing_stream(
         n = write_segment(
             spark, batch_df, out_dir, seg_name, state["next_doc"],
             partitions=partitions, store_positions=store_positions,
-            store_offsets=store_offsets,
+            store_offsets=store_offsets, token_filters=token_filters,
         )
         if n == 0:
             return
@@ -474,11 +532,32 @@ def refresh(
     # compaction decodes prior generations' payloads — refuse indexes
     # written before the self-describing block codec (no 'codec' key)
     mpath = os.path.join(out_dir, "manifest.json")
+    prior_manifest: dict | None = None
     if os.path.exists(mpath):
         from lucene_spark.util.blockcodec import validate_manifest_codec
 
         with open(mpath) as f:
-            validate_manifest_codec(json.load(f))
+            prior_manifest = json.load(f)
+        validate_manifest_codec(prior_manifest)
+    # store_positions/store_offsets are facts about the data on disk, not
+    # per-call choices: a routine refresh() must never flip the manifest
+    # flags away from what the segments actually contain. Derive from the
+    # options pinned at the first write_segment; fall back to the prior
+    # manifest for pre-option indexes, then (first publish only) to args.
+    opts = _load_index_options(out_dir)
+    token_filters: list[str] = []
+    if opts is not None:
+        store_positions = bool(opts["store_positions"])
+        store_offsets = bool(opts["store_offsets"])
+        token_filters = list(opts.get("token_filters", []))
+    elif prior_manifest is not None:
+        store_positions = bool(
+            prior_manifest.get("store_positions", store_positions)
+        )
+        store_offsets = bool(
+            prior_manifest.get("store_offsets", store_offsets)
+        )
+        token_filters = list(prior_manifest.get("token_filters", []))
     state = _load_state(out_dir)
     gens: list[dict] = state.setdefault("gens", [])
     merged_segs = {s for g in gens for s in g["segs"]}
@@ -607,6 +686,7 @@ def refresh(
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "store_offsets": store_offsets,
+        "token_filters": token_filters,
         "block_size": 256,
         "incremental": True,
         "num_segments": len(state["segments"]),
@@ -646,9 +726,13 @@ def expunge_deletes_tiered(
          skips segments without deletes). Gens hold whole segments and
          segment docID ranges are contiguous by construction, so the
          intersection test is a searchsorted over the sorted tombstones.
-      3. Docmap anti-join rewrite + tombstone clear + state update,
-         then a second refresh() to rebuild terms/stats/manifest from
-         the surviving generations (doc_count reflects n_expunged).
+      3. Docmap anti-join rewrite + state update, then a second
+         refresh() — the manifest commit point — to rebuild terms/stats/
+         manifest from the surviving generations (doc_count reflects
+         n_expunged). Tombstones and old gen/docmap dirs are deleted
+         only AFTER that commit: until then the committed manifest still
+         references the old gens (which contain the deleted docs), so
+         tombstones must keep filtering them and the dirs must survive.
 
     docIDs of survivors are preserved (sparse docID space, same as the
     batch expunge); statistics are recomputed, so scores change exactly
@@ -721,20 +805,37 @@ def expunge_deletes_tiered(
     os.replace(docmap_dir, dm_old)
     os.replace(dm_new, docmap_dir)
 
-    # publish: state first (new gens live), then clear tombstones — a
-    # crash in between leaves tombstones over already-expunged docs,
-    # which is a harmless no-op filter
+    # publish order (crash-safe): state first (new gens recorded), then
+    # refresh() — THE manifest commit point, after which manifest['gens']
+    # lists only the rewritten generations — and only then cleanup.
+    # Deleting old gen dirs or tombstones BEFORE the manifest commit
+    # would break the invariant that manifest['gens'] is the live set
+    # (a crash would leave a committed manifest referencing deleted
+    # dirs, silently losing postings) and would let the still-committed
+    # old gens resurrect deleted docs once tombstones are gone. After
+    # the commit, leftover old dirs are stale EXTRAS (invisible to the
+    # gen-pruned reader) and leftover tombstones point at physically
+    # removed docs (harmless no-op filter).
     state["n_expunged"] = int(state.get("n_expunged", 0)) + total_dropped
     state["expunged_at"] = time.time()
     _atomic_json(_state_path(out_dir), state)
+    manifest = refresh(
+        spark, out_dir, partitions=partitions, store_positions=store_positions
+    )
     shutil.rmtree(_deletes_dir(out_dir), ignore_errors=True)
     shutil.rmtree(dm_old, ignore_errors=True)
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
+    return manifest
 
-    return refresh(
-        spark, out_dir, partitions=partitions, store_positions=store_positions
-    )
+
+def _update_hit_docids(docmap: DataFrame, docs_df: DataFrame) -> DataFrame:
+    """docIDs whose (repo, path) key is being replaced — a pure
+    distributed semi-join, NO driver materialization of the batch's keys
+    (a 10^8-doc update batch must never collect to the driver). AQE picks
+    broadcast vs shuffle from the runtime size of the distinct key side."""
+    keys = docs_df.select("repo", "path").distinct()
+    return docmap.join(keys, ["repo", "path"], "left_semi").select("docID")
 
 
 def update_documents(
@@ -764,13 +865,8 @@ def update_documents(
     replacements."""
     from lucene_spark.index.deletes import publish_tombstones, stage_tombstones
 
-    keys = [
-        (r["repo"], r["path"])
-        for r in docs_df.select("repo", "path").distinct().collect()
-    ]
     docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
-    kdf = spark.createDataFrame(keys, "repo string, path string")
-    hit = docmap.join(F.broadcast(kdf), ["repo", "path"]).select("docID")
+    hit = _update_hit_docids(docmap, docs_df)
     staging, n_deleted = stage_tombstones(spark, out_dir, hit)
 
     state = _load_state(out_dir)

@@ -316,3 +316,24 @@ def test_expunge_deletes_tiered(spark, tmp_path):
     s3 = IndexSearcher(spark, out)
     after = {r["docID"] for r in s3.search("license apache", k=300).collect()}
     assert not (after & set(victim_ids))
+
+
+def test_update_hit_docids_no_driver_collect(spark):
+    """update_documents derives tombstone docIDs with a pure distributed
+    semi-join (r4 verdict #4): the physical plan must join the docmap
+    against the batch's distinct keys directly — no driver-collected key
+    list rebuilt as a LocalTableScan / in-memory relation."""
+    from lucene_spark.streaming.incremental import _update_hit_docids
+
+    docmap = spark.createDataFrame(
+        [("r1", "a", 0), ("r1", "b", 1), ("r2", "a", 2)],
+        "repo string, path string, docID long",
+    )
+    batch = spark.createDataFrame(
+        [("r1", "a", "c1", "py", "x"), ("r2", "a", "c2", "py", "y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    hit = _update_hit_docids(docmap, batch)
+    assert {r["docID"] for r in hit.collect()} == {0, 2}
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

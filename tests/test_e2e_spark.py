@@ -460,3 +460,25 @@ def test_sloppy_monotone_in_slop(built_index):
     f2 = oracle.sloppy_freqs(["apache", "software"], 2)
     assert set(f0) <= set(f2)
     assert all(f2[r] >= f0[r] for r in f0)
+
+
+def test_regex_prefix_alternation_no_pushdown():
+    """A pattern with a top-level '|' has NO mandatory literal prefix:
+    'foo|bar' matches 'bar...', so pushing startswith('foo') silently
+    drops the other branch (r4 ADVICE high). Lucene gets this right via
+    CompiledAutomaton.commonPrefix; we disable pushdown on any '|'."""
+    from lucene_spark.search.engine import IndexSearcher
+
+    f = IndexSearcher._regex_literal_prefix
+    assert f("foo|bar") == ""
+    assert f("foo(a|b)") == ""  # group alternation: 'foo' IS mandatory,
+    # but we stay conservative (correct, just no pushdown)
+    assert f("getx[0-9]+") == "getx"
+    assert f("lit") == "lit"
+
+
+def test_regexp_terms_alternation(built_index):
+    """Both alternation branches must survive the dictionary scan."""
+    _, _, searcher = built_index
+    got = {r["term"] for r in searcher.regexp_terms("license|apache").collect()}
+    assert got == {"license", "apache"}

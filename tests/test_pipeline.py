@@ -384,3 +384,58 @@ def test_dedup_components_random_graphs_property(spark):
                 parent[max(rx, ry)] = min(rx, ry)
         exp = {(x, find(x)) for x in parent}
         assert got == exp, f"trial {trial}"
+
+
+def test_simhash_skewed_bucket_chunked(spark):
+    """Scale-safe SimHash blocking (r4 verdict #5): a mass-duplicate
+    corpus puts >chunk docs in ONE bucket of every blocking table; the
+    chunked expansion must produce the complete exact pair set without
+    materializing a quadratic single row, and the multi-table Manku
+    blocking must stay EXACT (all hamming<=3 pairs found)."""
+    from lucene_spark.pipeline.dedup import simhash_near_dup
+
+    n = 1200  # > CHUNK=1024 identical docs -> one degenerate bucket
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical prefix content shared by every single row").alias("text"),
+    )
+    near = simhash_near_dup(spark, docs, max_hamming=3)
+    assert near.where(F.col("hamming") != 0).count() == 0
+    assert near.count() == n * (n - 1) // 2
+
+
+def test_simhash_blocking_exactness_radius(spark):
+    """Pigeonhole validation: explicit n_blocks too small for the radius
+    must be rejected, and the auto-derived family accepts any radius."""
+    import pytest as _pytest
+
+    from lucene_spark.pipeline.dedup import simhash_near_dup
+
+    docs = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    with _pytest.raises(ValueError, match="cannot be exact"):
+        simhash_near_dup(spark, docs, max_hamming=4, n_blocks=6, n_keep=3)
+    # auto n_blocks: radius 4 -> 7 blocks keep 3
+    simhash_near_dup(spark, docs, max_hamming=4).collect()
+
+
+def test_dedup_components_chain_pointer_doubling(spark):
+    """Pointer doubling (r4 verdict #6): a pure chain component — the
+    diameter-pathological case — must converge in O(log n) rounds, not
+    O(n), and still label every node with the component minimum."""
+    import math
+
+    from lucene_spark.pipeline.dedup import dedup_components
+
+    n = 64
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats: dict = {}
+    got = {
+        (r["doc_id"], r["rep"])
+        for r in dedup_components(spark, pairs, stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= int(math.log2(n)) + 2, stats
