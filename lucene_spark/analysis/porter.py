@@ -1,0 +1,252 @@
+"""Analyzer token-filter chain: EnglishPossessiveFilter + PorterStemFilter.
+
+Spec parity (what, not how):
+ - ``porter_stem`` implements Martin Porter's 1980 suffix-stripping
+   algorithm in the canonical *revised* form Lucene ships
+   (lucene/analysis/common/.../en/PorterStemmer.java:100-556): the
+   ``bli -> ble`` and ``logi -> log`` departures from the paper, the
+   ``k > k0+1`` minimum-length guard (words of length <= 2 are never
+   stemmed), and the two "Bug 1 / Bug 2" guards (step3/step5 bail when
+   the word is a single char; ``-ion`` requires a non-empty stem).
+   Golden-tested against Porter's official 23k-word voc/output pairs
+   (porterTestData.zip) in tests/test_porter.py.
+ - ``possessive`` implements EnglishPossessiveFilter.java:33-50 —
+   strip a trailing {' ’ ＇}{s|S}.
+
+Both filters are 1:1 per token (never drop, never split), so document
+length / positions / offsets computed before the filter remain valid —
+that is what lets ``filter_vocab`` run them on the window VOCABULARY
+only (one call per distinct surface form, O(|vocab|) not O(tokens))
+with a single int32 gather remapping the token stream.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_VOWELS = frozenset("aeiou")
+
+
+class _Stem:
+    """One stemming pass over a single lowercase word. Indices mirror
+    the algorithm's b/k/j convention: ``b`` is the char buffer, ``k``
+    the last live index, ``j`` the end of the stem set by ``ends``."""
+
+    __slots__ = ("b", "k", "j")
+
+    def __init__(self, word: str):
+        self.b = list(word)
+        self.k = len(word) - 1
+        self.j = 0
+
+    # -- predicates --------------------------------------------------
+
+    def cons(self, i: int) -> bool:
+        c = self.b[i]
+        if c in _VOWELS:
+            return False
+        if c == "y":
+            return True if i == 0 else not self.cons(i - 1)
+        return True
+
+    def m(self) -> int:
+        """Number of V->C transitions in b[0..j]."""
+        n = 0
+        i = 0
+        j = self.j
+        while True:
+            if i > j:
+                return n
+            if not self.cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > j:
+                    return n
+                if self.cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > j:
+                    return n
+                if not self.cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def vowelinstem(self) -> bool:
+        return any(not self.cons(i) for i in range(self.j + 1))
+
+    def doublec(self, j: int) -> bool:
+        if j < 1:
+            return False
+        if self.b[j] != self.b[j - 1]:
+            return False
+        return self.cons(j)
+
+    def cvc(self, i: int) -> bool:
+        if i < 2 or not self.cons(i) or self.cons(i - 1) or not self.cons(i - 2):
+            return False
+        return self.b[i] not in ("w", "x", "y")
+
+    def ends(self, s: str) -> bool:
+        l = len(s)
+        o = self.k - l + 1
+        if o < 0:
+            return False
+        if "".join(self.b[o : o + l]) != s:
+            return False
+        self.j = self.k - l
+        return True
+
+    def setto(self, s: str) -> None:
+        o = self.j + 1
+        self.b[o : o + len(s)] = list(s)
+        self.k = self.j + len(s)
+
+    def r(self, s: str) -> None:
+        if self.m() > 0:
+            self.setto(s)
+
+    # -- steps (numbered per the paper: 1a,1b,1c,2,3,4,5a,5b) ---------
+
+    def step1(self) -> None:
+        b = self.b
+        if b[self.k] == "s":
+            if self.ends("sses"):
+                self.k -= 2
+            elif self.ends("ies"):
+                self.setto("i")
+            elif b[self.k - 1] != "s":
+                self.k -= 1
+        if self.ends("eed"):
+            if self.m() > 0:
+                self.k -= 1
+        elif (self.ends("ed") or self.ends("ing")) and self.vowelinstem():
+            self.k = self.j
+            if self.ends("at"):
+                self.setto("ate")
+            elif self.ends("bl"):
+                self.setto("ble")
+            elif self.ends("iz"):
+                self.setto("ize")
+            elif self.doublec(self.k):
+                ch = b[self.k]
+                self.k -= 1
+                if ch in ("l", "s", "z"):
+                    self.k += 1
+            elif self.m() == 1 and self.cvc(self.k):
+                self.setto("e")
+
+    def step1c(self) -> None:
+        if self.ends("y") and self.vowelinstem():
+            self.b[self.k] = "i"
+
+    _STEP2 = (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"), ("logi", "log"),
+    )
+
+    def step2(self) -> None:
+        if self.k == 0:
+            return
+        # the reference switches on b[k-1] purely to skip tests; every
+        # suffix fixes its own penultimate char, so a flat ordered scan
+        # is behavior-identical
+        for suf, rep in self._STEP2:
+            if self.ends(suf):
+                self.r(rep)
+                return
+
+    _STEP3 = (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"),
+        ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+    )
+
+    def step3(self) -> None:
+        for suf, rep in self._STEP3:
+            if self.ends(suf):
+                self.r(rep)
+                return
+
+    _STEP4 = (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+        "ous", "ive", "ize",
+    )
+
+    def step4(self) -> None:
+        if self.k == 0:
+            return
+        for suf in self._STEP4:
+            if self.ends(suf):
+                if suf == "ion" and not (
+                    self.j >= 0 and self.b[self.j] in ("s", "t")
+                ):
+                    continue  # the 'o' group falls through ion -> ou
+                if self.m() > 1:
+                    self.k = self.j
+                return
+
+    def step5(self) -> None:
+        self.j = self.k
+        if self.b[self.k] == "e":
+            a = self.m()
+            if a > 1 or (a == 1 and not self.cvc(self.k - 1)):
+                self.k -= 1
+        if self.b[self.k] == "l" and self.doublec(self.k) and self.m() > 1:
+            self.k -= 1
+
+
+def porter_stem(word: str) -> str:
+    """Stem one (already lowercased) token. Length <= 2 is untouched."""
+    if len(word) <= 2:
+        return word
+    s = _Stem(word)
+    s.step1()
+    s.step1c()
+    s.step2()
+    s.step3()
+    s.step4()
+    s.step5()
+    return "".join(s.b[: s.k + 1])
+
+
+def possessive(word: str) -> str:
+    """EnglishPossessiveFilter: strip trailing {'’＇}{sS}."""
+    if (
+        len(word) >= 2
+        and word[-2] in ("'", "’", "＇")
+        and word[-1] in ("s", "S")
+    ):
+        return word[:-2]
+    return word
+
+
+TOKEN_FILTERS = {
+    "possessive": possessive,
+    "porter": porter_stem,
+}
+
+
+def filter_vocab(uniq, token_filters) -> tuple[list, np.ndarray]:
+    """Apply the ordered filter chain to each distinct surface form and
+    collapse the result: returns (new_vocab, remap) where ``remap`` is
+    an int32 array with remap[old_code] = new_code, suitable for a
+    single numpy gather over the token-code stream."""
+    fns = [TOKEN_FILTERS[n] for n in token_filters]
+    mapped = list(uniq)
+    for fn in fns:
+        mapped = [fn(t) for t in mapped]
+    import pandas as pd
+
+    codes, new_uniq = pd.factorize(np.asarray(mapped, dtype=object))
+    return list(new_uniq), np.asarray(codes, dtype=np.int32)
