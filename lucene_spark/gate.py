@@ -120,6 +120,46 @@ def searcher_for_offsets(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_stem: dict[str, IndexSearcher] = {}
+
+STEM_FILTERS = ("possessive", "porter")
+STEM_QUERY = ["querying", "merged"]  # surfaces; the index holds stems
+
+
+def searcher_for_stemmed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Third cached index, built with the EnglishAnalyzer-style filter
+    chain (EnglishAnalyzer.java:43: possessive strip + Porter stem) —
+    kept apart from the headline index so default benchmarks measure the
+    StandardAnalyzer configuration."""
+    if sf_dir in _searchers_stem:
+        return _searchers_stem[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_stem"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or tuple(m.get("token_filters", ())) != STEM_FILTERS
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            token_filters=STEM_FILTERS,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_stem[sf_dir] = s
+    return s
+
+
 def _docid_map(s: IndexSearcher) -> DataFrame:
     """(docID, doc_id, dl) — path was the zero-padded doc_id."""
     return s.docmap.select(
@@ -186,8 +226,11 @@ ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}
 # Spark-side BM25 in double precision from the index tables
 # --------------------------------------------------------------------------
 
-def _bm25_spark(spark: SparkSession, sf_dir: str, terms: list[str], mode: str, k: int = 10) -> DataFrame:
-    s = searcher_for(spark, sf_dir)
+def _bm25_spark(
+    spark: SparkSession, sf_dir: str, terms: list[str], mode: str,
+    k: int = 10, searcher: IndexSearcher | None = None,
+) -> DataFrame:
+    s = searcher if searcher is not None else searcher_for(spark, sf_dir)
     n = s.manifest["doc_count"]
     avgdl_exact = s.manifest["sum_total_term_freq"] / n
     tf = s.postings_tf(terms)
@@ -719,6 +762,21 @@ def q_spell_top5(spark, sf_dir):
     (length window + pigeonhole substrings) drop no candidate."""
     s = searcher_for(spark, sf_dir)
     return s.suggest_similar(SPELL_TARGET, k=5, max_edits=2)
+
+
+def q_stemmed_bm25_top10(spark, sf_dir):
+    """BM25 top-10 over a PORTER-STEMMED index (EnglishAnalyzer chain:
+    possessive + PorterStemFilter.java:51): the query surfaces
+    'querying'/'merged' are absent from the raw corpus vocabulary —
+    every hit exists only because index- AND query-side stemming map
+    them onto 'queri'/'merg'. Dueled against a DuckDB oracle whose
+    stemmer is the independently golden-tested SQL twin
+    (search/stem_sql.py), so neither tokenstream shares code."""
+    from lucene_spark.analysis.porter import porter_stem, possessive
+
+    s = searcher_for_stemmed(spark, sf_dir)
+    terms = [porter_stem(possessive(t)) for t in STEM_QUERY]
+    return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
 
 
 def q_facet_source(spark, sf_dir):
@@ -1499,6 +1557,7 @@ def q_combined_field_top10(spark, sf_dir):
 # registry and are still locally dueled by tests/test_gate_duel.py.
 QUERIES = {
     # new / never driver-checked first (r4 verdict #10)
+    "stemmed_bm25_top10": q_stemmed_bm25_top10,
     "media_decode": q_media_decode,
     "repetition_stats": q_repetition_stats,
     "spell_top5": q_spell_top5,
@@ -1707,6 +1766,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]) DESC, vec_id ASC
             LIMIT 10""",
     }
+
+    # --- stemmed BM25: oracle re-tokenizes through the SQL Porter twin ----
+    from lucene_spark.search.stem_sql import porter_ctes
+
+    _stem_q = ", ".join(f"'{t}'" for t in STEM_QUERY)
+    sqls["stemmed_bm25_top10"] = f"""
+WITH {TOKENS_CTE},
+vocab AS (SELECT DISTINCT term FROM tok
+          UNION SELECT unnest([{_stem_q}]) AS term),{porter_ctes()},
+qs AS (SELECT DISTINCT stem FROM stems WHERE term IN ({_stem_q})),
+stok AS (SELECT tok.doc_id, st.stem AS term FROM tok JOIN stems st ON tok.term = st.term),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT stem FROM qs) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
 
     # --- extended boolean / multi-term operators --------------------------
     sqls["bm25_msm2"] = _bm25_sql(TERMS_OR, "msm2")
