@@ -124,9 +124,12 @@ def main() -> None:
         "media_decode",
         "repetition_stats",
         "phrase_prefix_top10",
-        # highlight_top10 is gate-only: it needs the separate offsets
-        # index; the headline bench measures the default positions-only
-        # configuration
+        "hybrid_top10",
+        "dv_sort_top15",
+        # highlight_top10 and stemmed_bm25_top10 are gate-only: each
+        # needs its own separately-built index (offsets / stemmed); the
+        # headline bench measures the default positions-only
+        # StandardAnalyzer configuration
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

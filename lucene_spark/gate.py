@@ -779,6 +779,99 @@ def q_stemmed_bm25_top10(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
 
 
+N_HYBRID_CAND = 20  # per-leg candidate depth feeding the RRF fusion
+RRF_K = 60          # Cormack et al. constant (the ES/OpenSearch default)
+
+
+def q_hybrid_top10(spark, sf_dir):
+    """Hybrid BM25 + vector top-10 via reciprocal-rank fusion
+    (KnnFloatVectorQuery.java:48 paired with the industry-standard RRF):
+    BM25 leg over TERMS_OR in double precision from the decoded index,
+    exact-cosine vector leg for the vec_id=0 query embedding (query row
+    excluded), each ranked (score DESC, id ASC) to depth
+    N_HYBRID_CAND, fused by search/hybrid.rrf_fuse — the same fusion
+    the engine's IndexSearcher.search_hybrid uses (whose tombstone-aware
+    knn legs are pytest-covered in tests/test_hybrid.py)."""
+    from lucene_spark.search.hybrid import rrf_fuse
+
+    scored = _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+    bm = (
+        scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(N_HYBRID_CAND)
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qn = float(sum(float(x) * float(x) for x in qrow) ** 0.5)
+    kn = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (nrm * F.lit(qn))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(N_HYBRID_CAND)
+    )
+    fused = rrf_fuse([bm, kn], k=10, rrf_k=RRF_K, id_col="doc_id")
+    return fused.select("doc_id", F.round("score", ROUND).alias("score"))
+
+
+DV_FIELD = "n_chars"
+DV_TERM = "scan"          # docs containing this get the updated value
+DV_VALUE = 1_000_000      # sorts above every organic n_chars
+
+
+def q_dv_sort_top15(spark, sf_dir):
+    """Numeric DocValues update duel (IndexWriter.updateNumericDocValue,
+    index/IndexWriter.java:1894): load n_chars into an index-resident
+    docvalues column, update every doc containing DV_TERM to DV_VALUE
+    via the generation-swap path (postings untouched), then sort TERM_1
+    hits by the LIVE docvalues generation. The oracle recomputes the
+    post-update values from the raw tables — matching rows prove the
+    overlay, the manifest gen pointer, and the sort all agree."""
+    from lucene_spark.index.docvalues import (
+        set_docvalues,
+        update_numeric_docvalue,
+    )
+
+    s = searcher_for(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dm = _docid_map(s)
+    vals = (
+        dm.select("docID", "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("docID", F.col("n_chars").cast("long").alias("value"))
+    )
+    set_docvalues(spark, s.index_dir, DV_FIELD, vals)
+    update_numeric_docvalue(spark, s, DV_FIELD, DV_TERM, DV_VALUE)
+    # tie-break in doc_id space (docID rank follows (source, path), so a
+    # docID tie-break would pick a different — equally valid — boundary
+    # set than the oracle; s.sort_by_docvalue's own docID rule is
+    # pytest-covered in tests/test_docvalues.py)
+    from lucene_spark.index.docvalues import read_docvalues
+
+    dv = read_docvalues(spark, s.index_dir, DV_FIELD)
+    return (
+        s.filter_docs(TERM_1)
+        .join(dv, "docID")
+        .join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .orderBy(F.desc("value"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", F.col("value").alias("n_chars_dv"))
+    )
+
+
 def q_facet_source(spark, sf_dir):
     """FacetsCollector analog: among docs matching TERM_1, value counts of
     the `source` metadata column."""
@@ -1558,6 +1651,8 @@ def q_combined_field_top10(spark, sf_dir):
 QUERIES = {
     # new / never driver-checked first (r4 verdict #10)
     "stemmed_bm25_top10": q_stemmed_bm25_top10,
+    "hybrid_top10": q_hybrid_top10,
+    "dv_sort_top15": q_dv_sort_top15,
     "media_decode": q_media_decode,
     "repetition_stats": q_repetition_stats,
     "spell_top5": q_spell_top5,
@@ -1791,6 +1886,46 @@ scored AS (
 )
 SELECT doc_id, round(sum(s), {ROUND}) AS score
 FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- hybrid BM25+vector RRF -------------------------------------------
+    _orh = ", ".join(f"'{t}'" for t in TERMS_OR)
+    sqls["hybrid_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_orh}) GROUP BY term),
+bm AS (
+  SELECT tf.doc_id, sum(
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad)))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id
+),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+        FROM bm ORDER BY s DESC, doc_id ASC LIMIT {N_HYBRID_CAND}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+kn AS (SELECT vec_id AS doc_id,
+              list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]) AS s
+       FROM embeddings WHERE vec_id <> 0),
+knr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+        FROM kn ORDER BY s DESC, doc_id ASC LIMIT {N_HYBRID_CAND}),
+legs AS (SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM bmr
+         UNION ALL SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM knr)
+SELECT doc_id, round(sum(c), {ROUND}) AS score FROM legs GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- numeric docvalues update + sort ----------------------------------
+    sqls["dv_sort_top15"] = f"""
+WITH {TOKENS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}'),
+upd AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{DV_TERM}'),
+v AS (SELECT d.doc_id,
+             CASE WHEN u.doc_id IS NOT NULL THEN {DV_VALUE}
+                  ELSE d.n_chars END::BIGINT AS n_chars_dv
+      FROM documents d LEFT JOIN upd u USING (doc_id))
+SELECT h.doc_id, v.n_chars_dv FROM hits h JOIN v USING (doc_id)
+ORDER BY v.n_chars_dv DESC, h.doc_id ASC LIMIT 15
 """
 
     # --- extended boolean / multi-term operators --------------------------

@@ -301,20 +301,17 @@ def build_ivf_index(
     return meta
 
 
-def ivf_search(
+def ivf_candidates(
     spark: SparkSession,
     out_dir: str,
     query_vec: np.ndarray,
-    k: int = 10,
     nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_id: int | None = None,
-    round_to: int = 4,
-) -> DataFrame:
-    """Query a persisted IVF index: pick the nprobe nearest centroids and
-    scan ONLY those cell partitions (`cell IN (...)` prunes at the file
-    listing level), exact cosine re-rank inside."""
+) -> tuple[DataFrame, np.ndarray]:
+    """Probe a persisted IVF index: pick the nprobe nearest centroids and
+    return the DataFrame of ONLY those cell partitions (`cell IN (...)`
+    prunes at the file listing level) plus the normalized query vector.
+    Shared by the standalone ivf_search and the tombstone-aware
+    IndexSearcher.search_ivf."""
     import json as _json
     import os as _os
 
@@ -326,7 +323,23 @@ def ivf_search(
     probe = [int(x) for x in np.argsort(-(cents @ q))[:nprobe]]
 
     vecs = spark.read.parquet(_os.path.join(out_dir, "vectors"))
-    cand = vecs.where(F.col("cell").isin(probe))
+    return vecs.where(F.col("cell").isin(probe)), q
+
+
+def ivf_search(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: cell-pruned probe scan, exact cosine
+    re-rank inside the probed cells."""
+    cand, q = ivf_candidates(spark, out_dir, query_vec, nprobe)
     if exclude_id is not None:
         cand = cand.where(F.col(id_col) != exclude_id)
     return _cosine_rerank(cand, q, k, id_col, vec_col, round_to)

@@ -900,6 +900,124 @@ class IndexSearcher:
             .count()
         )
 
+    # -- vector & hybrid retrieval (KnnFloatVectorQuery analog) ------------
+
+    def knn_search(
+        self,
+        vectors: DataFrame,
+        query_vec,
+        k: int = 10,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Exact cosine top-k over a docID-keyed vector column as a
+        SEARCHER citizen (KnnFloatVectorQuery.java:48 +
+        DocIdSetIterator liveDocs semantics): deleted docs never
+        surface — the Arrow-batched scoring kernel drops the broadcast
+        tombstone set (same contract as every postings decode kernel)
+        and the output additionally passes the anti-join fallback for
+        oversized delete sets. One narrow map + TakeOrdered; the 10^9
+        path is search_ivf (cell-pruned probes into a persisted IVF
+        layout)."""
+        dele_bc = self._deleted_bc
+        qd = np.asarray(query_vec, dtype=np.float64)
+        qd = qd / max(float(np.linalg.norm(qd)), 1e-30)
+        schema = StructType(
+            [StructField("docID", LongType()), StructField("score", DoubleType())]
+        )
+
+        def score(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["docID"].to_numpy(np.int64)
+                vecs = pdf[vec_col].to_numpy()
+                if dele.size:
+                    keep = np.isin(ids, dele, invert=True)
+                    if not keep.any():
+                        continue
+                    ids = ids[keep]
+                    vecs = vecs[keep]
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                nrms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+                yield pd.DataFrame({"docID": ids, "score": (mat @ qd) / nrms})
+
+        out = vectors.select("docID", vec_col).mapInPandas(score, schema=schema)
+        out = self._strip_deleted(out)
+        return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_ivf(
+        self,
+        ivf_dir: str,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Tombstone-aware approximate top-k against a persisted IVF
+        index whose id column is docID: probe the nprobe nearest cells
+        (partition-pruned scan), exact re-rank via knn_search (which
+        drops deleted docs)."""
+        from lucene_spark.pipeline.ann import ivf_candidates
+
+        cand, _ = ivf_candidates(self.spark, ivf_dir, query_vec, nprobe)
+        return self.knn_search(cand, query_vec, k=k, vec_col=vec_col)
+
+    def search_hybrid(
+        self,
+        query: str | list[str],
+        query_vec,
+        vectors: DataFrame | None = None,
+        ivf_dir: str | None = None,
+        k: int = 10,
+        n_candidates: int = 100,
+        rrf_k: int = 60,
+        mode: str = "or",
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Hybrid BM25 + vector top-k via reciprocal-rank fusion
+        (search/hybrid.py): fused score = sum over legs of
+        1/(rrf_k + rank). Both legs are tombstone-aware; ranks use the
+        engine-wide tie-break (score DESC, docID ASC) so the fusion is
+        an exact double-precision closed form."""
+        from lucene_spark.search.hybrid import rrf_fuse
+
+        bm = self.search(query, k=n_candidates, mode=mode)
+        if ivf_dir is not None:
+            kn = self.search_ivf(ivf_dir, query_vec, k=n_candidates, nprobe=nprobe)
+        else:
+            if vectors is None:
+                raise ValueError("search_hybrid needs vectors or ivf_dir")
+            kn = self.knn_search(vectors, query_vec, k=n_candidates)
+        return rrf_fuse([bm, kn], k=k, rrf_k=rrf_k)
+
+    def sort_by_docvalue(
+        self,
+        term: str,
+        field: str,
+        k: int = 10,
+        descending: bool = True,
+    ) -> DataFrame:
+        """SortField.LONG over an index-resident numeric DocValues
+        column (index/docvalues.py — updateNumericDocValue analog):
+        live docs matching `term`, ordered by the field's LIVE
+        generation (re-resolved through the manifest per call, so
+        updates are visible without reopening the searcher)."""
+        from lucene_spark.index.docvalues import read_docvalues
+
+        dv = read_docvalues(self.spark, self.index_dir, field)
+        hits = self.filter_docs(term)
+        order = [
+            F.desc("value") if descending else F.asc("value"),
+            F.asc("docID"),
+        ]
+        return (
+            hits.join(dv, "docID")
+            .orderBy(*order)
+            .limit(k)
+            .select("docID", "value")
+        )
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Search-as-you-type completion over the term dictionary —
         the suggest module's lookup with document frequency as the
