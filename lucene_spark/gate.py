@@ -827,6 +827,66 @@ def q_hybrid_top10(spark, sf_dir):
     return fused.select("doc_id", F.round("score", ROUND).alias("score"))
 
 
+SYN_QUERY = ["table", "scan"]                    # query surfaces
+SYN_GRAPH = {"table": ["key"], "scan": ["merge"]}  # query-time dictionary
+
+
+def q_syngraph_top10(spark, sf_dir):
+    """Query-time synonym-graph expansion duel (SynonymGraphFilter +
+    QueryBuilder.analyzeGraphBoolean): each query token scores as one
+    SynonymQuery SLOT over [token]+dictionary (tf summed per doc, df =
+    |union of the group's doc sets|), slots sum as SHOULD clauses.
+    Double-precision replica of IndexSearcher.search_with_synonyms
+    (float32 path pytest-asserted in tests/test_syngraph.py)."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    slots = [[t] + SYN_GRAPH.get(t, []) for t in SYN_QUERY]
+    term_slot = {t: i for i, g in enumerate(slots) for t in g}
+    tf = s.postings_tf(list(term_slot))
+    slot_map = F.create_map(
+        *[F.lit(x) for t, si in term_slot.items() for x in (t, si)]
+    )
+    per = (
+        tf.withColumn("slot", slot_map[F.col("term")])
+        .groupBy("docID", "slot")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    dfs = {
+        r["slot"]: r["df"]
+        for r in per.groupBy("slot").agg(F.count("*").alias("df")).collect()
+    }
+    idf_map = F.create_map(
+        *[
+            F.lit(x)
+            for si, dfv in dfs.items()
+            for x in (si, math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5)))
+        ]
+    )
+    dm = _docid_map(s)
+    scored = (
+        per.join(F.broadcast(dm), "docID")
+        .withColumn("w", idf_map[F.col("slot")])
+        .withColumn(
+            "s",
+            F.col("w") * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("ssum"))
+    return (
+        agg.select("doc_id", F.round("ssum", ROUND).alias("score"), "ssum")
+        .orderBy(F.desc("ssum"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 DV_FIELD = "n_chars"
 DV_TERM = "scan"          # docs containing this get the updated value
 DV_VALUE = 1_000_000      # sorts above every organic n_chars
@@ -1653,6 +1713,7 @@ QUERIES = {
     "stemmed_bm25_top10": q_stemmed_bm25_top10,
     "hybrid_top10": q_hybrid_top10,
     "dv_sort_top15": q_dv_sort_top15,
+    "syngraph_top10": q_syngraph_top10,
     "media_decode": q_media_decode,
     "repetition_stats": q_repetition_stats,
     "spell_top5": q_spell_top5,
@@ -1675,9 +1736,7 @@ QUERIES = {
     "interval_near_top10": q_interval_near_top10,
     "sloppy2_top10": q_sloppy2_top10,
     "fuzzy_scored_top10": q_fuzzy_scored_top10,
-    "range_scored_top10": q_range_scored_top10,
     "regexp_df": q_regexp_df,
-    "wildcard_count": q_wildcard_count,
     "term_offsets": q_term_offsets,
     "bm25_explain": q_bm25_explain,
     "highlight_top10": q_highlight_top10,
@@ -1704,7 +1763,13 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "content_sha256": q_content_sha256,
     "ann_ivf_top10": q_ann_ivf_top10,
-    # ---- rotation bench (past the driver's 50-cap; locally dueled) ----
+    # ---- rotation bench (past the driver's 50-cap; locally dueled;
+    # every entry here is driver-green in BOTH r3 and r4 on code paths
+    # unchanged since — r5 rotated out range_scored_top10 and
+    # wildcard_count to keep content_sha256 (a BASELINE.json named
+    # requirement) and the rows-only ann_ivf_top10 inside the cap) ----
+    "range_scored_top10": q_range_scored_top10,
+    "wildcard_count": q_wildcard_count,
     "bool_and_docs": q_bool_and_docs,
     "count_term": q_count_term,
     "prefix_df": q_prefix_df,
@@ -1913,6 +1978,29 @@ legs AS (SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM bmr
          UNION ALL SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM knr)
 SELECT doc_id, round(sum(c), {ROUND}) AS score FROM legs GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- query-time synonym-graph expansion --------------------------------
+    _sg_all = ", ".join(
+        f"'{t}'" for g in ([t] + SYN_GRAPH.get(t, []) for t in SYN_QUERY) for t in g
+    )
+    _sg_slot0 = ", ".join(f"'{t}'" for t in [SYN_QUERY[0]] + SYN_GRAPH.get(SYN_QUERY[0], []))
+    sqls["syngraph_top10"] = f"""
+WITH {TOKENS_CTE}, {DL_CTE},
+st AS (SELECT doc_id, CASE WHEN term IN ({_sg_slot0}) THEN 0 ELSE 1 END AS slot,
+              count(*)::BIGINT AS tf
+       FROM tok WHERE term IN ({_sg_all}) GROUP BY doc_id, slot),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT slot, count(*)::BIGINT AS df FROM st GROUP BY slot),
+scored AS (
+  SELECT st.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * st.tf / (st.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM st JOIN dfs USING (slot) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
 """
 
     # --- numeric docvalues update + sort ----------------------------------

@@ -148,6 +148,47 @@ class IndexSearcher:
         self._deleted_bc = self.spark.sparkContext.broadcast(arr)
         return self._n_deleted
 
+    def apply_soft_deletes(self, field: str) -> int:
+        """SoftDeletesDirectoryReaderWrapper analog
+        (index/SoftDeletesDirectoryReaderWrapper.java:46): hide every
+        doc whose numeric docvalues `field` is non-zero — READER-side
+        only. The tombstone table, postings, and stats are untouched;
+        `reload_deletes()` (or a fresh searcher) drops the wrapper and
+        the docs are visible again, exactly like opening the directory
+        without the wrapper. Soft-hidden docs merge into this reader's
+        broadcast/anti-join liveness, so every decode kernel and the
+        cache epoch see them as deleted. Returns the number of docs
+        hidden by the field (including ones also hard-deleted)."""
+        from lucene_spark.index.docvalues import read_docvalues
+
+        soft = (
+            read_docvalues(self.spark, self.index_dir, field)
+            .where(F.col("value") != 0)
+            .select("docID")
+        )
+        n = soft.count()
+        if n == 0:
+            return 0
+        if (
+            self._tombstones is None
+            and n + self._deleted.size <= self.ANTIJOIN_DELETES_THRESHOLD
+        ):
+            arr = soft.toPandas()["docID"].to_numpy(np.int64, copy=True)
+            arr = np.unique(np.concatenate([self._deleted, arr]))
+            old = self._deleted_bc
+            self._deleted = arr
+            self._deleted_bc = self.spark.sparkContext.broadcast(arr)
+            old.unpersist()
+            self._n_deleted = int(arr.size)
+        else:
+            tomb = self._tombstones
+            self._tombstones = (
+                soft if tomb is None
+                else tomb.select("docID").union(soft).distinct()
+            )
+            self._n_deleted += int(n)  # upper bound; only drives epoch/shortcut
+        return int(n)
+
     def _cache_epoch(self) -> tuple:
         """Key component that changes whenever cached doc sets could go
         stale: postings generation set + tombstone count (the reader-
@@ -883,6 +924,126 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("docID"))
             .limit(k)
         )
+
+    def search_with_synonyms(
+        self,
+        query: str | list[str],
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Query-time synonym-graph expansion: SynonymGraphFilter
+        (analysis/common/.../synonym/SynonymGraphFilter.java:78) applied
+        at query time the way QueryBuilder.analyzeGraphBoolean composes
+        it — each analyzed query token becomes one SLOT scored as a
+        SynonymQuery over [token] + synonyms[token] (tf summed per doc,
+        df = |union of the group's doc sets|, min norm;
+        search/SynonymQuery.java:719), and slots combine as BooleanQuery
+        SHOULD (mode='or') or MUST ('and').
+
+        Dictionary values pass through the same analyzer chain as the
+        query, so a stemmed index expands consistently. The whole
+        multi-slot query is ONE postings scan: terms are decoded once
+        with a term->slot label, aggregated per (docID, slot), and the
+        per-slot union-df weights come from a single count on the
+        persisted narrow aggregate."""
+        tokens = self._parse(query)
+        raw_slots: list[list[str]] = []
+        for tok in tokens:
+            group = [tok]
+            for syn in synonyms.get(tok, ()):
+                group.extend(self._parse(syn))
+            raw_slots.append(list(dict.fromkeys(group)))
+        stats = self.term_stats([t for g in raw_slots for t in g])
+        term_slot: dict[str, int] = {}
+        live_slots: list[list[str]] = []
+        for g in raw_slots:
+            present = [t for t in g if t in stats and t not in term_slot]
+            if not present:
+                if mode == "and":
+                    return self._empty_topk()  # a MUST slot can't match
+                continue
+            for t in present:
+                term_slot[t] = len(live_slots)
+            live_slots.append(present)
+        if not live_slots:
+            return self._empty_topk()
+        n_slots = len(live_slots)
+        blocks = self._postings.filter(
+            F.col("term").isin(list(term_slot))
+        ).select("term", "docs_vb", "tfs_vb", "norms_b")
+        cache = self.scorer.cache
+        dele_bc = self._deleted_bc
+        slot_of = dict(term_slot)
+
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("slot", IntegerType()),
+                StructField("tf", LongType()),
+                StructField("norm", IntegerType()),
+            ]
+        )
+
+        def decode_rows(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb, norms_b in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": doc_ids,
+                                "slot": np.full(
+                                    len(doc_ids), slot_of[term], dtype=np.int32
+                                ),
+                                "tf": tfs,
+                                "norm": norms.astype(np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        rows = self._strip_deleted(blocks.mapInPandas(decode_rows, schema=schema))
+        # same persist rationale as search_synonym: the narrow
+        # (docID, slot, tf, norm) aggregate feeds both the per-slot df
+        # count and the scoring pass
+        merged = rows.groupBy("docID", "slot").agg(
+            F.sum("tf").alias("tf"), F.min("norm").alias("norm")
+        ).persist()
+        try:
+            ws = np.zeros(n_slots, dtype=np.float32)
+            for r in merged.groupBy("slot").agg(F.count("*").alias("df")).collect():
+                ws[r["slot"]] = np.float32(idf(r["df"], self.doc_count))
+
+            out_schema = StructType(
+                [StructField("docID", LongType()), StructField("score", FloatType())]
+            )
+
+            def score_rows(batches):
+                for pdf in batches:
+                    tfs = pdf["tf"].to_numpy(np.float32)
+                    inv = cache[pdf["norm"].to_numpy(np.int64)]
+                    wv = ws[pdf["slot"].to_numpy(np.int64)]
+                    sc = (wv - wv / (np.float32(1.0) + tfs * inv)).astype(
+                        np.float32
+                    )
+                    yield pd.DataFrame({"docID": pdf["docID"], "score": sc})
+
+            scored = merged.mapInPandas(score_rows, schema=out_schema)
+            top = self._topk(scored, k, mode, n_terms=n_slots).collect()
+            return self.spark.createDataFrame(top, out_schema)
+        finally:
+            merged.unpersist()
 
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector analog; single terms shortcut via df."""
