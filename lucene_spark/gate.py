@@ -887,6 +887,28 @@ def q_syngraph_top10(spark, sf_dir):
     )
 
 
+MONITOR_QUERIES = [
+    ("q_or", ["query", "scan"], "or"),
+    ("q_and", ["value", "table"], "and"),
+    ("q_msm", ["table", "scan", "spark"], "msm2"),
+]
+
+
+def q_monitor_matches(spark, sf_dir):
+    """Monitor / percolator duel (monitor/.../Monitor.java:42): three
+    registered standing queries (OR, AND, minimumShouldMatch=2) matched
+    against the whole documents batch — the reverse-search streaming
+    join (tokenize once, broadcast the query-term table, count distinct
+    matched terms per (query, doc))."""
+    from lucene_spark.streaming.monitor import Monitor
+
+    m = Monitor(spark, MONITOR_QUERIES)
+    res = m.match_batch(_docs_df(spark, sf_dir))
+    return res.select(
+        "query_id", F.col("path").cast("long").alias("doc_id")
+    )
+
+
 DV_FIELD = "n_chars"
 DV_TERM = "scan"          # docs containing this get the updated value
 DV_VALUE = 1_000_000      # sorts above every organic n_chars
@@ -1714,6 +1736,7 @@ QUERIES = {
     "hybrid_top10": q_hybrid_top10,
     "dv_sort_top15": q_dv_sort_top15,
     "syngraph_top10": q_syngraph_top10,
+    "monitor_matches": q_monitor_matches,
     "media_decode": q_media_decode,
     "repetition_stats": q_repetition_stats,
     "spell_top5": q_spell_top5,
@@ -1745,7 +1768,6 @@ QUERIES = {
     "sort_by_field": q_sort_by_field,
     "synonym_top10": q_synonym_top10,
     "blended_top10": q_blended_top10,
-    "facet_source": q_facet_source,
     "facet_ranges": q_facet_ranges,
     "group_top2": q_group_top2,
     "search_after": q_search_after,
@@ -1770,6 +1792,7 @@ QUERIES = {
     # requirement) and the rows-only ann_ivf_top10 inside the cap) ----
     "range_scored_top10": q_range_scored_top10,
     "wildcard_count": q_wildcard_count,
+    "facet_source": q_facet_source,
     "bool_and_docs": q_bool_and_docs,
     "count_term": q_count_term,
     "prefix_df": q_prefix_df,
@@ -1978,6 +2001,25 @@ legs AS (SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM bmr
          UNION ALL SELECT doc_id, 1.0/({RRF_K} + r) AS c FROM knr)
 SELECT doc_id, round(sum(c), {ROUND}) AS score FROM legs GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- monitor / percolator ----------------------------------------------
+    _mq_vals = []
+    for _qid, _terms, _mode in MONITOR_QUERIES:
+        _need = (
+            len(_terms) if _mode == "and"
+            else int(_mode[3:]) if _mode.startswith("msm") else 1
+        )
+        _mq_vals.extend(f"('{_qid}', '{t}', {_need})" for t in _terms)
+    sqls["monitor_matches"] = f"""
+WITH {TOKENS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+q AS (SELECT * FROM (VALUES {', '.join(_mq_vals)}) AS t(query_id, term, need)),
+hits AS (SELECT q.query_id, dt.doc_id, count(*)::BIGINT AS nm
+         FROM dt JOIN q USING (term) GROUP BY 1, 2),
+needs AS (SELECT DISTINCT query_id, need FROM q)
+SELECT h.query_id, h.doc_id FROM hits h JOIN needs USING (query_id)
+WHERE h.nm >= needs.need
 """
 
     # --- query-time synonym-graph expansion --------------------------------
