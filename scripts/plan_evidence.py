@@ -95,6 +95,54 @@ def main() -> None:
     ))
     assert p.count("BroadcastHashJoin") >= 2, "highlight lost a broadcast join!"
 
+    # --- r5 additions: vector leg, monitor join, docvalues scan ----------
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    qvec = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    vectors = emb.select(F.col("vec_id").alias("docID"), "embedding")
+    kn = s.knn_search(vectors, qvec, k=10)
+    p = _plan(kn, head=10)
+    sections.append((
+        "kNN vector leg — ONE narrow Arrow scan, TakeOrderedAndProject, zero Exchange",
+        "Cosine scoring (and the tombstone drop) happens inside one mapInPandas over the vector scan; "
+        "top-k is per-partition heaps + k-row merge — nothing shuffles.",
+        p,
+    ))
+    assert "Exchange" not in p, "knn leg grew a shuffle!"
+
+    from lucene_spark.streaming.monitor import Monitor
+
+    m = Monitor(spark, [("q1", ["table", "scan"], "and")])
+    mm = m.match_batch(gate._docs_df(spark, SF))
+    p = _plan(mm, head=16)
+    sections.append((
+        "Monitor/percolator — query-term table BROADCAST; only MATCHED rows shuffle",
+        "The registered-query side is a broadcast hash join against the tokenized batch; the exchange "
+        "after it carries only (query, doc) match candidates, never the corpus.",
+        p,
+    ))
+    assert "BroadcastHashJoin" in p, "monitor lost its broadcast join!"
+
+    from lucene_spark.index.docvalues import set_docvalues
+
+    set_docvalues(
+        spark, s.index_dir, "plan_demo",
+        s.docmap.select("docID", F.col("dl").alias("value")),
+    )
+    dv = s.sort_by_docvalue("table", "plan_demo", k=10)
+    p = _plan(dv, head=14)
+    sections.append((
+        "DocValues sort — live-gen 2-column scan, filter-docs join, TakeOrdered",
+        "The docvalues read touches exactly (docID, value) of the field's live generation; the term's "
+        "doc set joins it and TakeOrderedAndProject bounds the result — no global sort.",
+        p,
+    ))
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")
