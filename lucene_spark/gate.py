@@ -764,6 +764,127 @@ def q_spell_top5(spark, sf_dir):
     return s.suggest_similar(SPELL_TARGET, k=5, max_edits=2)
 
 
+# --- geo (LatLonPoint family): deterministic lattice coordinates -------
+# derived from doc_id with pure integer arithmetic so Spark and DuckDB
+# synthesize bit-identical doubles (no external data, TESTDATA has no
+# geo columns)
+GEO_LAT_EXPR = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+GEO_LON_EXPR = "((doc_id * 12347) % 36000) / 100.0 - 180.0"
+GEO_ORIGIN = (48.85, 2.35)
+GEO_BOX = (-30.0, 30.0, 170.0, -170.0)  # dateline-crossing
+
+
+def _geo_cols(df):
+    """Attach the deterministic lattice (lat, lon) to any doc_id frame."""
+    return df.withColumn(
+        "lat", ((F.col("doc_id") * 7919) % 18000) / F.lit(100.0) - F.lit(90.0)
+    ).withColumn(
+        "lon", ((F.col("doc_id") * 12347) % 36000) / F.lit(100.0) - F.lit(180.0)
+    )
+
+
+def q_geo_distance_top10(spark, sf_dir):
+    """Geo distance sort composed with a term query (LatLonPoint.java
+    newDistanceQuery + LatLonPointSortField): among docs matching
+    TERM_1, the 10 nearest to GEO_ORIGIN, distance ASC, doc_id ASC —
+    exact double haversine on both sides (search/geo.py)."""
+    from lucene_spark.search.geo import nearest
+
+    s = searcher_for(spark, sf_dir)
+    dm = _docid_map(s)
+    hits = (
+        s.postings_tf([TERM_1]).select("docID")
+        .join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+    )
+    top = nearest(_geo_cols(hits), GEO_ORIGIN[0], GEO_ORIGIN[1], 10, id_col="doc_id")
+    return top.select("doc_id", F.round("dist_m", ROUND).alias("dist_m"))
+
+
+def q_geo_box_count(spark, sf_dir):
+    """LatLonPoint.newBoxQuery over a DATELINE-CROSSING box (min_lon >
+    max_lon splits into two longitude ranges): per-source doc counts
+    inside the box — the predicate is pure Catalyst and pushes to the
+    parquet scan (BKD -> rowgroup-stats analog, see search/geo.py)."""
+    from lucene_spark.search.geo import box_search
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pts = _geo_cols(docs.select("doc_id", "source"))
+    inside = box_search(pts, *GEO_BOX)
+    return inside.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+
+
+# --- classification (lucene/classification module) ---------------------
+KNN_K = 10
+NB_SEED_DOC = 137
+
+
+def _seed_text(spark, sf_dir, doc_id: int) -> str:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    row = docs.filter(F.col("doc_id") == doc_id).select("text").head()
+    if row is None:  # tiny sf dirs (not dueled); keep the query runnable
+        row = docs.orderBy(F.desc("doc_id")).select("text").head()
+    return row[0]
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN classifier duel (classification/KNearestNeighborClassifier
+    .java:52): MLT term selection from the seed doc, double-precision
+    BM25 top-KNN_K over the corpus, per-class (lang) vote
+    sum(score/maxScore)/sumdoc via the SAME knn_vote the engine's
+    float32 classify_knn path uses. Ordered vote DESC, cls ASC."""
+    from lucene_spark.search.classify import knn_vote
+
+    s = searcher_for(spark, sf_dir)
+    terms = s.mlt_terms(_seed_text(spark, sf_dir, MLT_SEED_DOC))
+    topk = (
+        _bm25_spark_scored(spark, sf_dir, terms)
+        .groupBy("doc_id").agg(F.sum("s").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(KNN_K)
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    j = (
+        docs.select("doc_id", F.col("lang").alias("cls"))
+        .join(F.broadcast(topk), "doc_id")
+        .select("cls", F.col("s").alias("score"))
+    )
+    vote = knn_vote(j, KNN_K)
+    return (
+        vote.select("cls", F.round("vote", ROUND).alias("v"), "vote")
+        .orderBy(F.desc("vote"), F.asc("cls"))
+        .select("cls", F.col("v").alias("vote"))
+    )
+
+
+def q_nb_classify(spark, sf_dir):
+    """Naive Bayes classifier duel (classification/
+    SimpleNaiveBayesClassifier.java): classify the seed doc's text by
+    lang over the whole corpus — add-1-smoothed log-likelihoods from
+    postings ⨝ labels, log-sum-exp softmax, all double. Ordered score
+    DESC (== prob DESC), cls ASC."""
+    from lucene_spark.search.classify import nb_classify
+
+    s = searcher_for(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dm = _docid_map(s)
+    labels = (
+        dm.select("docID", "doc_id")
+        .join(docs.select("doc_id", F.col("lang").alias("cls")), "doc_id")
+        .select("docID", "cls")
+    )
+    res = nb_classify(s, _seed_text(spark, sf_dir, NB_SEED_DOC), labels)
+    return (
+        res.select(
+            "cls",
+            F.round("score", ROUND).alias("sc"),
+            F.round("prob", ROUND).alias("pr"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("cls"))
+        .select("cls", F.col("sc").alias("score"), F.col("pr").alias("prob"))
+    )
+
+
 def q_stemmed_bm25_top10(spark, sf_dir):
     """BM25 top-10 over a PORTER-STEMMED index (EnglishAnalyzer chain:
     possessive + PorterStemFilter.java:51): the query surfaces
@@ -1741,6 +1862,10 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "spell_top5": q_spell_top5,
     "facet_taxonomy": q_facet_taxonomy,
+    "geo_distance_top10": q_geo_distance_top10,
+    "geo_box_count": q_geo_box_count,
+    "knn_classify": q_knn_classify,
+    "nb_classify": q_nb_classify,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -1765,12 +1890,8 @@ QUERIES = {
     "highlight_top10": q_highlight_top10,
     "mlt_top10": q_mlt_top10,
     "suggest_prefix": q_suggest_prefix,
-    "sort_by_field": q_sort_by_field,
     "synonym_top10": q_synonym_top10,
-    "blended_top10": q_blended_top10,
     "facet_ranges": q_facet_ranges,
-    "group_top2": q_group_top2,
-    "search_after": q_search_after,
     # training-data pipeline
     "exact_dedup": q_exact_dedup,
     "text_quality": q_text_quality,
@@ -1789,7 +1910,13 @@ QUERIES = {
     # every entry here is driver-green in BOTH r3 and r4 on code paths
     # unchanged since — r5 rotated out range_scored_top10 and
     # wildcard_count to keep content_sha256 (a BASELINE.json named
-    # requirement) and the rows-only ann_ivf_top10 inside the cap) ----
+    # requirement) and the rows-only ann_ivf_top10 inside the cap,
+    # then sort_by_field / blended_top10 / group_top2 / search_after
+    # to admit the geo + classification gates) ----
+    "sort_by_field": q_sort_by_field,
+    "blended_top10": q_blended_top10,
+    "group_top2": q_group_top2,
+    "search_after": q_search_after,
     "range_scored_top10": q_range_scored_top10,
     "wildcard_count": q_wildcard_count,
     "facet_source": q_facet_source,
@@ -2271,6 +2398,85 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         WHERE term <> '{SPELL_TARGET}'
           AND levenshtein(term, '{SPELL_TARGET}') <= 2
         ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+    # --- geo: deterministic lattice coords, exact double haversine -------
+    _geo_cte = (
+        f"geo AS (SELECT doc_id, source, {GEO_LAT_EXPR} AS lat, "
+        f"{GEO_LON_EXPR} AS lon FROM documents)"
+    )
+    _g_lat, _g_lon = GEO_ORIGIN
+    # identical op order to search/geo.haversine_meters: radians applied
+    # per operand BEFORE the subtraction, s*s not pow, 2*R folded last
+    _sdlat = f"sin((radians(lat) - radians({_g_lat})) / 2)"
+    _sdlon = f"sin((radians(lon) - radians({_g_lon})) / 2)"
+    _hav = (
+        f"2 * 6371008.7714 * asin(sqrt({_sdlat} * {_sdlat} + "
+        f"cos(radians({_g_lat})) * cos(radians(lat)) * {_sdlon} * {_sdlon}))"
+    )
+    sqls["geo_distance_top10"] = f"""WITH {TOKENS_CTE}, {_geo_cte},
+        hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}'),
+        d AS (SELECT g.doc_id, {_hav} AS dist_m FROM geo g JOIN hit USING (doc_id))
+        SELECT doc_id, round(dist_m, {ROUND}) AS dist_m FROM d
+        ORDER BY dist_m ASC, doc_id ASC LIMIT 10"""
+    _b_lat1, _b_lat2, _b_lon1, _b_lon2 = GEO_BOX
+    sqls["geo_box_count"] = f"""WITH {_geo_cte}
+        SELECT source, count(*)::BIGINT AS cnt FROM geo
+        WHERE lat >= {_b_lat1} AND lat <= {_b_lat2}
+          AND (lon >= {_b_lon1} OR lon <= {_b_lon2})
+        GROUP BY source"""
+
+    # --- classification --------------------------------------------------
+    sqls["knn_classify"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+seed AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_SEED_DOC}),
+sel AS (SELECT s.term FROM seed s JOIN dfall d USING (term)
+        WHERE s.tf >= 2 AND d.df >= 5
+        ORDER BY s.tf * (ln(((SELECT n FROM n) + 1) / (d.df + 1.0)) + 1) DESC,
+                 s.term ASC
+        LIMIT 25),
+dfs AS (SELECT term, df FROM dfall WHERE term IN (SELECT term FROM sel)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+topk AS (SELECT doc_id, sum(s) AS s FROM scored GROUP BY doc_id
+         ORDER BY sum(s) DESC, doc_id ASC LIMIT {KNN_K}),
+mx AS (SELECT max(s) AS mx, count(*)::BIGINT AS sumdoc FROM topk),
+lab AS (SELECT t.s, d.lang AS cls FROM topk t JOIN documents d USING (doc_id))
+SELECT cls,
+       round(sum(s / (SELECT mx FROM mx)) / (SELECT sumdoc FROM mx), {ROUND}) AS vote
+FROM lab GROUP BY cls
+ORDER BY sum(s / (SELECT mx FROM mx)) / (SELECT sumdoc FROM mx) DESC, cls ASC"""
+
+    sqls["nb_classify"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE},
+qt AS (SELECT term, count(*)::BIGINT AS qtf FROM tok
+       WHERE doc_id = {NB_SEED_DOC} GROUP BY term),
+ntok AS (SELECT sum(qtf)::BIGINT AS nt FROM qt),
+nlab AS (SELECT count(*)::BIGINT AS n FROM documents),
+au AS (SELECT count(*)::DOUBLE / (SELECT n FROM nlab) AS a FROM tf),
+cls AS (SELECT lang AS cls, count(*)::BIGINT AS dfc FROM documents GROUP BY lang),
+wc AS (SELECT d.lang AS cls, t.term, count(DISTINCT t.doc_id)::BIGINT AS hits
+       FROM tok t JOIN documents d USING (doc_id)
+       WHERE t.term IN (SELECT term FROM qt) GROUP BY 1, 2),
+ml AS (SELECT wc.cls, sum(qt.qtf * ln(wc.hits + 1)) AS mll
+       FROM wc JOIN qt USING (term) GROUP BY wc.cls),
+sc AS (SELECT c.cls,
+              ln(c.dfc) - ln((SELECT n FROM nlab)) + coalesce(ml.mll, 0)
+                - (SELECT nt FROM ntok)
+                  * ln((SELECT a FROM au) * c.dfc + (SELECT n FROM nlab)) AS score
+       FROM cls c LEFT JOIN ml USING (cls)),
+sm AS (SELECT max(score) AS smax FROM sc),
+ls AS (SELECT (SELECT smax FROM sm)
+              + ln(sum(exp(score - (SELECT smax FROM sm)))) AS loga FROM sc)
+SELECT cls, round(score, {ROUND}) AS score,
+       round(exp(score - (SELECT loga FROM ls)), {ROUND}) AS prob
+FROM sc ORDER BY score DESC, cls ASC"""
     sqls["group_top2"] = f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
