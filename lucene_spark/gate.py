@@ -91,9 +91,10 @@ _searchers_off: dict[str, IndexSearcher] = {}
 
 def searcher_for_offsets(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Separate cached index built with store_offsets=True (IndexOptions
-    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) — kept apart from the main
-    gate index so the headline build/query benchmarks measure the
-    default positions-only configuration."""
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) AND store_term_vectors=True
+    (the two opt-in payload features share one aux index) — kept apart
+    from the main gate index so the headline build/query benchmarks
+    measure the default positions-only configuration."""
     if sf_dir in _searchers_off:
         return _searchers_off[sf_dir]
     idx_dir = _index_dir_for(sf_dir) + "_off"
@@ -112,9 +113,13 @@ def searcher_for_offsets(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             m.get("doc_count") != n
             or m.get("codec") != CODEC_NAME
             or not m.get("store_offsets")
+            or not m.get("store_term_vectors")
         )
     if rebuild:
-        build_index(spark, docs, idx_dir, store_positions=True, store_offsets=True)
+        build_index(
+            spark, docs, idx_dir,
+            store_positions=True, store_offsets=True, store_term_vectors=True,
+        )
     s = IndexSearcher(spark, idx_dir)
     _searchers_off[sf_dir] = s
     return s
@@ -811,6 +816,45 @@ def q_geo_box_count(spark, sf_dir):
     pts = _geo_cols(docs.select("doc_id", "source"))
     inside = box_search(pts, *GEO_BOX)
     return inside.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+
+
+# --- term vectors (doc-major side table) --------------------------------
+TV_DOC = 77
+
+
+def q_term_vector_doc(spark, sf_dir):
+    """Term-vectors read duel (codecs/lucene90/
+    Lucene90TermVectorsFormat.java analog): the stored doc-major vector
+    of one document — (term, tf, positions) — against a re-analysis of
+    the raw text in SQL. Positions serialize as a comma-joined string so
+    both engines hash one canonical scalar."""
+    s = searcher_for_offsets(spark, sf_dir)
+    dm = _docid_map(s)
+    row = dm.filter(F.col("doc_id") == TV_DOC).select("docID").head()
+    if row is None:  # tiny sf dirs
+        return spark.createDataFrame([], "term string, tf long, positions string")
+    tv = s.term_vector(int(row[0]))
+    return tv.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias("positions"),
+    )
+
+
+def q_mlt_vector_top10(spark, sf_dir):
+    """MoreLikeThis.like(docNum) — the STORED-term-vector path
+    (queries/mlt/MoreLikeThis.java:582 retrieveTerms(int)): term
+    selection reads the seed doc's vector instead of re-analyzing text,
+    then the same double-precision BM25 OR top-10. The oracle is the
+    identical selection replayed from re-tokenized text — passing proves
+    vector tf == analyzed tf end-to-end."""
+    s_off = searcher_for_offsets(spark, sf_dir)
+    dm = _docid_map(s_off)
+    row = dm.filter(F.col("doc_id") == MLT_SEED_DOC).select("docID").head()
+    if row is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = s_off.mlt_terms_for_doc(int(row[0]))
+    return _bm25_spark(spark, sf_dir, terms, "or")
 
 
 # --- classification (lucene/classification module) ---------------------
@@ -1866,6 +1910,8 @@ QUERIES = {
     "geo_box_count": q_geo_box_count,
     "knn_classify": q_knn_classify,
     "nb_classify": q_nb_classify,
+    "term_vector_doc": q_term_vector_doc,
+    "mlt_vector_top10": q_mlt_vector_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -1879,9 +1925,7 @@ QUERIES = {
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "phrase_top10": q_phrase_top10,
     "parsed_query_top10": q_parsed_query_top10,
-    "multiphrase_top10": q_multiphrase_top10,
     "phrase_prefix_top10": q_phrase_prefix_top10,
-    "interval_near_top10": q_interval_near_top10,
     "sloppy2_top10": q_sloppy2_top10,
     "fuzzy_scored_top10": q_fuzzy_scored_top10,
     "regexp_df": q_regexp_df,
@@ -1911,8 +1955,11 @@ QUERIES = {
     # unchanged since — r5 rotated out range_scored_top10 and
     # wildcard_count to keep content_sha256 (a BASELINE.json named
     # requirement) and the rows-only ann_ivf_top10 inside the cap,
-    # then sort_by_field / blended_top10 / group_top2 / search_after
-    # to admit the geo + classification gates) ----
+    # then sort_by_field / blended_top10 / group_top2 / search_after /
+    # interval_near_top10 / multiphrase_top10 to admit the geo +
+    # classification + term-vector gates) ----
+    "interval_near_top10": q_interval_near_top10,
+    "multiphrase_top10": q_multiphrase_top10,
     "sort_by_field": q_sort_by_field,
     "blended_top10": q_blended_top10,
     "group_top2": q_group_top2,
@@ -2348,6 +2395,7 @@ scored AS (
 SELECT doc_id, round(sum(s), {ROUND}) AS score
 FROM scored GROUP BY doc_id
 ORDER BY sum(s) DESC, doc_id ASC LIMIT 10"""
+    sqls["mlt_vector_top10"] = sqls["mlt_top10"]
 
     sqls["sort_by_field"] = f"""WITH {TOKENS_CTE}
         SELECT d.doc_id, d.n_chars FROM documents d
@@ -2424,6 +2472,20 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         WHERE lat >= {_b_lat1} AND lat <= {_b_lat2}
           AND (lon >= {_b_lon1} OR lon <= {_b_lon2})
         GROUP BY source"""
+
+    # --- term vectors -----------------------------------------------------
+    sqls["term_vector_doc"] = f"""
+WITH ta AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS a
+            FROM documents WHERE doc_id = {TV_DOC}),
+tp AS (SELECT unnest(a) AS term, unnest(range(len(a))) AS pos FROM ta)
+SELECT term, count(*)::BIGINT AS tf,
+       array_to_string(list(pos ORDER BY pos), ',') AS positions
+FROM tp GROUP BY term"""
+    # mlt_vector_top10's oracle is assigned above (== mlt_top10's SQL) —
+    # the engine paths differ (stored vector vs re-analysis); equal
+    # results prove vector tf == analyzed tf
 
     # --- classification --------------------------------------------------
     sqls["knn_classify"] = f"""

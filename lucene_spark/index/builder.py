@@ -63,6 +63,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -819,6 +820,81 @@ def _salt_runs(
     )
 
 
+TERMVEC_SCHEMA = StructType(
+    [
+        StructField("docID", LongType()),
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _term_vectors_partition(
+    offsets: dict[int, int],
+    store_positions: bool,
+    token_filters: tuple[str, ...] = (),
+):
+    """mapInPandas kernel: DOC-MAJOR (docID, term, tf, positions) rows —
+    the term-vectors side table (reference lucene/core/src/java/org/
+    apache/lucene/codecs/lucene90/Lucene90TermVectorsFormat.java
+    semantics: per-document term/freq/position access without a
+    term-major scan). Rows inherit the global docID assignment (same
+    rpid-offset scheme as _invert_partition) and arrive docID-ASCENDING,
+    so the parquet files carry tight min/max rowgroup stats on docID —
+    a term_vector(docID) point lookup prunes to one rowgroup, which is
+    the Spark analog of Lucene's doc-indexed vector file. Map-only: no
+    shuffle, tokenization is the only cost of the opt-in flag."""
+
+    def fn(batches):
+        next_ids: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rpids = pdf["rpid"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, rpids[1:] != rpids[:-1]])
+            bounds = np.r_[starts, len(pdf)]
+            for i, st in enumerate(starts):
+                en = bounds[i + 1]
+                rp = int(rpids[st])
+                base = next_ids.get(rp, offsets[rp])
+                ids[st:en] = np.arange(base, base + (en - st))
+                next_ids[rp] = base + (en - st)
+            codes, uniq, dls = _window_codes(
+                pdf["content"].tolist(), token_filters=tuple(token_filters)
+            )[:3]
+            if len(codes) == 0:
+                continue
+            uniq_arr = np.asarray(uniq, dtype=object)
+            doc_idx = np.repeat(np.arange(len(pdf)), dls)
+            doc_starts = np.r_[0, np.cumsum(dls)[:-1]]
+            pos_in_doc = (
+                np.arange(len(codes)) - np.repeat(doc_starts, dls)
+            ).astype(np.int32)
+            key = doc_idx.astype(np.int64) * (len(uniq_arr) + 1) + codes
+            order = np.argsort(key, kind="stable")  # keeps positions ASC
+            skey, spos = key[order], pos_in_doc[order]
+            grp = np.flatnonzero(np.r_[True, skey[1:] != skey[:-1]])
+            gend = np.r_[grp[1:], len(skey)]
+            d = skey[grp] // (len(uniq_arr) + 1)
+            c = skey[grp] % (len(uniq_arr) + 1)
+            out = {
+                "docID": ids[d],
+                "term": uniq_arr[c],
+                "tf": (gend - grp).astype(np.int32),
+            }
+            if store_positions:
+                out["positions"] = [
+                    spos[s:e].tolist() for s, e in zip(grp, gend)
+                ]
+            else:
+                out["positions"] = [None] * len(grp)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def lb10_by_term(
     spark: SparkSession, postings_path: str, cache, gens: list[str] | None = None
 ) -> DataFrame:
@@ -884,6 +960,7 @@ def build_index(
     hot_salt_span: int = 1 << 20,
     store_positions: bool = True,
     store_offsets: bool = False,
+    store_term_vectors: bool = False,
     flush_docs: int = FLUSH_DOCS,
     key_sample: list[tuple[str, str, str]] | None = None,
     sample_fraction: float = 0.1,
@@ -913,6 +990,14 @@ def build_index(
     too). Occurrence payloads are parquet-pruned from every scoring
     scan, so query latency is unaffected; only build encode time and
     index bytes grow.
+
+    ``store_term_vectors``: additionally write a DOC-MAJOR
+    {out_dir}/termvectors/ side table (docID, term, tf, positions) —
+    Lucene's term-vectors file analog (codecs/lucene90/
+    Lucene90TermVectorsFormat.java): per-document term access without a
+    term-major postings scan, feeding IndexSearcher.term_vector() and
+    the vector-based MoreLikeThis path. Map-only second tokenize pass;
+    batch build only (streaming refresh does not carry it).
 
     Output layout: {out_dir}/{docmap,terms,postings,stats,lineage}/ parquet
     + manifest.json (written last = commit point)."""
@@ -998,6 +1083,17 @@ def build_index(
     ).write.mode("overwrite").parquet(inv_path)
     inverted = spark.read.parquet(inv_path)
     _mark("invert_write", _t)
+
+    if store_term_vectors:
+        # map-only doc-major pass; re-reads the sorted shuffle files
+        # (cheaper than persisting the wide docs frame — see the NO
+        # persist note above), writes docID-ascending so rowgroup stats
+        # make term_vector(docID) a one-rowgroup point lookup
+        sorted_docs.mapInPandas(
+            _term_vectors_partition(offsets, store_positions, token_filters),
+            schema=TERMVEC_SCHEMA,
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "termvectors"))
+        _mark("termvectors_write", _t)
 
     docmap = inverted.filter(F.col("term").isNull()).select(*_META_COLS)
     docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
@@ -1134,6 +1230,7 @@ def build_index(
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "store_offsets": store_offsets,
+        "store_term_vectors": store_term_vectors,
         "token_filters": list(token_filters),
         "block_size": BLOCK_SIZE,
         "flush_docs": flush_docs,

@@ -1246,6 +1246,20 @@ class IndexSearcher:
         tf: dict[str, int] = {}
         for t in analyze(seed_text):
             tf[t] = tf.get(t, 0) + 1
+        return self._mlt_select(
+            tf, max_query_terms, min_term_freq, min_doc_freq, max_doc_freq
+        )
+
+    def _mlt_select(
+        self,
+        tf: dict[str, int],
+        max_query_terms: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+        max_doc_freq: int | None,
+    ) -> list[str]:
+        """Shared MLT term selection from a term->tf map (text- and
+        term-vector-sourced paths feed the same ranking)."""
         cand = [t for t, c in tf.items() if c >= min_term_freq]
         stats = self.term_stats(cand)
         n = self.doc_count
@@ -1260,6 +1274,72 @@ class IndexSearcher:
             scored.append((tf[t] * idf_c, t))
         scored.sort(key=lambda st: (-st[0], st[1]))
         return [t for _, t in scored[:max_query_terms]]
+
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """Doc-major term-vectors read (reference codecs/lucene90/
+        Lucene90TermVectorsFormat.java semantics: per-document
+        term/freq/position access without a term-major postings scan).
+        Requires an index built with ``store_term_vectors=True``; the
+        docID point filter pushes into the termvectors parquet, whose
+        docID-ascending layout prunes to the owning rowgroup(s). Deleted
+        docs are dropped (driver-side for the broadcast tombstone mode,
+        anti-join for the large-set mode). Columns (docID, term, tf,
+        positions)."""
+        if not self.manifest.get("store_term_vectors"):
+            raise ValueError(
+                "index was not built with store_term_vectors=True"
+            )
+        ids = [int(d) for d in doc_ids]
+        if getattr(self, "_deleted", None) is not None and self._deleted.size:
+            dele = set(int(x) for x in self._deleted[
+                np.isin(self._deleted, np.asarray(ids, dtype=np.int64))
+            ])
+            ids = [d for d in ids if d not in dele]
+        tv = self.spark.read.parquet(
+            os.path.join(self.index_dir, "termvectors")
+        )
+        out = (
+            tv.where(F.col("docID").isin(ids)) if ids
+            else tv.where(F.lit(False))
+        )
+        return self._strip_deleted(out)
+
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """Single-doc term vector — (term, tf, positions)."""
+        return self.term_vectors([doc_id]).select("term", "tf", "positions")
+
+    def mlt_terms_for_doc(
+        self,
+        doc_id: int,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq: int | None = None,
+    ) -> list[str]:
+        """MoreLikeThis.like(int docNum) — the term-vector path
+        (reference queries/mlt/MoreLikeThis.java:582 retrieveTerms(int):
+        when vectors are stored, term freqs come straight from them, no
+        re-analysis of stored content). Driver materialization is one
+        doc's vocabulary — bounded."""
+        rows = self.term_vectors([doc_id]).select("term", "tf").collect()
+        tf = {r.term: int(r.tf) for r in rows}
+        return self._mlt_select(
+            tf, max_query_terms, min_term_freq, min_doc_freq, max_doc_freq
+        )
+
+    def more_like_this_doc(
+        self, doc_id: int, k: int = 10, **mlt_kwargs
+    ) -> DataFrame:
+        """MoreLikeThis over an INDEXED doc via its stored term vector —
+        identical scoring to more_like_this (the seed doc itself is not
+        excluded, as in Lucene)."""
+        terms = self.mlt_terms_for_doc(doc_id, **mlt_kwargs)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk()
+        scored = self._scored_postings(present, stats)
+        return self._topk(scored, k, "or", n_terms=len(present))
 
     def more_like_this(
         self,
