@@ -857,6 +857,29 @@ def q_mlt_vector_top10(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, terms, "or")
 
 
+def q_function_score_top10(spark, sf_dir):
+    """FunctionScoreQuery analog (reference queries/src/java/org/apache/
+    lucene/queries/function/FunctionScoreQuery.java:46 — rescore a query
+    by an arbitrary DoubleValuesSource): BM25(TERM_1) in double,
+    multiplied by ln(1 + n_chars) of the doc's metadata feature, top 10.
+    On Spark the values-source is literally a SQL expression column —
+    the whole 'expressions' module maps to Catalyst."""
+    scored = (
+        _bm25_spark_scored(spark, sf_dir, [TERM_1])
+        .groupBy("doc_id").agg(F.sum("s").alias("s"))
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    j = scored.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "v", F.col("s") * F.log(F.lit(1.0) + F.col("n_chars"))
+    )
+    return (
+        j.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --- classification (lucene/classification module) ---------------------
 KNN_K = 10
 NB_SEED_DOC = 137
@@ -1912,6 +1935,7 @@ QUERIES = {
     "nb_classify": q_nb_classify,
     "term_vector_doc": q_term_vector_doc,
     "mlt_vector_top10": q_mlt_vector_top10,
+    "function_score_top10": q_function_score_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -1927,7 +1951,6 @@ QUERIES = {
     "parsed_query_top10": q_parsed_query_top10,
     "phrase_prefix_top10": q_phrase_prefix_top10,
     "sloppy2_top10": q_sloppy2_top10,
-    "fuzzy_scored_top10": q_fuzzy_scored_top10,
     "regexp_df": q_regexp_df,
     "term_offsets": q_term_offsets,
     "bm25_explain": q_bm25_explain,
@@ -1956,8 +1979,10 @@ QUERIES = {
     # wildcard_count to keep content_sha256 (a BASELINE.json named
     # requirement) and the rows-only ann_ivf_top10 inside the cap,
     # then sort_by_field / blended_top10 / group_top2 / search_after /
-    # interval_near_top10 / multiphrase_top10 to admit the geo +
-    # classification + term-vector gates) ----
+    # interval_near_top10 / multiphrase_top10 / fuzzy_scored_top10 to
+    # admit the geo + classification + term-vector + function-score
+    # gates) ----
+    "fuzzy_scored_top10": q_fuzzy_scored_top10,
     "interval_near_top10": q_interval_near_top10,
     "multiphrase_top10": q_multiphrase_top10,
     "sort_by_field": q_sort_by_field,
@@ -2486,6 +2511,23 @@ FROM tp GROUP BY term"""
     # mlt_vector_top10's oracle is assigned above (== mlt_top10's SQL) —
     # the engine paths differ (stored vector vs re-analysis); equal
     # results prove vector tf == analyzed tf
+
+    # --- function score ---------------------------------------------------
+    sqls["function_score_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term = '{TERM_1}' GROUP BY term),
+bm AS (
+  SELECT tf.doc_id, sum(
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad)))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id
+),
+fs AS (SELECT bm.doc_id, bm.s * ln(1.0 + d.n_chars) AS v
+       FROM bm JOIN documents d USING (doc_id))
+SELECT doc_id, round(v, {ROUND}) AS score FROM fs
+ORDER BY v DESC, doc_id ASC LIMIT 10"""
 
     # --- classification --------------------------------------------------
     sqls["knn_classify"] = f"""
