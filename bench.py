@@ -126,10 +126,19 @@ def main() -> None:
         "phrase_prefix_top10",
         "hybrid_top10",
         "dv_sort_top15",
-        # highlight_top10 and stemmed_bm25_top10 are gate-only: each
-        # needs its own separately-built index (offsets / stemmed); the
-        # headline bench measures the default positions-only
-        # StandardAnalyzer configuration
+        "syngraph_top10",
+        "monitor_matches",
+        "spell_top5",
+        "facet_taxonomy",
+        "geo_distance_top10",
+        "geo_box_count",
+        "knn_classify",
+        "nb_classify",
+        "function_score_top10",
+        # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
+        # mlt_vector_top10 are gate-only: each needs a separately-built
+        # index (offsets+vectors / stemmed); the headline bench measures
+        # the default positions-only StandardAnalyzer configuration
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

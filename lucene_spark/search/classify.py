@@ -81,7 +81,10 @@ def knn_classify(searcher, seed_text: str, labels: DataFrame, k: int = 10,
 # naive Bayes (SimpleNaiveBayesClassifier)
 # --------------------------------------------------------------------------
 
-def _nb_scores(searcher, tokens_df: DataFrame, labels: DataFrame) -> DataFrame:
+def _nb_scores(
+    searcher, tokens_df: DataFrame, labels: DataFrame,
+    terms: list[str] | None = None,
+) -> DataFrame:
     """Shared scoring grid for the single and batch variants.
 
     tokens_df: (qid, term, qtf) — analyzed input tokens with
@@ -99,16 +102,21 @@ def _nb_scores(searcher, tokens_df: DataFrame, labels: DataFrame) -> DataFrame:
     cls_df = labels.groupBy("cls").agg(F.count("*").alias("dfc"))
     avg_unique = searcher.manifest["sum_doc_freq"] / searcher.doc_count
 
-    # bounded driver materialization: short inputs push an exact term
-    # list into the postings scan; huge batch vocabularies stay
-    # distributed (full decode + term join) instead of collecting
-    qterms = tokens_df.select("term").distinct()
-    n_terms = qterms.count()
-    if n_terms <= 4096:
-        terms = [r.term for r in qterms.collect()]
+    # bounded driver materialization: a driver-known term list (single
+    # text) or a short batch vocabulary pushes an exact list into the
+    # postings scan; huge batch vocabularies stay distributed (full
+    # decode + term join) instead of collecting
+    if terms is None:
+        qterms = tokens_df.select("term").distinct()
+        n_terms = qterms.count()
+        if n_terms <= 4096:
+            terms = [r.term for r in qterms.collect()]
+    if terms is not None:
         base = searcher.postings_tf(terms)
     else:
-        base = searcher.postings_tf().join(qterms, "term")
+        base = searcher.postings_tf().join(
+            tokens_df.select("term").distinct(), "term"
+        )
     wc = (
         base.join(labels, "docID")
         .groupBy("cls", "term")
@@ -162,9 +170,9 @@ def nb_classify(searcher, text: str, labels: DataFrame) -> DataFrame:
     tokens_df = searcher.spark.createDataFrame(
         [(0, t, c) for t, c in sorted(tf.items())], "qid long, term string, qtf long"
     )
-    return _nb_softmax(_nb_scores(searcher, tokens_df, labels)).select(
-        "cls", "score", "prob"
-    )
+    return _nb_softmax(
+        _nb_scores(searcher, tokens_df, labels, terms=sorted(tf))
+    ).select("cls", "score", "prob")
 
 
 def nb_classify_batch(searcher, docs: DataFrame, labels: DataFrame) -> DataFrame:
