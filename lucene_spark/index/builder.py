@@ -1089,7 +1089,10 @@ def build_index(
         # (cheaper than persisting the wide docs frame — see the NO
         # persist note above), writes docID-ascending so rowgroup stats
         # make term_vector(docID) a one-rowgroup point lookup
-        sorted_docs.mapInPandas(
+        # narrow select: ship ONLY (rpid, content) through Arrow — row
+        # order within partitions is preserved, so docID assignment is
+        # identical to the invert pass
+        sorted_docs.select("rpid", "content").mapInPandas(
             _term_vectors_partition(offsets, store_positions, token_filters),
             schema=TERMVEC_SCHEMA,
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "termvectors"))
