@@ -16,9 +16,12 @@ SF = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "plans.md")
 
 
+def _full(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def _plan(df, head: int = 18) -> str:
-    s = df._jdf.queryExecution().executedPlan().toString()
-    lines = [ln[:130] for ln in s.splitlines()[:head]]
+    lines = [ln[:130] for ln in _full(df).splitlines()[:head]]
     return "\n".join(lines)
 
 
@@ -142,6 +145,33 @@ def main() -> None:
         "doc set joins it and TakeOrderedAndProject bounds the result — no global sort.",
         p,
     ))
+
+    fs = gate.q_function_score_top10(spark, SF)
+    p = _plan(fs, head=18)
+    sections.append((
+        "FunctionScore rescore — values-source is pure Catalyst, no Python in the plan",
+        "BM25(term) * ln(1+n_chars): the DoubleValuesSource analog compiles to a JVM expression over the "
+        "joined feature column (whole-stage codegen), and top-k stays TakeOrderedAndProject — no UDF eval "
+        "node anywhere in the rescore path.",
+        p,
+    ))
+    assert "TakeOrderedAndProject" in p, "function_score lost its top-k!"
+    assert "EvalPython" not in p, "function_score rescore fell off the JVM!"
+
+    dm = gate._docid_map(s_off)
+    row = dm.filter(F.col("doc_id") == gate.TV_DOC).select("docID").head()
+    tv = s_off.term_vector(int(row[0]))
+    full = _full(tv)
+    m = re.search(r"PushedFilters: \[[^\]]*\]", full)
+    p = _plan(tv, head=10) + ("\n" + m.group(0) if m else "")
+    sections.append((
+        "Term-vector point lookup — docID equality pushed to the parquet scan (rowgroup prune)",
+        "term_vector(docID) reads the doc-major side table with the docID predicate in PushedFilters; the "
+        "table is written docID-ascending, so parquet rowgroup min/max stats skip every other group — a "
+        "stored-fields seek, not a scan.",
+        p,
+    ))
+    assert m is not None and "docID" in m.group(0), "term_vector lost its docID pushdown!"
 
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
