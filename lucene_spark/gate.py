@@ -165,6 +165,77 @@ def searcher_for_stemmed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_pay: dict[str, IndexSearcher] = {}
+
+# per-token integer payload: (doc_id * 31 + position) % 97 — closed form
+# both sides can synthesize (Spark annotates the text; the oracle
+# recomputes from token ordinals)
+PAY_MUL, PAY_MOD = 31, 97
+
+
+def _payload_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with each token annotated as ``tok|payload`` —
+    the DelimitedPayloadTokenFilter input convention. Token order is the
+    plain whitespace split of the (already ``[a-z0-9 ]``) text, so the
+    whitespace-tokenizer index sees the same positions the oracle
+    derives from token ordinals."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.split(F.trim(F.col("text")), " +")
+    ann = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.concat(
+                t,
+                F.lit("|"),
+                ((F.col("doc_id") * PAY_MUL + i) % PAY_MOD).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        ann.alias("content"),
+    )
+
+
+def searcher_for_payloads(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Cached aux index built with tokenizer='whitespace' +
+    store_payloads=True (DelimitedPayloadTokenFilter + IntegerEncoder
+    analog) over the payload-annotated documents — kept apart from the
+    headline index so default benchmarks measure the StandardAnalyzer
+    positions-only configuration."""
+    if sf_dir in _searchers_pay:
+        return _searchers_pay[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_pay"
+    docs = _payload_docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or not m.get("store_payloads")
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            tokenizer="whitespace", store_payloads=True,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_pay[sf_dir] = s
+    return s
+
+
 def _docid_map(s: IndexSearcher) -> DataFrame:
     """(docID, doc_id, dl) — path was the zero-padded doc_id."""
     return s.docmap.select(
@@ -877,6 +948,28 @@ def q_function_score_top10(spark, sf_dir):
         .orderBy(F.desc("v"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", "score")
+    )
+
+
+def q_payload_sum_top10(spark, sf_dir):
+    """PayloadScoreQuery duel (reference lucene/queries/src/java/org/
+    apache/lucene/queries/payloads/PayloadScoreQuery.java:47 with
+    SumPayloadFunction, includeSpanScore=false): every token carries a
+    closed-form integer payload ((doc_id*31 + position) % 97) smuggled
+    through the DelimitedPayloadTokenFilter convention 'tok|pay'; docs
+    rank by the SUM of payloads at TERM_1's positions. Exercises the
+    whole per-occurrence payload path: whitespace tokenize -> vocab
+    payload parse -> pay_vb runs -> block merge -> reduceat aggregate.
+    Ties (only ~97*max_tf distinct sums exist) are broken by doc_id, so
+    the docID-space engine result converts to doc_id BEFORE the final
+    order/limit (gate tie-break convention, see CLAUDE.md)."""
+    s = searcher_for_payloads(spark, sf_dir)
+    scored = s.payload_score(TERM_1, "sum", k=None)
+    j = scored.join(_docid_map(s).select("docID", "doc_id"), "docID")
+    return (
+        j.select("doc_id", F.col("payload_score").alias("pay_sum"))
+        .orderBy(F.desc("pay_sum"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -1936,6 +2029,7 @@ QUERIES = {
     "term_vector_doc": q_term_vector_doc,
     "mlt_vector_top10": q_mlt_vector_top10,
     "function_score_top10": q_function_score_top10,
+    "payload_sum_top10": q_payload_sum_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -1957,12 +2051,10 @@ QUERIES = {
     "highlight_top10": q_highlight_top10,
     "mlt_top10": q_mlt_top10,
     "suggest_prefix": q_suggest_prefix,
-    "synonym_top10": q_synonym_top10,
     "facet_ranges": q_facet_ranges,
     # training-data pipeline
     "exact_dedup": q_exact_dedup,
     "text_quality": q_text_quality,
-    "cosine_top10": q_cosine_top10,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_components": q_dedup_components,
@@ -1981,7 +2073,11 @@ QUERIES = {
     # then sort_by_field / blended_top10 / group_top2 / search_after /
     # interval_near_top10 / multiphrase_top10 / fuzzy_scored_top10 to
     # admit the geo + classification + term-vector + function-score
-    # gates) ----
+    # gates, then synonym_top10 / cosine_top10 — both twice-green on
+    # paths unchanged since r4 — to admit payload_sum_top10 and
+    # block_join_top10) ----
+    "synonym_top10": q_synonym_top10,
+    "cosine_top10": q_cosine_top10,
     "fuzzy_scored_top10": q_fuzzy_scored_top10,
     "interval_near_top10": q_interval_near_top10,
     "multiphrase_top10": q_multiphrase_top10,
@@ -2497,6 +2593,20 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         WHERE lat >= {_b_lat1} AND lat <= {_b_lat2}
           AND (lon >= {_b_lon1} OR lon <= {_b_lon2})
         GROUP BY source"""
+
+    # --- payloads (PayloadScoreQuery + SumPayloadFunction) ----------------
+    # the engine indexes text annotated as tok|((doc_id*31+pos)%97); the
+    # oracle recomputes the same closed form from token ordinals over the
+    # raw text (token order is identical: the text is plain [a-z0-9 ])
+    sqls["payload_sum_top10"] = f"""
+WITH ta AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS a
+            FROM documents),
+tp AS (SELECT doc_id, unnest(a) AS term, unnest(range(len(a))) AS pos FROM ta)
+SELECT doc_id, sum((doc_id * {PAY_MUL} + pos) % {PAY_MOD})::BIGINT AS pay_sum
+FROM tp WHERE term = '{TERM_1}'
+GROUP BY doc_id ORDER BY pay_sum DESC, doc_id ASC LIMIT 10"""
 
     # --- term vectors -----------------------------------------------------
     sqls["term_vector_doc"] = f"""

@@ -122,6 +122,7 @@ INVERT_SCHEMA = StructType(
         StructField("pos_vb", BinaryType()),
         StructField("offs_vb", BinaryType()),
         StructField("olen_vb", BinaryType()),
+        StructField("pay_vb", BinaryType()),
         StructField("docID", LongType()),
         StructField("repo", StringType()),
         StructField("path", StringType()),
@@ -151,12 +152,14 @@ BLOCK_SCHEMA = StructType(
         StructField("pos_vb", BinaryType()),
         StructField("offs_vb", BinaryType()),
         StructField("olen_vb", BinaryType()),
+        StructField("pay_vb", BinaryType()),
     ]
 )
 
 _RUN_COLS = [
     "term", "first_doc", "ndocs", "cf", "max_tf", "min_norm",
     "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
+    "pay_vb",
 ]
 _META_COLS = [
     "docID", "repo", "path", "commit", "lang", "content_sha256", "dl", "norm",
@@ -412,6 +415,7 @@ def _invert_codes(
     norms: np.ndarray,
     store_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
+    pays: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Invert one flush window (ascending-docID docs of ONE rpid range)
     into per-term posting runs — fully vectorized, no per-token Python.
@@ -427,7 +431,7 @@ def _invert_codes(
     terms: list[str] = []
     firsts, ndocs, cfs, mtfs, mnorms = [], [], [], [], []
     dvbs, tvbs, nbs, pvbs = [], [], [], []
-    ovbs, lvbs = [], []
+    ovbs, lvbs, yvbs = [], [], []
     if total:
         # the kernel is MEMORY-BANDWIDTH-bound (~15 full passes over the
         # window's token-parallel arrays; that ceiling is what caps the
@@ -467,6 +471,8 @@ def _invert_codes(
         if offs is not None:
             so = offs[0][order]
             sl = (offs[1] - offs[0]).astype(np.int32)[order]  # token lengths
+        if pays is not None:
+            sy = pays[order]
         del codes32, doc_rep, norm_rep, pos
         # posting boundaries: run breaks of (term code, doc)
         pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
@@ -513,6 +519,13 @@ def _invert_codes(
             else:
                 ovbs.append(b"")
                 lvbs.append(b"")
+            if pays is not None:
+                # per-occurrence payload ints in position order — same
+                # tf-segment layout as positions/offset-lengths, plain
+                # varbyte (values are arbitrary, never monotone)
+                yvbs.append(encode(sy[tok_bounds[s]:tok_bounds[e]].astype(np.int64)))
+            else:
+                yvbs.append(b"")
     frame = pd.DataFrame(
         {
             "term": terms,
@@ -527,6 +540,7 @@ def _invert_codes(
             "pos_vb": pvbs,
             "offs_vb": ovbs,
             "olen_vb": lvbs,
+            "pay_vb": yvbs,
         }
     )
     for c in _META_COLS:
@@ -540,6 +554,8 @@ def _invert_partition(
     flush_docs: int = FLUSH_DOCS,
     store_offsets: bool = False,
     token_filters: tuple[str, ...] = (),
+    tokenizer: str = "standard",
+    store_payloads: bool = False,
 ):
     """mapInPandas kernel: one generator instance == one range partition;
     assigns dense docIDs from the partition's global offset, buffers each
@@ -566,11 +582,13 @@ def _invert_partition(
         win_ids: list[np.ndarray] = []
         win_norms: list[np.ndarray] = []
         win_offs: list[tuple[np.ndarray, np.ndarray]] = []
+        win_pays: list[np.ndarray] = []
         buffered = 0
         cur_rp: int | None = None
 
         def _flush_window() -> pd.DataFrame:
-            nonlocal win_chunks, win_dls, win_ids, win_norms, win_offs, buffered
+            nonlocal win_chunks, win_dls, win_ids, win_norms, win_offs, \
+                win_pays, buffered
             vocab: dict[str, int] = {}
             uniq: list[str] = []
             parts: list[np.ndarray] = []
@@ -600,6 +618,12 @@ def _invert_partition(
                     np.concatenate([o[1] for o in win_offs])
                     if win_offs else np.empty(0, np.int32),
                 )
+            pays_w = None
+            if store_payloads:
+                pays_w = (
+                    np.concatenate(win_pays)
+                    if win_pays else np.empty(0, np.int64)
+                )
             out = _invert_codes(
                 codes,
                 uniq,
@@ -608,8 +632,10 @@ def _invert_partition(
                 np.concatenate(win_norms),
                 store_positions,
                 offs=offs_w,
+                pays=pays_w,
             )
             win_chunks, win_dls, win_ids, win_norms, win_offs = [], [], [], [], []
+            win_pays = []
             buffered = 0
             return out
 
@@ -630,7 +656,16 @@ def _invert_partition(
 
             # tokenize the whole batch in one vectorized pass
             texts = list(pdf["content"])
-            if store_offsets:
+            pays_b = None
+            if tokenizer == "whitespace":
+                from lucene_spark.analysis.whitespace import (
+                    whitespace_window_codes,
+                )
+
+                codes_b, uniq_b, dls, pays_b = whitespace_window_codes(
+                    texts, parse_payloads=store_payloads
+                )
+            elif store_offsets:
                 codes_b, uniq_b, dls, tok_st, tok_en = _window_codes(
                     texts, with_offsets=True, token_filters=token_filters
                 )
@@ -684,6 +719,8 @@ def _invert_partition(
                                 tok_en[off_b[i]:off_b[i + take]],
                             )
                         )
+                    if pays_b is not None:
+                        win_pays.append(pays_b[off_b[i]:off_b[i + take]])
                     buffered += take
                     i += take
                     if buffered >= flush_docs:
@@ -702,9 +739,10 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
     term, salt = key
     pdf = pdf.sort_values("first_doc")
     doc_parts, tf_parts, norm_parts, pos_parts = [], [], [], []
-    off_parts, olen_parts = [], []
+    off_parts, olen_parts, pay_parts = [], [], []
     has_pos = False
     has_offs = False
+    has_pays = False
     for r in pdf.itertuples():
         d = delta_decode(decode(bytes(r.docs_vb)))
         t = decode(bytes(r.tfs_vb))
@@ -721,6 +759,10 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 segmented_delta_decode(decode(bytes(r.offs_vb)), t)
             )
             olen_parts.append(decode(bytes(r.olen_vb)))
+        # pay_vb absent on runs written before the payloads option
+        if getattr(r, "pay_vb", b""):
+            has_pays = True
+            pay_parts.append(decode(bytes(r.pay_vb)))
     # Mixed-payload guard: occ_ends indexes the FULL run concatenation,
     # so if only SOME runs carry positions/offsets the flat arrays are
     # silently misaligned against it. write_segment pins the index-wide
@@ -736,6 +778,11 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
             f"term {term!r}: {len(off_parts)}/{len(pdf)} runs carry "
             "offsets — segments were written with mixed store_offsets"
         )
+    if has_pays and len(pay_parts) != len(pdf):
+        raise ValueError(
+            f"term {term!r}: {len(pay_parts)}/{len(pdf)} runs carry "
+            "payloads — segments were written with mixed store_payloads"
+        )
     doc_ids = np.concatenate(doc_parts)
     tfs = np.concatenate(tf_parts)
     norms = np.concatenate(norm_parts)
@@ -745,6 +792,8 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
     if has_offs:
         off_flat = np.concatenate(off_parts)
         olen_flat = np.concatenate(olen_parts)
+    if has_pays:
+        pay_flat = np.concatenate(pay_parts)
     rows = []
     for b, start in enumerate(range(0, len(doc_ids), BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, len(doc_ids))
@@ -762,6 +811,7 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
             olen_vb = encode(olen_flat[o0:o1])
         else:
             offs_vb, olen_vb = b"", b""
+        pay_vb = encode(pay_flat[o0:o1]) if has_pays else b""
         rows.append(
             (
                 term,
@@ -780,6 +830,7 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 pos_vb,
                 offs_vb,
                 olen_vb,
+                pay_vb,
             )
         )
     return pd.DataFrame(
@@ -788,6 +839,7 @@ def _merge_runs_to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
             "term", "salt", "block_seq", "ndocs", "min_doc", "max_doc",
             "max_tf", "min_norm", "min_tf", "max_norm",
             "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
+            "pay_vb",
         ],
     )
 
@@ -966,6 +1018,8 @@ def build_index(
     sample_fraction: float = 0.1,
     seed: int = 42,
     token_filters: tuple[str, ...] = (),
+    tokenizer: str = "standard",
+    store_payloads: bool = False,
 ) -> dict:
     """Build the full index at ``out_dir`` and return build metrics.
 
@@ -999,10 +1053,44 @@ def build_index(
     the vector-based MoreLikeThis path. Map-only second tokenize pass;
     batch build only (streaming refresh does not carry it).
 
+    ``tokenizer``: "standard" (StandardAnalyzer chain, the default) or
+    "whitespace" (WhitespaceTokenizer, reference
+    lucene/analysis/common/src/java/org/apache/lucene/analysis/core/
+    WhitespaceTokenizer.java:28 — no lowercasing, no filter chain;
+    queries must use surface forms verbatim).
+
+    ``store_payloads``: run the DelimitedPayloadTokenFilter analog
+    (term "foo|5" -> term "foo" with integer payload 5 at that position;
+    reference lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/payloads/DelimitedPayloadTokenFilter.java:38) and store
+    per-occurrence payload ints as a `pay_vb` posting column (the
+    PostingsEnum.PAYLOADS flag, reference lucene/core/src/java/org/
+    apache/lucene/index/PostingsEnum.java:58). Requires the whitespace
+    tokenizer ('|' never survives standard tokenization) and
+    store_positions (payloads are per-position, IndexOptions ordering).
+    Parquet prunes pay_vb from every scoring scan.
+
     Output layout: {out_dir}/{docmap,terms,postings,stats,lineage}/ parquet
     + manifest.json (written last = commit point)."""
     if store_offsets and not store_positions:
         raise ValueError("store_offsets requires store_positions")
+    if tokenizer not in ("standard", "whitespace"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if store_payloads and tokenizer != "whitespace":
+        raise ValueError(
+            "store_payloads requires tokenizer='whitespace' (the "
+            "delimited-payload filter's '|' never survives standard "
+            "tokenization)"
+        )
+    if store_payloads and not store_positions:
+        raise ValueError("store_payloads requires store_positions")
+    if tokenizer == "whitespace" and (
+        store_offsets or store_term_vectors or token_filters
+    ):
+        raise ValueError(
+            "tokenizer='whitespace' supports neither store_offsets, "
+            "store_term_vectors, nor token_filters"
+        )
     from lucene_spark.analysis.porter import TOKEN_FILTERS
 
     token_filters = tuple(token_filters)
@@ -1078,6 +1166,7 @@ def build_index(
         _invert_partition(
             offsets, store_positions, flush_docs,
             store_offsets=store_offsets, token_filters=token_filters,
+            tokenizer=tokenizer, store_payloads=store_payloads,
         ),
         schema=INVERT_SCHEMA,
     ).write.mode("overwrite").parquet(inv_path)
@@ -1234,6 +1323,8 @@ def build_index(
         "store_positions": store_positions,
         "store_offsets": store_offsets,
         "store_term_vectors": store_term_vectors,
+        "store_payloads": store_payloads,
+        "tokenizer": tokenizer,
         "token_filters": list(token_filters),
         "block_size": BLOCK_SIZE,
         "flush_docs": flush_docs,

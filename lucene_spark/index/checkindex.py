@@ -194,6 +194,7 @@ def check_index(spark: SparkSession, index_dir: str, full: bool = False) -> dict
     # -- full mode: decode every block --------------------------------------
     if full:
         store_positions = bool(manifest.get("store_positions", True))
+        store_payloads = bool(manifest.get("store_payloads", False))
 
         def _decode_check(batches):
             n_bad = 0
@@ -223,6 +224,9 @@ def check_index(spark: SparkSession, index_dir: str, full: bool = False) -> dict
                             ok = flat.size == int(t.sum()) and (
                                 flat.size == 0 or bool((flat >= 0).all())
                             )
+                        if ok and store_payloads:
+                            pv = bytes(getattr(r, "pay_vb", b"") or b"")
+                            ok = bool(pv) and decode(pv).size == int(t.sum())
                         if not ok:
                             n_bad += 1
                         else:
@@ -239,12 +243,15 @@ def check_index(spark: SparkSession, index_dir: str, full: bool = False) -> dict
                 )
                 cf_terms, n_bad = {}, 0
 
+        _chk_cols = [
+            "term", "ndocs", "min_doc", "max_doc", "min_tf", "max_tf",
+            "min_norm", "max_norm", "docs_vb", "tfs_vb", "norms_b",
+            "pos_vb",
+        ]
+        if store_payloads and "pay_vb" in posts.columns:
+            _chk_cols.append("pay_vb")
         decoded = (
-            posts.select(
-                "term", "ndocs", "min_doc", "max_doc", "min_tf", "max_tf",
-                "min_norm", "max_norm", "docs_vb", "tfs_vb", "norms_b",
-                "pos_vb",
-            )
+            posts.select(*_chk_cols)
             .mapInPandas(_decode_check, schema="term string, cf long")
             .groupBy("term")
             .agg(F.sum("cf").alias("cf"))

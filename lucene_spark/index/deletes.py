@@ -159,9 +159,10 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         rows = []
         term, salt = key
         for r in pdf.sort_values("block_seq").itertuples():
-            # offs columns absent on indexes built before the offsets option
+            # offs/pay columns absent on indexes built before those options
             offs_vb0 = bytes(getattr(r, "offs_vb", b"") or b"")
             olen_vb0 = bytes(getattr(r, "olen_vb", b"") or b"")
+            pay_vb0 = bytes(getattr(r, "pay_vb", b"") or b"")
             d = delta_decode(decode(bytes(r.docs_vb)))
             keep = ~np.isin(d, dele)
             if keep.all():
@@ -172,7 +173,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
                              int(getattr(r, "max_norm", 255)),
                              bytes(r.docs_vb), bytes(r.tfs_vb),
                              bytes(r.norms_b), bytes(r.pos_vb),
-                             offs_vb0, olen_vb0))
+                             offs_vb0, olen_vb0, pay_vb0))
                 continue
             if not keep.any():
                 continue
@@ -188,11 +189,14 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
             olen_vb = (
                 _seg_keep(olen_vb0, t, t2, keep, delta=False) if olen_vb0 else b""
             )
+            pay_vb = (
+                _seg_keep(pay_vb0, t, t2, keep, delta=False) if pay_vb0 else b""
+            )
             rows.append((term, int(salt), int(r.block_seq), int(d2.size),
                          int(d2[0]), int(d2[-1]), int(t2.max()), int(nb2.min()),
                          int(t2.min()), int(nb2.max()),
                          encode(delta_encode(d2)), encode(t2),
-                         nb2.tobytes(), pos_vb, offs_vb, olen_vb))
+                         nb2.tobytes(), pos_vb, offs_vb, olen_vb, pay_vb))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))

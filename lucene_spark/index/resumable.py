@@ -219,9 +219,9 @@ def merge_segments(
     and publish manifest.json (the commit point)."""
     n_part = partitions or spark.sparkContext.defaultParallelism
     runs = spark.read.parquet(os.path.join(out_dir, "runs"))
-    # runs checkpointed before the offsets option lack the occurrence-
-    # offset columns; resume them with empty payloads
-    for c in ("offs_vb", "olen_vb"):
+    # runs checkpointed before the offsets/payloads options lack the
+    # occurrence columns; resume them with empty payloads
+    for c in ("offs_vb", "olen_vb", "pay_vb"):
         if c not in runs.columns:
             runs = runs.withColumn(c, F.lit(b""))
     runs = runs.select(*_RUN_COLS)

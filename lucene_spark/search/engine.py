@@ -654,6 +654,139 @@ class IndexSearcher:
         ).select("term", "docs_vb", "tfs_vb", "pos_vb", "offs_vb", "olen_vb")
         return self._strip_deleted(blocks.mapInPandas(fn, schema=schema))
 
+    def postings_payloads(self, terms: list[str]) -> DataFrame:
+        """Decode per-occurrence payloads to exploded (docID, term, pos,
+        payload) rows — PostingsEnum with the PAYLOADS flag (reference
+        lucene/core/src/java/org/apache/lucene/index/PostingsEnum.java:58)
+        over an index built with store_payloads (integer payloads from
+        the delimited-payload filter; see index.builder.build_index)."""
+        if not self.manifest.get("store_payloads"):
+            raise ValueError("index built without payloads")
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("term", StringType()),
+                StructField("pos", LongType()),
+                StructField("payload", LongType()),
+            ]
+        )
+        dele_bc = self._deleted_bc
+
+        def fn(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for term, docs_vb, tfs_vb, pos_vb, pay_vb in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"],
+                    pdf["pos_vb"], pdf["pay_vb"],
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    pos = segmented_delta_decode(decode(bytes(pos_vb)), tfs)
+                    pay = decode(bytes(pay_vb))
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        if not keep.all():
+                            ends = np.cumsum(tfs)
+                            idx = np.flatnonzero(keep)
+                            parts = [
+                                np.arange(ends[i] - tfs[i], ends[i])
+                                for i in idx
+                            ]
+                            sel = (
+                                np.concatenate(parts)
+                                if parts
+                                else np.empty(0, np.int64)
+                            )
+                            pos, pay = pos[sel], pay[sel]
+                            doc_ids, tfs = doc_ids[keep], tfs[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": np.repeat(doc_ids, tfs),
+                                "term": term,
+                                "pos": pos,
+                                "payload": pay,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"), "term": [],
+                     "pos": pd.array([], dtype="int64"),
+                     "payload": pd.array([], dtype="int64")}
+                )
+
+        blocks = self._postings.filter(
+            F.col("term").isin(list(set(terms)))
+        ).select("term", "docs_vb", "tfs_vb", "pos_vb", "pay_vb")
+        return self._strip_deleted(blocks.mapInPandas(fn, schema=schema))
+
+    def payload_score(
+        self, term: str, agg: str = "sum", k: int | None = 10
+    ) -> DataFrame:
+        """PayloadScoreQuery analog (reference lucene/queries/src/java/
+        org/apache/lucene/queries/payloads/PayloadScoreQuery.java:47 with
+        includeSpanScore=false): score each matching doc by an aggregate
+        of the payloads at the term's positions — ``agg`` in
+        sum/max/min/avg (SumPayloadFunction / MaxPayloadFunction /
+        MinPayloadFunction / AveragePayloadFunction, reference
+        lucene/queries/src/java/org/apache/lucene/queries/payloads/).
+        Returns the top ``k`` (docID, payload_score) by score DESC,
+        docID ASC.
+
+        Scale shape: one (term, docID) pair lives in exactly ONE block
+        row (blocks partition doc ranges; salt spans and tiered gens own
+        disjoint ranges), so per-block reduceat aggregation is already
+        complete per doc — a zero-shuffle map + TakeOrdered plan."""
+        if agg not in ("sum", "max", "min", "avg"):
+            raise ValueError(f"unknown payload aggregate {agg!r}")
+        if not self.manifest.get("store_payloads"):
+            raise ValueError("index built without payloads")
+        out_type = "double" if agg == "avg" else "long"
+        dele_bc = self._deleted_bc
+
+        def fn(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for docs_vb, tfs_vb, pay_vb in zip(
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["pay_vb"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    pay = decode(bytes(pay_vb))
+                    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                    if agg == "sum":
+                        sc = np.add.reduceat(pay, starts)
+                    elif agg == "max":
+                        sc = np.maximum.reduceat(pay, starts)
+                    elif agg == "min":
+                        sc = np.minimum.reduceat(pay, starts)
+                    else:  # avg
+                        sc = np.add.reduceat(pay, starts) / tfs
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, sc = doc_ids[keep], sc[keep]
+                    outs.append(
+                        pd.DataFrame({"docID": doc_ids, "payload_score": sc})
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docID": pd.array([], dtype="int64"),
+                     "payload_score": pd.array(
+                         [], dtype="float64" if agg == "avg" else "int64"
+                     )}
+                )
+
+        scored = self._postings.filter(F.col("term") == term).select(
+            "docs_vb", "tfs_vb", "pay_vb"
+        ).mapInPandas(fn, schema=f"docID long, payload_score {out_type}")
+        scored = self._strip_deleted(scored)
+        if k is None:  # all matches (caller applies its own tie-break)
+            return scored
+        return scored.orderBy(
+            F.desc("payload_score"), F.asc("docID")
+        ).limit(k)
+
     @property
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))

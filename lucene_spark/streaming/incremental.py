@@ -94,6 +94,8 @@ def _record_index_options(
     store_positions: bool,
     store_offsets: bool,
     token_filters: tuple[str, ...] = (),
+    tokenizer: str = "standard",
+    store_payloads: bool = False,
 ) -> None:
     opts = _load_index_options(out_dir)
     if opts is None:
@@ -103,6 +105,8 @@ def _record_index_options(
                 "store_positions": bool(store_positions),
                 "store_offsets": bool(store_offsets),
                 "token_filters": list(token_filters),
+                "tokenizer": tokenizer,
+                "store_payloads": bool(store_payloads),
             },
         )
         return
@@ -110,15 +114,20 @@ def _record_index_options(
         bool(opts["store_positions"]) != bool(store_positions)
         or bool(opts["store_offsets"]) != bool(store_offsets)
         or list(opts.get("token_filters", [])) != list(token_filters)
+        or opts.get("tokenizer", "standard") != tokenizer
+        or bool(opts.get("store_payloads", False)) != bool(store_payloads)
     ):
         raise ValueError(
             "index options mismatch: index was created with "
             f"store_positions={opts['store_positions']} "
             f"store_offsets={opts['store_offsets']} "
-            f"token_filters={opts.get('token_filters', [])}, write "
+            f"token_filters={opts.get('token_filters', [])} "
+            f"tokenizer={opts.get('tokenizer', 'standard')} "
+            f"store_payloads={opts.get('store_payloads', False)}, write "
             f"requested store_positions={bool(store_positions)} "
             f"store_offsets={bool(store_offsets)} "
-            f"token_filters={list(token_filters)}"
+            f"token_filters={list(token_filters)} "
+            f"tokenizer={tokenizer} store_payloads={bool(store_payloads)}"
         )
 
 
@@ -142,6 +151,8 @@ def write_segment(
     store_offsets: bool = False,
     flush_docs: int = FLUSH_DOCS,
     token_filters: tuple[str, ...] = (),
+    tokenizer: str = "standard",
+    store_payloads: bool = False,
 ) -> int:
     """Invert one batch into an immutable segment (docmap + runs parquet).
     Returns the number of docs written. docIDs are
@@ -150,7 +161,8 @@ def write_segment(
     n_part = partitions or spark.sparkContext.defaultParallelism
     os.makedirs(out_dir, exist_ok=True)
     _record_index_options(
-        out_dir, store_positions, store_offsets, tuple(token_filters)
+        out_dir, store_positions, store_offsets, tuple(token_filters),
+        tokenizer=tokenizer, store_payloads=store_payloads,
     )
     n_batch = batch_df.count()
     if n_batch == 0:
@@ -186,6 +198,7 @@ def write_segment(
             offsets, store_positions, flush_docs,
             store_offsets=store_offsets,
             token_filters=tuple(token_filters),
+            tokenizer=tokenizer, store_payloads=store_payloads,
         ),
         schema=INVERT_SCHEMA,
     )
@@ -215,6 +228,8 @@ def start_indexing_stream(
     store_offsets: bool = False,
     trigger_available_now: bool = True,
     token_filters: tuple[str, ...] = (),
+    tokenizer: str = "standard",
+    store_payloads: bool = False,
 ):
     """Attach the indexing sink to a streaming DataFrame of documents
     (repo, path, commit, lang, content). Returns the StreamingQuery."""
@@ -230,6 +245,7 @@ def start_indexing_stream(
             spark, batch_df, out_dir, seg_name, state["next_doc"],
             partitions=partitions, store_positions=store_positions,
             store_offsets=store_offsets, token_filters=token_filters,
+            tokenizer=tokenizer, store_payloads=store_payloads,
         )
         if n == 0:
             return
@@ -260,8 +276,8 @@ def _merge_runs_to_gen(
     policy (reads O(new segments), never the whole index)."""
     run_paths = [os.path.join(out_dir, "runs", f"seg={s}") for s in seg_names]
     runs = spark.read.parquet(*run_paths)
-    # segments written before the offsets option lack the columns
-    for c in ("offs_vb", "olen_vb"):
+    # segments written before the offsets/payloads options lack the columns
+    for c in ("offs_vb", "olen_vb", "pay_vb"):
         if c not in runs.columns:
             runs = runs.withColumn(c, F.lit(b""))
     runs = runs.select(*_RUN_COLS)
@@ -303,6 +319,7 @@ _COMPACT_RUN_SCHEMA = StructType(
         StructField("pos_vb", BinaryType()),
         StructField("offs_vb", BinaryType()),
         StructField("olen_vb", BinaryType()),
+        StructField("pay_vb", BinaryType()),
     ]
 )
 
@@ -332,6 +349,7 @@ def _drop_deleted_rows(del_b):
             for r in pdf.itertuples():
                 offs_vb0 = bytes(getattr(r, "offs_vb", b"") or b"")
                 olen_vb0 = bytes(getattr(r, "olen_vb", b"") or b"")
+                pay_vb0 = bytes(getattr(r, "pay_vb", b"") or b"")
                 d = delta_decode(decode(bytes(r.docs_vb)))
                 keep = ~np.isin(d, dele)
                 if keep.all():
@@ -339,7 +357,7 @@ def _drop_deleted_rows(del_b):
                         (r.term, int(r.salt), int(r.first_doc),
                          bytes(r.docs_vb), bytes(r.tfs_vb),
                          bytes(r.norms_b), bytes(r.pos_vb),
-                         offs_vb0, olen_vb0)
+                         offs_vb0, olen_vb0, pay_vb0)
                     )
                     continue
                 if not keep.any():
@@ -359,10 +377,14 @@ def _drop_deleted_rows(del_b):
                     _seg_keep(olen_vb0, t, t2, keep, delta=False)
                     if olen_vb0 else b""
                 )
+                pay_vb = (
+                    _seg_keep(pay_vb0, t, t2, keep, delta=False)
+                    if pay_vb0 else b""
+                )
                 rows.append(
                     (r.term, int(r.salt), int(d2[0]),
                      encode(delta_encode(d2)), encode(t2),
-                     nb2.tobytes(), pos_vb, offs_vb, olen_vb)
+                     nb2.tobytes(), pos_vb, offs_vb, olen_vb, pay_vb)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
@@ -399,13 +421,14 @@ def _compact_gens(
     reclamation with identical query results."""
     paths = [os.path.join(out_dir, "postings", f"gen={g['gen']}") for g in group]
     blocks = spark.read.parquet(*paths)
-    # pre-offsets generations lack the occurrence-offset columns
-    for c in ("offs_vb", "olen_vb"):
+    # pre-offsets/payloads generations lack the occurrence columns
+    for c in ("offs_vb", "olen_vb", "pay_vb"):
         if c not in blocks.columns:
             blocks = blocks.withColumn(c, F.lit(b""))
     blocks = blocks.select(
         "term", "salt", F.col("min_doc").alias("first_doc"),
         "docs_vb", "tfs_vb", "norms_b", "pos_vb", "offs_vb", "olen_vb",
+        "pay_vb",
     )
     has_deletes = deleted is not None and deleted.size > 0
     if has_deletes:
@@ -546,10 +569,14 @@ def refresh(
     # manifest for pre-option indexes, then (first publish only) to args.
     opts = _load_index_options(out_dir)
     token_filters: list[str] = []
+    tokenizer = "standard"
+    store_payloads = False
     if opts is not None:
         store_positions = bool(opts["store_positions"])
         store_offsets = bool(opts["store_offsets"])
         token_filters = list(opts.get("token_filters", []))
+        tokenizer = opts.get("tokenizer", "standard")
+        store_payloads = bool(opts.get("store_payloads", False))
     elif prior_manifest is not None:
         store_positions = bool(
             prior_manifest.get("store_positions", store_positions)
@@ -558,6 +585,8 @@ def refresh(
             prior_manifest.get("store_offsets", store_offsets)
         )
         token_filters = list(prior_manifest.get("token_filters", []))
+        tokenizer = prior_manifest.get("tokenizer", "standard")
+        store_payloads = bool(prior_manifest.get("store_payloads", False))
     state = _load_state(out_dir)
     gens: list[dict] = state.setdefault("gens", [])
     merged_segs = {s for g in gens for s in g["segs"]}
@@ -686,6 +715,8 @@ def refresh(
         "hot_salt_span": hot_salt_span,
         "store_positions": store_positions,
         "store_offsets": store_offsets,
+        "store_payloads": store_payloads,
+        "tokenizer": tokenizer,
         "token_filters": token_filters,
         "block_size": 256,
         "incremental": True,
@@ -947,7 +978,29 @@ def add_indexes(
                 "destination (mixed-payload generations would corrupt "
                 "postings_offsets)"
             )
+        if bool(dst_m.get("store_payloads")) != bool(src_m.get("store_payloads")):
+            raise ValueError(
+                "add_indexes: store_payloads mismatch between source and "
+                "destination (mixed-payload generations would corrupt "
+                "postings_payloads)"
+            )
+        if dst_m.get("tokenizer", "standard") != src_m.get("tokenizer", "standard"):
+            raise ValueError(
+                "add_indexes: tokenizer mismatch between source and "
+                "destination (terms would come from different analyzers)"
+            )
     os.makedirs(dst_dir, exist_ok=True)
+    # pin the destination's index-wide options from the source manifest
+    # (so a later refresh()/write_segment sees the right payload flags
+    # even when the import is the destination's first write)
+    _record_index_options(
+        dst_dir,
+        bool(src_m.get("store_positions", True)),
+        bool(src_m.get("store_offsets", False)),
+        tuple(src_m.get("token_filters", [])),
+        tokenizer=src_m.get("tokenizer", "standard"),
+        store_payloads=bool(src_m.get("store_payloads", False)),
+    )
     state = _load_state(dst_dir)
     offset = int(state["next_doc"])
 
@@ -973,7 +1026,7 @@ def add_indexes(
     src_post = spark.read.parquet(os.path.join(src_dir, "postings"))
     if src_m.get("gens"):
         src_post = src_post.filter(F.col("gen").isin(list(src_m["gens"])))
-    for c in ("offs_vb", "olen_vb"):
+    for c in ("offs_vb", "olen_vb", "pay_vb"):
         if c not in src_post.columns:
             src_post = src_post.withColumn(c, F.lit(b""))
     src_post = src_post.select(*[f.name for f in BLOCK_SCHEMA.fields])
