@@ -973,6 +973,46 @@ def q_payload_sum_top10(spark, sf_dir):
     )
 
 
+BJ_PREFIX = 10  # parent = (source, first 10 path digits) = doc_id // 100
+
+
+def q_block_join_top10(spark, sf_dir):
+    """ToParentBlockJoinQuery duel (reference lucene/join/src/java/org/
+    apache/lucene/search/join/ToParentBlockJoinQuery.java:63,
+    ScoreMode.Avg): children = documents, parent = the contiguous
+    (source, doc_id//100) block — docID ranks by (repo=source,
+    path=%012d doc_id), so these blocks are contiguous in docID space,
+    exactly Lucene's parent/child block invariant. Parent score = AVG of
+    matching children's BM25 OR-sum over TERMS_OR, in double precision
+    (the float32 engine path `search_block_join` is rank-identity-tested
+    in tests/test_block_join.py). Ties break by parent key ASC."""
+    s = searcher_for(spark, sf_dir)
+    child = (
+        _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+        .groupBy("docID")
+        .agg(F.sum("s").alias("cs"))
+    )
+    dm = s.docmap.select(
+        "docID",
+        F.concat_ws(
+            "|", F.col("repo"), F.substring("path", 1, BJ_PREFIX)
+        ).alias("parent"),
+    )
+    agg = (
+        child.join(F.broadcast(dm), "docID")
+        .groupBy("parent")
+        .agg(F.avg("cs").alias("raw"), F.count("*").alias("n_children"))
+    )
+    return (
+        agg.select(
+            "parent", F.round("raw", ROUND).alias("score"), "n_children", "raw"
+        )
+        .orderBy(F.desc("raw"), F.asc("parent"))
+        .limit(10)
+        .select("parent", "score", "n_children")
+    )
+
+
 # --- classification (lucene/classification module) ---------------------
 KNN_K = 10
 NB_SEED_DOC = 137
@@ -2030,6 +2070,7 @@ QUERIES = {
     "mlt_vector_top10": q_mlt_vector_top10,
     "function_score_top10": q_function_score_top10,
     "payload_sum_top10": q_payload_sum_top10,
+    "block_join_top10": q_block_join_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -2607,6 +2648,29 @@ tp AS (SELECT doc_id, unnest(a) AS term, unnest(range(len(a))) AS pos FROM ta)
 SELECT doc_id, sum((doc_id * {PAY_MUL} + pos) % {PAY_MOD})::BIGINT AS pay_sum
 FROM tp WHERE term = '{TERM_1}'
 GROUP BY doc_id ORDER BY pay_sum DESC, doc_id ASC LIMIT 10"""
+
+    # --- block join (lucene/join ToParentBlockJoinQuery, ScoreMode.Avg) ----
+    _bj_list = ", ".join(f"'{t}'" for t in TERMS_OR)
+    sqls["block_join_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_bj_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+child AS (SELECT doc_id, sum(s) AS cs FROM scored GROUP BY doc_id),
+par AS (
+  SELECT d.source || '|' || substr(lpad(c.doc_id::VARCHAR, 12, '0'), 1, {BJ_PREFIX}) AS parent,
+         c.cs
+  FROM child c JOIN documents d USING (doc_id)
+)
+SELECT parent, round(avg(cs), {ROUND}) AS score, count(*)::BIGINT AS n_children
+FROM par GROUP BY parent ORDER BY avg(cs) DESC, parent ASC LIMIT 10
+"""
 
     # --- term vectors -----------------------------------------------------
     sqls["term_vector_doc"] = f"""

@@ -943,6 +943,75 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def search_block_join(
+        self,
+        child_query: str | list[str],
+        parent_of: str = "repo",
+        score_mode: str = "avg",
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ToParentBlockJoinQuery analog (reference lucene/join/src/java/
+        org/apache/lucene/search/join/ToParentBlockJoinQuery.java:63 with
+        ScoreMode lucene/join/src/java/org/apache/lucene/search/join/
+        ScoreMode.java): score child docs with the boolean BM25 query,
+        then aggregate matching children up to their parent —
+        ``score_mode`` in none/avg/max/total/min (ScoreMode.None matches
+        without scoring; parents score 0 like Lucene's).
+
+        Parent identity, Spark-first: Lucene requires each parent and its
+        children to be indexed as one contiguous doc block (the parents
+        BitSet marks block ends). Here the same invariant holds
+        structurally — docID is the global (repo, path, commit) rank — so
+        any ``parent_of`` SQL expression over the docmap columns that is
+        constant exactly on contiguous key ranges (e.g. ``repo``, or a
+        path prefix) defines valid blocks; the parent is returned as its
+        key rather than a sentinel docID.
+
+        Returns top-``k`` (parent, score double, n_children) by score
+        DESC, parent ASC.
+
+        Plan shape at scale: child scoring is the standard map-only block
+        decode; the docID->parent attachment is ONE join against the
+        docmap projection (the hits side is query-selective, so AQE
+        broadcasts it for selective queries); the parent rollup is one
+        partially-aggregated groupBy — two shuffles total, independent of
+        corpus size."""
+        if score_mode not in ("none", "avg", "max", "total", "min"):
+            raise ValueError(f"unknown ScoreMode {score_mode!r}")
+        empty = self.spark.createDataFrame(
+            [], "parent string, score double, n_children long"
+        )
+        terms = self._parse(child_query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return empty
+        child = (
+            self._scored_postings(present, stats)
+            .groupBy("docID")
+            .agg(
+                F.sum(F.col("score").cast(DoubleType())).alias("cs"),
+                F.count("*").alias("nt"),
+            )
+        )
+        if mode == "and":
+            child = child.filter(F.col("nt") == len(set(present)))
+        parents = self.docmap.selectExpr("docID", f"({parent_of}) AS parent")
+        joined = child.join(parents, "docID")
+        agg_fn = {
+            "avg": F.avg, "max": F.max, "total": F.sum, "min": F.min,
+            "none": lambda c: F.lit(0.0),
+        }[score_mode]
+        agg = joined.groupBy("parent").agg(
+            agg_fn("cs").alias("score"), F.count("*").alias("n_children")
+        )
+        return (
+            agg.orderBy(F.desc("score"), F.asc("parent"))
+            .limit(k)
+            .select("parent", F.col("score").cast(DoubleType()), "n_children")
+        )
+
     def search_synonym(self, terms: list[str], k: int = 10) -> DataFrame:
         """SynonymQuery: all terms scored as ONE pseudo-term — tf summed
         per doc, df = |union of doc sets| (search/SynonymQuery.java:719);
