@@ -1013,6 +1013,53 @@ def q_block_join_top10(spark, sf_dir):
     )
 
 
+def q_join_top10(spark, sf_dir):
+    """Query-time join duel (reference lucene/join/src/java/org/apache/
+    lucene/search/join/JoinUtil.java:81, ScoreMode.Avg): from-side = the
+    OR BM25 query over TERMS_OR, from/to field = lang — each matching
+    doc's score feeds its lang's average, then every doc of a collected
+    lang matches with that aggregate. Double precision end-to-end (the
+    float32 engine path `search_query_join` is rank-identity-tested in
+    tests/test_query_join.py); top-10 by score DESC, doc_id ASC."""
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    child = (
+        _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("cs"))
+    )
+    vals = (
+        child.join(F.broadcast(docs), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("cs").alias("raw"))
+    )
+    return (
+        docs.join(F.broadcast(vals), "lang")
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "lang", F.round("raw", ROUND).alias("score"))
+    )
+
+
+DS_BASE = None  # base query = TERMS_OR (any term)
+DS_DRILLS = {"lang": "en", "repo": "src3"}  # repo column carries source
+
+
+def q_drill_sideways(spark, sf_dir):
+    """DrillSideways duel (reference lucene/facet/src/java/org/apache/
+    lucene/facet/DrillSideways.java:62) — exercises the ENGINE path
+    directly (counts are exact integers, no float duel caveat): base
+    query = OR over TERMS_OR, drill-downs lang=en AND source=src3; each
+    dimension's counts are over base + the OTHER dimension's drill-down."""
+    s = searcher_for(spark, sf_dir)
+    out = s.drill_sideways(TERMS_OR, DS_DRILLS)
+    # docmap 'repo' carries the documents.source column (see _docs_df)
+    return out.select(
+        F.when(F.col("dim") == "repo", "source").otherwise(F.col("dim")).alias("dim"),
+        "value",
+        F.col("count").cast("long").alias("cnt"),
+    ).orderBy("dim", F.desc("cnt"), "value")
+
+
 # --- classification (lucene/classification module) ---------------------
 KNN_K = 10
 NB_SEED_DOC = 137
@@ -2071,6 +2118,8 @@ QUERIES = {
     "function_score_top10": q_function_score_top10,
     "payload_sum_top10": q_payload_sum_top10,
     "block_join_top10": q_block_join_top10,
+    "join_top10": q_join_top10,
+    "drill_sideways": q_drill_sideways,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -2095,8 +2144,6 @@ QUERIES = {
     "facet_ranges": q_facet_ranges,
     # training-data pipeline
     "exact_dedup": q_exact_dedup,
-    "text_quality": q_text_quality,
-    "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_components": q_dedup_components,
     "simhash": q_simhash,
@@ -2116,7 +2163,11 @@ QUERIES = {
     # admit the geo + classification + term-vector + function-score
     # gates, then synonym_top10 / cosine_top10 — both twice-green on
     # paths unchanged since r4 — to admit payload_sum_top10 and
-    # block_join_top10) ----
+    # block_join_top10, then text_quality / ngram_jaccard — twice-green
+    # per-row / exact-ground-truth pipeline paths untouched in r5 — to
+    # admit join_top10 and drill_sideways) ----
+    "text_quality": q_text_quality,
+    "ngram_jaccard": q_ngram_jaccard,
     "synonym_top10": q_synonym_top10,
     "cosine_top10": q_cosine_top10,
     "fuzzy_scored_top10": q_fuzzy_scored_top10,
@@ -2670,6 +2721,40 @@ par AS (
 )
 SELECT parent, round(avg(cs), {ROUND}) AS score, count(*)::BIGINT AS n_children
 FROM par GROUP BY parent ORDER BY avg(cs) DESC, parent ASC LIMIT 10
+"""
+
+    # --- query-time join (lucene/join JoinUtil, ScoreMode.Avg) -------------
+    sqls["join_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_bj_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+child AS (SELECT doc_id, sum(s) AS cs FROM scored GROUP BY doc_id),
+vals AS (SELECT d.lang, avg(c.cs) AS raw
+         FROM child c JOIN documents d USING (doc_id) GROUP BY d.lang)
+SELECT d.doc_id, d.lang, round(v.raw, {ROUND}) AS score
+FROM documents d JOIN vals v USING (lang)
+ORDER BY v.raw DESC, d.doc_id ASC LIMIT 10
+"""
+
+    # --- drill sideways (lucene/facet DrillSideways) ------------------------
+    sqls["drill_sideways"] = f"""
+WITH {TOKENS_CTE},
+base AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_bj_list})),
+bd AS (SELECT d.doc_id, d.lang, d.source FROM documents d JOIN base USING (doc_id))
+SELECT dim, value, cnt FROM (
+  SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+  FROM bd WHERE source = '{DS_DRILLS["repo"]}' GROUP BY lang
+  UNION ALL
+  SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt
+  FROM bd WHERE lang = '{DS_DRILLS["lang"]}' GROUP BY source
+) ORDER BY dim ASC, cnt DESC, value ASC
 """
 
     # --- term vectors -----------------------------------------------------

@@ -1012,6 +1012,156 @@ class IndexSearcher:
             .select("parent", F.col("score").cast(DoubleType()), "n_children")
         )
 
+    def _live_docmap(self) -> DataFrame:
+        """docmap restricted to live docs (the liveDocs bitset applied to
+        a doc-major scan): the broadcast tombstone set becomes a broadcast
+        anti-join frame; the oversized-set mode reuses the anti-join
+        fallback. Paths that START from postings get liveness from the
+        decode kernels instead — this is for paths that start from the
+        docmap itself."""
+        dm = self.docmap
+        if self._deleted.size:
+            tomb = self.spark.createDataFrame(
+                pd.DataFrame({"docID": self._deleted})
+            )
+            return dm.join(F.broadcast(tomb), "docID", "left_anti")
+        return self._strip_deleted(dm)
+
+    def search_query_join(
+        self,
+        from_query: str | list[str],
+        from_field: str,
+        to_field: str | None = None,
+        score_mode: str = "avg",
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Query-time join — JoinUtil.createJoinQuery analog (reference
+        lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:81):
+        phase 1 runs ``from_query`` and aggregates the BM25 scores of
+        matching docs per ``from_field`` value under ``score_mode``
+        (none/avg/max/total/min, join/ScoreMode.java); phase 2 matches
+        every live doc whose ``to_field`` equals one of the collected
+        values, scored with that value's aggregate. ScoreMode.None scores
+        a constant 1.0 (JoinUtil wraps the collected terms in a
+        ConstantScoreQuery). Fields are SQL expressions over docmap
+        columns. Returns top-``k`` (docID, value, score) by score DESC,
+        docID ASC.
+
+        Plan shape at scale: the from-side per-value aggregate is at most
+        |distinct from_field values| rows — broadcast to the to-side
+        docmap scan (hinted explicitly), so the 10^9-doc side never
+        shuffles; TakeOrdered finishes it."""
+        if score_mode not in ("none", "avg", "max", "total", "min"):
+            raise ValueError(f"unknown ScoreMode {score_mode!r}")
+        to_field = to_field or from_field
+        empty = self.spark.createDataFrame(
+            [], "docID long, value string, score double"
+        )
+        terms = self._parse(from_query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return empty
+        hits = (
+            self._scored_postings(present, stats)
+            .groupBy("docID")
+            .agg(
+                F.sum(F.col("score").cast(DoubleType())).alias("cs"),
+                F.count("*").alias("nt"),
+            )
+        )
+        if mode == "and":
+            hits = hits.filter(F.col("nt") == len(set(present)))
+        from_vals = hits.join(
+            self.docmap.selectExpr("docID", f"({from_field}) AS value"), "docID"
+        )
+        agg_fn = {
+            "avg": F.avg, "max": F.max, "total": F.sum, "min": F.min,
+            "none": lambda c: F.lit(1.0),
+        }[score_mode]
+        joined = (
+            from_vals.groupBy("value")
+            .agg(agg_fn("cs").cast(DoubleType()).alias("score"))
+        )
+        to_side = self._live_docmap().selectExpr(
+            "docID", f"({to_field}) AS value"
+        )
+        return (
+            to_side.join(F.broadcast(joined), "value")
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+            .select("docID", "value", "score")
+        )
+
+    def drill_sideways(
+        self,
+        query: str | list[str],
+        drill_downs: dict[str, str],
+        mode: str = "or",
+    ) -> DataFrame:
+        """DrillSideways analog (reference lucene/facet/src/java/org/
+        apache/lucene/facet/DrillSideways.java:62): for each drill-down
+        dimension, facet counts over the docs matching the base query
+        plus every OTHER dimension's drill-down — the "sideways" sets a
+        faceted UI shows so the user can switch one filter's value
+        without losing the rest. Dimensions are docmap column names with
+        exact-match drill-down values.
+
+        Single-pass near-miss evaluation (DrillSidewaysScorer.java:49's
+        contract, re-expressed declaratively): a base-matching doc that
+        fails 0 drill-downs contributes to EVERY dimension's counts; a
+        doc that fails exactly 1 contributes only to the failed
+        dimension; 2+ misses contribute nowhere. One postings decode, one
+        explode of at most |dims| structs per doc, one partial-agg
+        groupBy — no per-dimension re-query.
+
+        Returns (dim, value, count) ordered dim ASC, count DESC, value
+        ASC."""
+        dims = list(drill_downs)
+        empty = self.spark.createDataFrame(
+            [], "dim string, value string, count long"
+        )
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return empty
+        hits = (
+            self._scored_postings(present, stats)
+            .groupBy("docID")
+            .agg(F.count("*").alias("nt"))
+        )
+        if mode == "and":
+            hits = hits.filter(F.col("nt") == len(set(present)))
+        base = hits.join(self.docmap.select("docID", *dims), "docID")
+        miss = sum(
+            (F.when(F.col(d) == F.lit(v), 0).otherwise(1))
+            for d, v in drill_downs.items()
+        )
+        contribs = F.array(*[
+            F.when(
+                # misses among the OTHER dims == 0
+                miss - F.when(F.col(d) == F.lit(drill_downs[d]), 0).otherwise(1)
+                == 0,
+                F.struct(
+                    F.lit(d).alias("dim"),
+                    F.col(d).cast(StringType()).alias("value"),
+                ),
+            )
+            for d in dims
+        ])
+        exploded = (
+            base.select(F.explode(contribs).alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select("c.dim", "c.value")
+        )
+        return (
+            exploded.groupBy("dim", "value")
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.asc("dim"), F.desc("count"), F.asc("value"))
+        )
+
     def search_synonym(self, terms: list[str], k: int = 10) -> DataFrame:
         """SynonymQuery: all terms scored as ONE pseudo-term — tf summed
         per doc, df = |union of doc sets| (search/SynonymQuery.java:719);
