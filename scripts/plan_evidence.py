@@ -173,6 +173,32 @@ def main() -> None:
     ))
     assert m is not None and "docID" in m.group(0), "term_vector lost its docID pushdown!"
 
+    qj = s.search_query_join(gate.TERMS_OR, from_field="lang", score_mode="avg")
+    p = _plan(qj, head=14)
+    sections.append((
+        "Query-time join — per-value aggregate BROADCAST to the to-side docmap scan",
+        "JoinUtil analog: the from-side collapses to at most |distinct from_field values| rows, which "
+        "broadcast-hash-join onto the to-side scan — the big (10^9-doc at scale) docmap side never "
+        "shuffles, and top-k stays TakeOrderedAndProject.",
+        p,
+    ))
+    assert "TakeOrderedAndProject" in p, "query join lost its top-k!"
+    assert "BroadcastHashJoin" in p.split("HashAggregate")[0], \
+        "query join's to-side stopped broadcasting!"
+
+    ds = s.drill_sideways(gate.TERMS_OR, gate.DS_DRILLS)
+    full = _full(ds)
+    p = _plan(ds, head=16)
+    sections.append((
+        "DrillSideways — single postings decode, near-miss explode, one partial-agg groupBy",
+        "One MapInPandas decode feeds the per-doc miss count; contributions explode to <=|dims| structs "
+        "and aggregate with a map-side partial before the single exchange — no per-dimension re-query "
+        "(the plan holds exactly one postings scan).",
+        p,
+    ))
+    assert full.count("MapInPandas") == 1, "drill_sideways re-decoded postings!"
+    assert "partial_count" in full, "drill_sideways lost its map-side combine!"
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")
