@@ -1651,6 +1651,128 @@ def q_phrase_top10(spark, sf_dir):
     )
 
 
+# --- span queries (lucene/queries spans module) ----------------------------
+SPAN_END = 26  # SpanFirst end limit: ~half the phrase matches survive
+SPAN_EXCL, SPAN_PRE, SPAN_POST = "scan", 2, 2
+
+
+def _span_freq_spark(spark, sf_dir, first_end=None, exclude=None):
+    """(doc_id, freq, dl, w) surviving-span counts for the TERMS_AND
+    adjacency over index-decoded positions, double precision."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    t0, t1 = TERMS_AND[0], TERMS_AND[1]
+    stats = s.term_stats([t0, t1])
+    n = s.manifest["doc_count"]
+    w = 0.0
+    for t in (t0, t1):
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions([t0, t1, *( [exclude] if exclude else [] )])
+    p0 = pos.where(F.col("term") == t0).select("docID", F.col("pos").alias("s"))
+    p1 = pos.where(F.col("term") == t1).select(
+        "docID", (F.col("pos") - 1).alias("s")
+    )
+    m = p0.join(p1, ["docID", "s"])
+    if first_end is not None:
+        m = m.filter(F.col("s") + 2 <= first_end)
+    if exclude is not None:
+        x = pos.where(F.col("term") == exclude).select(
+            "docID", F.col("pos").alias("xp")
+        )
+        kill = (
+            m.join(x, "docID")
+            .filter(
+                (F.col("xp") >= F.col("s") - SPAN_PRE)
+                & (F.col("xp") <= F.col("s") + 2 + SPAN_POST - 1)
+            )
+            .select("docID", "s")
+            .distinct()
+        )
+        m = m.join(kill, ["docID", "s"], "left_anti")
+    freq = m.groupBy("docID").agg(F.count("*").alias("freq"))
+    dm = _docid_map(s)
+    return freq.join(F.broadcast(dm), "docID"), w
+
+
+def _span_topk(spark, sf_dir, first_end=None, exclude=None):
+    s = searcher_for(spark, sf_dir)
+    avgdl = s.manifest["sum_total_term_freq"] / s.manifest["doc_count"]
+    scored, w = _span_freq_spark(spark, sf_dir, first_end, exclude)
+    scored = scored.withColumn(
+        "s2",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s2", ROUND).alias("score"), "s2")
+        .orderBy(F.desc("s2"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def q_span_first_top10(spark, sf_dir):
+    """SpanFirstQuery duel (reference lucene/queries/src/java/org/apache/
+    lucene/queries/spans/SpanFirstQuery.java:35): exact TERMS_AND spans
+    ending at position <= SPAN_END, freq = surviving spans, summed-idf
+    weight — double replica over index-decoded positions (the float32
+    engine path search_span_first is oracle-dueled in
+    tests/test_spans_common.py)."""
+    return _span_topk(spark, sf_dir, first_end=SPAN_END)
+
+
+def q_span_not_top10(spark, sf_dir):
+    """SpanNotQuery duel (spans/SpanNotQuery.java:67,198-214): TERMS_AND
+    spans with no SPAN_EXCL occurrence within SPAN_PRE before / SPAN_POST
+    after (window [s-pre, s+L+post-1])."""
+    return _span_topk(spark, sf_dir, exclude=SPAN_EXCL)
+
+
+# --- CommonTermsQuery (lucene/queries CommonTermsQuery.java) ----------------
+CT_GATE_TERMS = ["dup", "value", "scan", "table"]  # dup df=25, rest ~380-400
+CT_MTF = 0.7  # cut = ceil(0.7*N): 'dup' is the only low-frequency term
+
+
+def q_common_terms_top10(spark, sf_dir):
+    """CommonTermsQuery duel (reference lucene/queries/src/java/org/
+    apache/lucene/queries/CommonTermsQuery.java:130-205): df-classified
+    low/high split at ceil(CT_MTF*N); the low clause (SHOULD, >=1)
+    gates matching, the high clause adds its sum only when it matches.
+    Double precision; classification derives from the SAME index stats
+    on the Spark side and from SQL dfs on the DuckDB side."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    stats = s.term_stats(CT_GATE_TERMS)
+    cut = math.ceil(CT_MTF * s.manifest["doc_count"])
+    low = [t for t in CT_GATE_TERMS if (stats[t].df if t in stats else 0) <= cut]
+    sc = _bm25_spark_scored(spark, sf_dir, CT_GATE_TERMS)
+    is_low = F.col("term").isin(low)
+    agg = sc.groupBy("doc_id").agg(
+        F.sum(F.when(is_low, F.col("s")).otherwise(0.0)).alias("low_sum"),
+        F.sum(F.when(is_low, 1).otherwise(0)).alias("low_cnt"),
+        F.sum(F.when(~is_low, F.col("s")).otherwise(0.0)).alias("high_sum"),
+        F.sum(F.when(~is_low, 1).otherwise(0)).alias("high_cnt"),
+    )
+    scored = agg.filter(F.col("low_cnt") >= 1).withColumn(
+        "v",
+        F.col("low_sum")
+        + F.when(F.col("high_cnt") >= 1, F.col("high_sum")).otherwise(0.0),
+    )
+    return (
+        scored.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --------------------------------------------------------------------------
 # B14: MultiPhraseQuery + interval queries over index-decoded positions
 # --------------------------------------------------------------------------
@@ -2120,6 +2242,9 @@ QUERIES = {
     "block_join_top10": q_block_join_top10,
     "join_top10": q_join_top10,
     "drill_sideways": q_drill_sideways,
+    "span_first_top10": q_span_first_top10,
+    "span_not_top10": q_span_not_top10,
+    "common_terms_top10": q_common_terms_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
@@ -2129,12 +2254,9 @@ QUERIES = {
     "bm25_top10_term": q_bm25_top10_term,
     "bm25_top10_or": q_bm25_top10_or,
     "bm25_top10_and": q_bm25_top10_and,
-    "bm25_msm2": q_bm25_msm2,
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "phrase_top10": q_phrase_top10,
-    "parsed_query_top10": q_parsed_query_top10,
     "phrase_prefix_top10": q_phrase_prefix_top10,
-    "sloppy2_top10": q_sloppy2_top10,
     "regexp_df": q_regexp_df,
     "term_offsets": q_term_offsets,
     "bm25_explain": q_bm25_explain,
@@ -2165,7 +2287,13 @@ QUERIES = {
     # paths unchanged since r4 — to admit payload_sum_top10 and
     # block_join_top10, then text_quality / ngram_jaccard — twice-green
     # per-row / exact-ground-truth pipeline paths untouched in r5 — to
-    # admit join_top10 and drill_sideways) ----
+    # admit join_top10 and drill_sideways, then bm25_msm2 / sloppy2_top10 /
+    # parsed_query_top10 — twice driver-green on the boolean-msm, sloppy
+    # matcher, and parser paths, all unchanged in r5 — to admit
+    # span_first_top10, span_not_top10 and common_terms_top10) ----
+    "bm25_msm2": q_bm25_msm2,
+    "sloppy2_top10": q_sloppy2_top10,
+    "parsed_query_top10": q_parsed_query_top10,
     "text_quality": q_text_quality,
     "ngram_jaccard": q_ngram_jaccard,
     "synonym_top10": q_synonym_top10,
@@ -3084,6 +3212,64 @@ FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
 ORDER BY ({ph_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
 LIMIT 10
 """
+    # --- span queries (spans/SpanFirstQuery, spans/SpanNotQuery) -----------
+    _span_m = (
+        f"m AS (SELECT p0.doc_id, p0.pos AS s "
+        f"FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 "
+        f"WHERE p0.term = '{TERMS_AND[0]}' AND p1.term = '{TERMS_AND[1]}')"
+    )
+    _span_score = f"""
+f AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM surv GROUP BY doc_id)
+SELECT f.doc_id,
+       round(({ph_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
+ORDER BY ({ph_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
+LIMIT 10
+"""
+    sqls["span_first_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+{_span_m},
+surv AS (SELECT * FROM m WHERE s + 2 <= {SPAN_END}),
+{_span_score}"""
+    sqls["span_not_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+{_span_m},
+surv AS (SELECT * FROM m WHERE NOT EXISTS (
+  SELECT 1 FROM tokp x WHERE x.doc_id = m.doc_id AND x.term = '{SPAN_EXCL}'
+    AND x.pos BETWEEN m.s - {SPAN_PRE} AND m.s + 2 + {SPAN_POST} - 1)),
+{_span_score}"""
+
+    # --- CommonTermsQuery ---------------------------------------------------
+    _ct_list = ", ".join(f"'{t}'" for t in CT_GATE_TERMS)
+    sqls["common_terms_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_ct_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (dfs.df <= ceil({CT_MTF} * (SELECT n FROM n))) AS is_low,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN is_low THEN s ELSE 0 END) AS low_sum,
+         sum(CASE WHEN is_low THEN 1 ELSE 0 END) AS low_cnt,
+         sum(CASE WHEN is_low THEN 0 ELSE s END) AS high_sum,
+         sum(CASE WHEN is_low THEN 0 ELSE 1 END) AS high_cnt
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(low_sum + CASE WHEN high_cnt >= 1 THEN high_sum ELSE 0 END, {ROUND}) AS score
+FROM agg WHERE low_cnt >= 1
+ORDER BY low_sum + CASE WHEN high_cnt >= 1 THEN high_sum ELSE 0 END DESC, doc_id ASC
+LIMIT 10
+"""
+
     pa, pb, pc = TERMS_OR[0], TERMS_OR[1], TERMS_AND[0]
     sqls["parsed_query_top10"] = f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},

@@ -471,6 +471,143 @@ class OracleIndex:
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
 
+    def span_freqs(
+        self,
+        terms: list[str],
+        first_end: int | None = None,
+        exclude: str | None = None,
+        pre: int = 0,
+        post: int = 0,
+    ) -> dict[int, int]:
+        """row -> surviving-span count for an exact include span under the
+        SpanFirstQuery end limit and/or SpanNotQuery pre/post exclusion
+        (queries/spans/SpanFirstQuery.java:35, SpanNotQuery.java:198-214:
+        a span [s, s+L) dies if an exclude occurrence q lies in
+        [s-pre, s+L+post-1])."""
+        if any(t not in self.postings for t in terms):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        cand = set.intersection(*rowsets)
+        L = len(terms)
+        out: dict[int, int] = {}
+        for r in cand:
+            base = self.postings[terms[0]][2][r]
+            ok = np.ones(base.shape, dtype=bool)
+            for i, t in enumerate(terms[1:], start=1):
+                ok &= np.isin(base + i, self.postings[t][2][r])
+            if first_end is not None:
+                ok &= base + L <= first_end
+            if exclude is not None and exclude in self.postings:
+                xmap = self.postings[exclude][2]
+                if r in xmap:
+                    x = xmap[r]
+                    for j in np.flatnonzero(ok):
+                        s = int(base[j])
+                        if np.any((x >= s - pre) & (x <= s + L + post - 1)):
+                            ok[j] = False
+            freq = int(ok.sum())
+            if freq:
+                out[r] = freq
+        return out
+
+    def search_spans(
+        self,
+        terms: list[str],
+        k: int = 10,
+        first_end: int | None = None,
+        exclude: str | None = None,
+        pre: int = 0,
+        post: int = 0,
+    ):
+        """Top-k for a span query: freq = surviving spans, weight = summed
+        include-term idf (SpanNotWeight scores from the include side
+        only)."""
+        freqs = self.span_freqs(terms, first_end, exclude, pre, post)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+    def search_common_terms(
+        self,
+        terms: list[str],
+        max_term_frequency: float = 0.01,
+        low_freq_occur: str = "should",
+        high_freq_occur: str = "should",
+        low_msm: float = 0.0,
+        high_msm: float = 0.0,
+        k: int = 10,
+    ):
+        """CommonTermsQuery replica (queries/CommonTermsQuery.java:130-205):
+        df-threshold split, required low clause + optional high clause,
+        all-high conjunction rewrite, Java Math.round fractional msm."""
+        import math
+
+        if len(terms) == 1:
+            return self.search(terms, k=k)
+        uniq = list(dict.fromkeys(terms))
+        mtf = float(max_term_frequency)
+        ceil_cut = int(math.ceil(mtf * float(self.doc_count)))
+        low, high = [], []
+        for t in uniq:
+            df = len(self.postings[t][0]) if t in self.postings else 0
+            if df and ((mtf >= 1.0 and df > mtf) or df > ceil_cut):
+                high.append(t)
+            else:
+                low.append(t)
+
+        def _msm(f: float, n_opt: int) -> int:
+            if f >= 1.0 or f == 0.0:
+                return int(f)
+            return int(math.floor(f * n_opt + 0.5))
+
+        low_occ, high_occ = low_freq_occur, high_freq_occur
+        low_req = _msm(low_msm, len(low)) if (low_occ == "should" and low) else 0
+        high_req = _msm(high_msm, len(high)) if (high_occ == "should" and high) else 0
+        if not low and high_req == 0 and high_occ != "must":
+            high_occ = "must"
+
+        acc = np.zeros(self.doc_count, dtype=np.float64)
+        low_cnt = np.zeros(self.doc_count, dtype=np.int64)
+        high_sum = np.zeros(self.doc_count, dtype=np.float64)
+        high_cnt = np.zeros(self.doc_count, dtype=np.int64)
+        for t in low:
+            rows, scores = self._term_scores(t)
+            acc[rows] += scores.astype(np.float64)
+            low_cnt[rows] += 1
+        for t in high:
+            rows, scores = self._term_scores(t)
+            high_sum[rows] += scores.astype(np.float64)
+            high_cnt[rows] += 1
+        high_match = (
+            high_cnt == len(high) if high_occ == "must" else high_cnt >= max(high_req, 1)
+        )
+        if low:
+            mask = (
+                low_cnt == len(low)
+                if low_occ == "must"
+                else low_cnt >= max(low_req, 1)
+            )
+            total = acc + np.where(high_match, high_sum, 0.0)
+        else:
+            mask = high_match & (len(high) > 0)
+            total = high_sum
+        rows = np.flatnonzero(mask)
+        if rows.size == 0:
+            return []
+        scores = total[rows].astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+
 def assert_rank_identical(expected, got, tol=1e-6, msg=""):
     """CheckHits.checkEqual analog: same docIDs in same order, scores
     within tol."""

@@ -903,6 +903,119 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def search_common_terms(
+        self,
+        query: str | list[str],
+        max_term_frequency: float = 0.01,
+        low_freq_occur: str = "should",
+        high_freq_occur: str = "should",
+        low_msm: float = 0.0,
+        high_msm: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """CommonTermsQuery (queries/CommonTermsQuery.java:55): terms are
+        classified by actual document frequency — a term is HIGH-frequency
+        iff (maxTermFrequency >= 1 and df > maxTermFrequency) or
+        df > ceil(maxTermFrequency * maxDoc) (buildQuery's exact OR,
+        CommonTermsQuery.java:154-156). Low-frequency terms form the
+        REQUIRED clause (with ``low_freq_occur`` per clause + minimum
+        should match), high-frequency terms a purely OPTIONAL clause that
+        only ever scores docs already matching the required part — the
+        stopword-robust query shape. A fractional msm f in (0,1) means
+        round(f * numClauses) (minNrShouldMatch, line 138-144); with no
+        low-frequency terms the high clause rewrites to a conjunction
+        unless an explicit high msm / MUST is set (line 175-182). A
+        single-term query rewrites to a plain TermQuery (rewrite(),
+        line 93-96); absent terms count as low-frequency clauses that can
+        never match (termStates == null, line 151-153).
+
+        Scale note: exactly ONE postings decode over all query terms —
+        classification happens driver-side from the stats lookup, and the
+        low/high split is two conditional aggregates in the same groupBy,
+        so the "high-frequency terms are expensive" problem Lucene solves
+        with lazy optional iterators is solved here by never scanning
+        postings twice."""
+        for name, occ in (("low_freq_occur", low_freq_occur), ("high_freq_occur", high_freq_occur)):
+            if occ not in ("must", "should"):
+                raise ValueError(f"{name} must be 'must' or 'should' (MUST_NOT is invalid), got {occ!r}")
+        terms = self._parse(query)
+        if not terms:
+            return self._empty_topk()
+        if len(terms) == 1:
+            return self.search(terms, k=k)
+        uniq = list(dict.fromkeys(terms))
+        stats = self.term_stats(uniq)
+        mtf = float(max_term_frequency)
+        ceil_cut = int(math.ceil(mtf * float(self.doc_count)))
+        low, high = [], []
+        for t in uniq:
+            df = stats[t].df if t in stats else 0
+            if t in stats and ((mtf >= 1.0 and df > mtf) or df > ceil_cut):
+                high.append(t)
+            else:
+                low.append(t)
+
+        def _msm(f: float, n_opt: int) -> int:
+            if f >= 1.0 or f == 0.0:
+                return int(f)
+            return int(math.floor(f * n_opt + 0.5))  # Java Math.round
+
+        low_occ, high_occ = low_freq_occur, high_freq_occur
+        low_req = _msm(low_msm, len(low)) if (low_occ == "should" and low) else 0
+        high_req = _msm(high_msm, len(high)) if (high_occ == "should" and high) else 0
+        if not low and high_req == 0 and high_occ != "must":
+            high_occ = "must"  # all-high rewrites to a conjunction
+
+        low_present = [t for t in low if t in stats]
+        if low:
+            # the low clause is REQUIRED: if it can't match, nothing does
+            if low_occ == "must" and len(low_present) < len(low):
+                return self._empty_topk()
+            if not low_present:
+                return self._empty_topk()
+        present = low_present + high
+        if not present:
+            return self._empty_topk()
+
+        # disjoint term sets -> the two scans decode the same total
+        # postings one pass would; union + one groupBy keeps it one job
+        parts = []
+        if low_present:
+            parts.append(
+                self._scored_postings(low_present, stats).withColumn("lo", F.lit(1))
+            )
+        if high:
+            parts.append(
+                self._scored_postings(high, stats).withColumn("lo", F.lit(0))
+            )
+        scored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        agg = scored.groupBy("docID").agg(
+            F.sum(F.when(F.col("lo") == 1, F.col("score").cast(DoubleType())).otherwise(0.0)).alias("low_sum"),
+            F.sum("lo").alias("low_cnt"),
+            F.sum(F.when(F.col("lo") == 0, F.col("score").cast(DoubleType())).otherwise(0.0)).alias("high_sum"),
+            F.sum(F.lit(1) - F.col("lo")).alias("high_cnt"),
+        )
+        high_match = (
+            (F.col("high_cnt") == len(high))
+            if high_occ == "must"
+            else (F.col("high_cnt") >= max(high_req, 1))
+        )
+        if low:
+            agg = agg.filter(
+                F.col("low_cnt") == len(low)
+                if low_occ == "must"
+                else F.col("low_cnt") >= max(low_req, 1)
+            )
+            score = F.col("low_sum") + F.when(high_match, F.col("high_sum")).otherwise(0.0)
+        else:
+            agg = agg.filter(high_match)
+            score = F.col("high_sum")
+        return (
+            agg.select("docID", score.cast(FloatType()).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def search_dismax(
         self, queries: list[str], tie_breaker: float = 0.0, k: int = 10
     ) -> DataFrame:
@@ -2159,6 +2272,35 @@ class IndexSearcher:
         postings never cross a shuffle. Column names stay bound to the
         original term order (pos{i}), so matcher offset maps are
         unaffected by the join order."""
+        order = list(range(len(uniq_terms)))
+        bcast = False
+        if stats is not None and all(t in stats for t in uniq_terms):
+            order.sort(key=lambda i: stats[uniq_terms[i]].df)
+            bcast = stats[uniq_terms[order[0]]].df <= self.PHRASE_BROADCAST_DF
+        joined = None
+        for i in order:
+            side = self._positions_side(uniq_terms[i]).select(
+                "docID",
+                # any side can provide norm (same doc => same norm byte);
+                # take it from the first-joined (rarest) side
+                *(["norm"] if joined is None else []),
+                F.col("positions").alias(f"pos{i}"),
+            )
+            if joined is None:
+                joined = side
+            elif bcast:
+                # inner joins only shrink the accumulated candidates, so
+                # the broadcast stays <= the rarest term's df rows
+                joined = side.join(F.broadcast(joined), "docID")
+            else:
+                joined = joined.join(side, "docID")
+        return self._strip_deleted(joined)
+
+    def _positions_side(self, term: str) -> DataFrame:
+        """One term's postings decoded to (docID, norm, positions) rows,
+        with the tombstone set applied INSIDE the decode kernel (the
+        decode-kernel liveness contract — every new kernel captures
+        self._deleted_bc and filters before emitting)."""
         pos_row_schema = StructType(
             [
                 StructField("docID", LongType()),
@@ -2200,35 +2342,11 @@ class IndexSearcher:
                     {"docID": pd.array([], dtype="int64"), "norm": pd.array([], dtype="int32"), "positions": []}
                 )
 
-        order = list(range(len(uniq_terms)))
-        bcast = False
-        if stats is not None and all(t in stats for t in uniq_terms):
-            order.sort(key=lambda i: stats[uniq_terms[i]].df)
-            bcast = stats[uniq_terms[order[0]]].df <= self.PHRASE_BROADCAST_DF
-        joined = None
-        for i in order:
-            t = uniq_terms[i]
-            side = (
-                self._postings.filter(F.col("term") == t)
-                .select("docs_vb", "tfs_vb", "norms_b", "pos_vb")
-                .mapInPandas(decode_positions, schema=pos_row_schema)
-            )
-            side = side.select(
-                "docID",
-                # any side can provide norm (same doc => same norm byte);
-                # take it from the first-joined (rarest) side
-                *(["norm"] if joined is None else []),
-                F.col("positions").alias(f"pos{i}"),
-            )
-            if joined is None:
-                joined = side
-            elif bcast:
-                # inner joins only shrink the accumulated candidates, so
-                # the broadcast stays <= the rarest term's df rows
-                joined = side.join(F.broadcast(joined), "docID")
-            else:
-                joined = joined.join(side, "docID")
-        return self._strip_deleted(joined)
+        return (
+            self._postings.filter(F.col("term") == term)
+            .select("docs_vb", "tfs_vb", "norms_b", "pos_vb")
+            .mapInPandas(decode_positions, schema=pos_row_schema)
+        )
 
     def phrase_scores(self, terms: list[str]) -> DataFrame | None:
         """Full (docID, score float32) set for an exact phrase, or None if
@@ -2315,6 +2433,173 @@ class IndexSearcher:
                 yield pd.DataFrame({"docID": docids[hit], "score": scores})
 
         return joined.mapInPandas(match_batch, schema=out_schema)
+
+    # -- span queries (queries/spans) ---------------------------------------
+
+    def span_scores(
+        self,
+        terms: list[str],
+        first_end: int | None = None,
+        exclude: str | None = None,
+        pre: int = 0,
+        post: int = 0,
+    ) -> DataFrame | None:
+        """(docID, score float32) for a span query whose include side is a
+        single term or an exact-adjacency phrase (SpanTermQuery /
+        slop-0 SpanNearQuery), optionally constrained by
+
+        - SpanFirstQuery (queries/spans/SpanFirstQuery.java:35): keep only
+          spans with end() <= ``first_end`` — a span starting at s with
+          length L has end s+L;
+        - SpanNotQuery (queries/spans/SpanNotQuery.java:67, the pre/post
+          form): drop spans with an ``exclude``-term occurrence within
+          ``pre`` tokens before or ``post`` tokens after, i.e. any
+          occurrence q in [s-pre, s+L+post-1] (the matcher at
+          SpanNotQuery.java:198-214 re-expressed; negative pre/post allow
+          overlap, exactly as documented there).
+
+        freq = number of surviving spans (each exact span's slop factor is
+        1, SpanScorer.setFreqCurrentDoc over slop-0 matches); weight = sum
+        of include-term idfs — the exclude side never contributes to
+        scoring (SpanNotWeight.extractTermStates forwards only the
+        include weight). Returns None when the include span can match
+        nothing.
+
+        Plan shape: the include side is the rarest-first broadcast phrase
+        join; the exclude side joins LEFT (docs without the exclude term
+        must survive) on docID, then one Arrow kernel does the
+        align/filter with two vectorized searchsorted passes — no per-doc
+        loop, no extra shuffle beyond the joins."""
+        if not terms:
+            return None
+        stats = self.term_stats(terms + ([exclude] if exclude else []))
+        if any(t not in stats for t in terms):
+            return None
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        w = np.float32(0.0)
+        for t in terms:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        uniq_terms = list(term_order)
+
+        joined = self._phrase_join(uniq_terms, stats)
+        has_exclude = exclude is not None and exclude in stats
+        if has_exclude:
+            xside = self._positions_side(exclude).select(
+                "docID", F.col("positions").alias("xpos")
+            )
+            joined = joined.join(xside, "docID", "left")
+
+        offsets_by_tidx: dict[int, list[int]] = {}
+        for i, t in enumerate(terms):
+            offsets_by_tidx.setdefault(term_order[t], []).append(i)
+        base_t = term_order[terms[0]]
+        L = len(terms)
+        n_pre, n_post = int(pre), int(post)
+        end_lim = None if first_end is None else int(first_end)
+
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+
+        def match_batch(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"docID": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")})
+                    continue
+                docids = pdf["docID"].to_numpy(np.int64)
+                flats, lens_l = [], []
+                maxpos = 0
+                for i in range(len(uniq_terms)):
+                    arrs = [np.asarray(a, dtype=np.int64) for a in pdf[f"pos{i}"]]
+                    lens = np.array([a.size for a in arrs], dtype=np.int64)
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    lens_l.append(lens)
+                if has_exclude:
+                    xarrs = [
+                        np.asarray(a, dtype=np.int64)
+                        if a is not None
+                        else np.empty(0, np.int64)
+                        for a in pdf["xpos"]
+                    ]
+                    xlens = np.array([a.size for a in xarrs], dtype=np.int64)
+                    xflat = np.concatenate(xarrs) if xarrs else np.empty(0, np.int64)
+                    if xflat.size:
+                        maxpos = max(maxpos, int(xflat.max()))
+                SHIFT = _pos_shift(maxpos, L + max(n_post, 0) + 1)
+                doc_key = np.arange(len(pdf), dtype=np.int64) * SHIFT
+                cols = {
+                    i: (np.repeat(doc_key, lens_l[i]) + flats[i], lens_l[i])
+                    for i in range(len(uniq_terms))
+                }
+                base_keys, base_lens = cols[base_t]
+                ok = np.ones(base_keys.shape, dtype=bool)
+                for tidx, offs in offsets_by_tidx.items():
+                    keys_t = cols[tidx][0]
+                    for off in offs:
+                        if tidx == base_t and off == 0:
+                            continue
+                        ok &= np.isin(base_keys + off, keys_t)
+                if end_lim is not None:
+                    ok &= flats[base_t] + L <= end_lim
+                if has_exclude:
+                    xkeys = np.repeat(doc_key, xlens) + xflat  # sorted: row-
+                    # ascending doc keys + per-doc ascending positions
+                    base_doc_key = np.repeat(doc_key, base_lens)
+                    lo = np.maximum(base_keys - n_pre, base_doc_key)
+                    hi = base_keys + (L + n_post)
+                    n_in_window = np.searchsorted(xkeys, hi, side="left") - np.searchsorted(xkeys, lo, side="left")
+                    ok &= n_in_window == 0
+                starts = np.concatenate(([0], np.cumsum(base_lens)[:-1]))
+                freq = np.add.reduceat(ok, starts) if base_keys.size else np.zeros(0, np.int64)
+                freq = np.where(base_lens > 0, freq, 0)
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
+                yield pd.DataFrame({"docID": docids[hit], "score": scores})
+
+        return joined.mapInPandas(match_batch, schema=out_schema)
+
+    def search_span_first(
+        self, query: str | list[str], end: int, k: int = 10
+    ) -> DataFrame:
+        """SpanFirstQuery top-k (queries/spans/SpanFirstQuery.java:35):
+        spans of the include term/phrase ending at position <= ``end``.
+        Returns (docID, score) by score DESC, docID ASC."""
+        scored = self.span_scores(self._parse(query), first_end=end)
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_span_not(
+        self,
+        include: str | list[str],
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """SpanNotQuery top-k (queries/spans/SpanNotQuery.java:67): spans
+        of the include term/phrase with no ``exclude`` occurrence within
+        ``pre`` tokens before / ``post`` tokens after. Returns
+        (docID, score) by score DESC, docID ASC."""
+        parsed_x = self._parse(exclude)
+        if len(parsed_x) != 1:
+            raise ValueError("exclude must be a single term")
+        scored = self.span_scores(
+            self._parse(include), exclude=parsed_x[0], pre=pre, post=post
+        )
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
     # -- sloppy phrase ----------------------------------------------------
 
