@@ -1773,6 +1773,33 @@ def q_common_terms_top10(spark, sf_dir):
     )
 
 
+# --- CoveringQuery (lucene/sandbox CoveringQuery.java) ----------------------
+COV_GATE_TERMS = ["value", "table", "scan", "spark"]
+
+
+def q_covering_top10(spark, sf_dir):
+    """CoveringQuery duel (reference lucene/sandbox/src/java/org/apache/
+    lucene/sandbox/search/CoveringQuery.java:51): four single-term
+    sub-queries, per-doc minimumNumberMatch = 1 + (doc_id % 3) (a
+    LongValuesSource analog both sides compute from the key), score =
+    sum of matching sub scores, min clamps at 1. Double precision; the
+    float32 engine path search_covering is oracle-dueled in
+    tests/test_spans_common.py."""
+    sc = _bm25_spark_scored(spark, sf_dir, COV_GATE_TERMS)
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").alias("nmatch"), F.sum("s").alias("v")
+    )
+    hit = agg.filter(
+        F.col("nmatch") >= F.greatest(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+    )
+    return (
+        hit.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --------------------------------------------------------------------------
 # B14: MultiPhraseQuery + interval queries over index-decoded positions
 # --------------------------------------------------------------------------
@@ -2245,10 +2272,10 @@ QUERIES = {
     "span_first_top10": q_span_first_top10,
     "span_not_top10": q_span_not_top10,
     "common_terms_top10": q_common_terms_top10,
+    "covering_top10": q_covering_top10,
     # core index contract
     "term_postings": q_term_postings,
     "term_stats": q_term_stats,
-    "doc_norms": q_doc_norms,
     "collection_stats": q_collection_stats,
     # scoring / query operators
     "bm25_top10_term": q_bm25_top10_term,
@@ -2290,7 +2317,10 @@ QUERIES = {
     # admit join_top10 and drill_sideways, then bm25_msm2 / sloppy2_top10 /
     # parsed_query_top10 — twice driver-green on the boolean-msm, sloppy
     # matcher, and parser paths, all unchanged in r5 — to admit
-    # span_first_top10, span_not_top10 and common_terms_top10) ----
+    # span_first_top10, span_not_top10 and common_terms_top10, then
+    # doc_norms — twice driver-green, byte4 path unchanged since r1 —
+    # to admit covering_top10) ----
+    "doc_norms": q_doc_norms,
     "bm25_msm2": q_bm25_msm2,
     "sloppy2_top10": q_sloppy2_top10,
     "parsed_query_top10": q_parsed_query_top10,
@@ -3268,6 +3298,25 @@ SELECT doc_id,
 FROM agg WHERE low_cnt >= 1
 ORDER BY low_sum + CASE WHEN high_cnt >= 1 THEN high_sum ELSE 0 END DESC, doc_id ASC
 LIMIT 10
+"""
+
+    # --- CoveringQuery ------------------------------------------------------
+    _cov_list = ", ".join(f"'{t}'" for t in COV_GATE_TERMS)
+    sqls["covering_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_cov_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS nmatch, sum(s) AS v FROM scored GROUP BY doc_id)
+SELECT doc_id, round(v, {ROUND}) AS score
+FROM agg WHERE nmatch >= greatest(1, 1 + doc_id % 3)
+ORDER BY v DESC, doc_id ASC LIMIT 10
 """
 
     pa, pb, pc = TERMS_OR[0], TERMS_OR[1], TERMS_AND[0]

@@ -1016,6 +1016,64 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def search_covering(
+        self,
+        queries: list[str | list[str]],
+        min_match,
+        k: int = 10,
+    ) -> DataFrame:
+        """CoveringQuery (sandbox/search/CoveringQuery.java:51): match docs
+        where at least minimumNumberMatch(doc) of the sub-queries match,
+        the minimum being a PER-DOCUMENT long values source. Values < 1
+        clamp to 1 (CoveringScorer.java:135 Math.max(1, ...)); documents
+        WITHOUT a value do not match (the constructor contract). Score =
+        sum of the matching sub-queries' scores. Sub-queries are term
+        bags scored like search(mode='or').
+
+        ``min_match`` is the LongValuesSource analog: either a numeric
+        DocValues field name (index/docvalues.py live generation) or a
+        (docID, value) DataFrame. Returns top-k (docID, score).
+
+        Plan shape: one decode per sub-query's term set (disjoint work),
+        one groupBy for (count, sum), one join against the values source
+        — the values side is a 2-column columnar scan, never the corpus."""
+        subs = []
+        all_parsed = [self._parse(q) for q in queries]
+        flat = [t for p in all_parsed for t in p]
+        stats = self.term_stats(flat)
+        for terms in all_parsed:
+            present = [t for t in terms if t in stats]
+            if not present:
+                continue
+            subs.append(
+                self._scored_postings(present, stats)
+                .groupBy("docID")
+                .agg(F.sum(F.col("score").cast(DoubleType())).alias("sub"))
+            )
+        if not subs:
+            return self._empty_topk()
+        un = subs[0]
+        for s in subs[1:]:
+            un = un.unionByName(s)
+        agg = un.groupBy("docID").agg(
+            F.count("*").alias("nmatch"),
+            F.sum("sub").alias("dsum"),
+        )
+        if isinstance(min_match, str):
+            from lucene_spark.index.docvalues import read_docvalues
+
+            vals = read_docvalues(self.spark, self.index_dir, min_match)
+        else:
+            vals = min_match.select("docID", "value")
+        hit = agg.join(vals, "docID").filter(
+            F.col("nmatch") >= F.greatest(F.lit(1), F.col("value"))
+        )
+        return (
+            hit.select("docID", F.col("dsum").cast(FloatType()).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def search_dismax(
         self, queries: list[str], tie_breaker: float = 0.0, k: int = 10
     ) -> DataFrame:

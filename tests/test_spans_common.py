@@ -193,3 +193,75 @@ def test_common_terms_must_not_rejected(built_index):
     _, _, searcher = built_index
     with pytest.raises(ValueError):
         searcher.search_common_terms(CT_TERMS, low_freq_occur="must_not")
+
+
+# -- covering query ----------------------------------------------------------
+
+COV_SUBS = [["license"], ["return"], ["the", "apache"], ["var0"]]
+
+
+def _covering_expected(oracle, min_of_doc, k=10, has_value=None):
+    """CoveringQuery replica: nmatch >= max(1, value); docs without a
+    value never match; score = sum of matching sub (OR) scores."""
+    n = oracle.doc_count
+    nmatch = np.zeros(n, dtype=np.int64)
+    total = np.zeros(n, dtype=np.float64)
+    for sub in COV_SUBS:
+        acc = np.zeros(n, dtype=np.float64)
+        seen = np.zeros(n, dtype=bool)
+        for t in dict.fromkeys(sub):
+            rows, scores = oracle._term_scores(t)
+            acc[rows] += scores.astype(np.float64)
+            seen[rows] = True
+        nmatch[seen] += 1
+        total[seen] += acc[seen]
+    out = []
+    for d in range(n):
+        if has_value is not None and not has_value(d):
+            continue
+        if nmatch[d] >= max(1, min_of_doc(d)):
+            out.append((d, np.float32(total[d])))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, float(s)) for d, s in out[:k]]
+
+
+def _values_df(spark, n, fn, keep=lambda d: True):
+    import pandas as pd
+
+    rows = [(d, int(fn(d))) for d in range(n) if keep(d)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docID", "value"])
+    )
+
+
+def test_covering_per_doc_minimum(built_index, spark):
+    _, oracle, searcher = built_index
+    fn = lambda d: 1 + d % 4
+    vals = _values_df(spark, oracle.doc_count, fn)
+    got = _collect(searcher.search_covering(COV_SUBS, vals, k=10))
+    exp = _covering_expected(oracle, fn)
+    assert_rank_identical(exp, got, tol=1e-5, msg="covering 1+d%4")
+
+
+def test_covering_clamps_below_one(built_index, spark):
+    _, oracle, searcher = built_index
+    vals = _values_df(spark, oracle.doc_count, lambda d: -5)
+    got = _collect(searcher.search_covering(COV_SUBS, vals, k=10))
+    exp = _covering_expected(oracle, lambda d: 1)
+    assert_rank_identical(exp, got, tol=1e-5, msg="covering clamp")
+
+
+def test_covering_missing_value_never_matches(built_index, spark):
+    _, oracle, searcher = built_index
+    keep = lambda d: d % 2 == 0
+    vals = _values_df(spark, oracle.doc_count, lambda d: 1, keep)
+    got = searcher.search_covering(COV_SUBS, vals, k=400).collect()
+    assert got and all(int(r["docID"]) % 2 == 0 for r in got)
+    exp = _covering_expected(oracle, lambda d: 1, k=400, has_value=keep)
+    assert {int(r["docID"]) for r in got} == {d for d, _ in exp}
+
+
+def test_covering_impossible_minimum_is_empty(built_index, spark):
+    _, oracle, searcher = built_index
+    vals = _values_df(spark, oracle.doc_count, lambda d: len(COV_SUBS) + 1)
+    assert searcher.search_covering(COV_SUBS, vals, k=10).count() == 0
