@@ -231,9 +231,12 @@ def possessive(word: str) -> str:
     return word
 
 
+from lucene_spark.analysis.folding import ascii_fold  # noqa: E402
+
 TOKEN_FILTERS = {
     "possessive": possessive,
     "porter": porter_stem,
+    "ascii_folding": ascii_fold,
 }
 
 

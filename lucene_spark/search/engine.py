@@ -1745,6 +1745,118 @@ class IndexSearcher:
             )
         )
 
+    def suggest_infix(self, substr: str, k: int = 10) -> DataFrame:
+        """Infix completion — AnalyzingInfixSuggester analog (reference
+        lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+        AnalyzingInfixSuggester.java:82): suggestions whose text CONTAINS
+        the typed fragment anywhere, not just as a prefix, heaviest
+        (highest df) first, ties term ASC. The reference builds a side
+        index of edge n-grams to make this a term lookup; on Spark the
+        dictionary is a columnar table a contains-filter scans directly —
+        at 100 TB the terms table is ~vocab-sized (millions of rows, not
+        corpus-sized), so the full scan is a single small stage and needs
+        no auxiliary n-gram index."""
+        return (
+            self._terms.filter(F.col("term").contains(substr))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term", F.col("df").cast(LongType()).alias("df"))
+        )
+
+    def search_diversified(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        max_per_key: int = 1,
+        key_col: str = "repo",
+    ) -> DataFrame:
+        """Diversified top-k — DiversifiedTopDocsCollector analog
+        (reference lucene/misc/src/java/org/apache/lucene/misc/search/
+        DiversifiedTopDocsCollector.java:47): the usual scored top-k but
+        with at most ``max_per_key`` hits per key (the reference's
+        NumericDocValues key; here any docmap column, e.g. repo — the
+        "only one result per artist" use case its javadoc describes).
+
+        Plan shape: per-key pruning is ONE window (row_number over
+        key, score DESC, docID ASC) after the score aggregation — a
+        single extra shuffle keyed by ``key_col``; the final top-k stays
+        a TakeOrderedAndProject. Scores are float32 like search() (cast
+        after the double sum), ranked in docID-tie-break order."""
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_topk().withColumn(
+                key_col, F.lit(None).cast(StringType())
+            )
+        from pyspark.sql import Window
+
+        scored = self._scored_postings(present, stats)
+        # sum in double, rank in float32 — the same cast order _topk uses,
+        # so diversified ranks are tie-consistent with search()
+        agg = scored.groupBy("docID").agg(
+            F.sum(F.col("score").cast(DoubleType()))
+            .cast(FloatType())
+            .alias("score")
+        )
+        keyed = agg.join(self.docmap.select("docID", key_col), "docID")
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc("score"), F.asc("docID")
+        )
+        return (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_per_key)
+            .select("docID", "score", key_col)
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def rescore(
+        self,
+        first_pass: DataFrame,
+        query: str | list[str],
+        weight: float = 2.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Two-pass rescoring — QueryRescorer.rescore analog (reference
+        lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java:42
+        and its combine(): firstPassScore + weight * secondPassScore,
+        second pass contributing 0 where it does not match). ``first_pass``
+        is a (docID, score) frame (typically search(..., k=window)).
+
+        Plan shape: the second query's postings are semi-joined to the
+        BROADCAST first-pass window BEFORE aggregation — the rescore
+        touches only window-many docs of the second query's postings, the
+        exact "only rescore the top window" property the reference's
+        TopDocs-driven loop has, so window size (not corpus size) bounds
+        the second pass."""
+        terms = self._parse(query)
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        base = first_pass.select(
+            "docID", F.col("score").cast(DoubleType()).alias("s1")
+        )
+        if present:
+            scored = self._scored_postings(present, stats).join(
+                F.broadcast(base.select("docID")), "docID"
+            )
+            sec = scored.groupBy("docID").agg(
+                F.sum(F.col("score").cast(DoubleType())).alias("s2")
+            )
+            base = base.join(sec, "docID", "left")
+        else:
+            base = base.withColumn("s2", F.lit(None).cast(DoubleType()))
+        comb = base.withColumn(
+            "c",
+            F.col("s1")
+            + F.lit(float(weight)) * F.coalesce(F.col("s2"), F.lit(0.0)),
+        )
+        return (
+            comb.select("docID", F.col("c").cast(FloatType()).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def mlt_terms(
         self,
         seed_text: str,

@@ -85,3 +85,25 @@ def taxonomy_top_children(
         .orderBy(F.desc("cnt"), F.asc("child"))
     )
     return out.limit(k) if k is not None else out
+
+
+def association_sum(
+    docs: DataFrame,
+    dim_col: str | Column,
+    value_col: str | Column,
+) -> DataFrame:
+    """Facet associations — TaxonomyFacetIntAssociations /
+    TaxonomyFacetFloatAssociations analog (reference lucene/facet/src/
+    java/org/apache/lucene/facet/taxonomy/TaxonomyFacetIntAssociations.java:34):
+    instead of counting matching docs per category, SUM a per-doc
+    association value (the IntAssociationFacetField payload) per
+    category. One partial-aggregated groupBy — the association payload
+    Lucene packs into a BinaryDocValues field is just a column here.
+    Returns (dim, assoc_sum)."""
+    d = F.col(dim_col) if isinstance(dim_col, str) else dim_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        docs.select(d.alias("dim"), v.alias("v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("assoc_sum"))
+    )

@@ -166,3 +166,95 @@ def distance_feature(
     score column as a SHOULD-clause boost."""
     d = haversine_meters(lat, lon, lat_col, lon_col)
     return F.lit(weight) * F.lit(pivot_m) / (F.lit(pivot_m) + d)
+
+
+def _polygon_edges(
+    vertices: list[tuple[float, float]],
+) -> list[tuple[float, float, float, float]]:
+    """Non-horizontal edges (y1, x1, y2, x2) of the closed polygon.
+    Horizontal edges (y1 == y2) never straddle a test latitude, so the
+    crossing-number test skips them entirely (and skipping them keeps
+    the predicate division-free, see polygon_filter)."""
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    edges = []
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        if y1 != y2:
+            edges.append((float(y1), float(x1), float(y2), float(x2)))
+    return edges
+
+
+def polygon_filter(
+    lat: Column, lon: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """LatLonPoint.newPolygonQuery predicate (reference
+    document/LatLonPoint.java newPolygonQuery + geo/Polygon2D.java
+    crossing-number containment): a point is inside when a ray to the
+    east crosses an odd number of edges.
+
+    The classic PNPOLY test divides by (y2 - y1); because the vertices
+    are plan-time literals we instead multiply through and pick the
+    comparison direction per edge, so the whole predicate is add/mul/
+    compare on doubles — bit-identical between Spark and any ANSI-SQL
+    oracle (polygon_sql generates the same arithmetic). Points exactly
+    on an edge follow the same half-open convention as PNPOLY.
+    """
+    crossings = None
+    for y1, x1, y2, x2 in _polygon_edges(vertices):
+        straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        # lon < (x2-x1) * (lat-y1) / (y2-y1) + x1, multiplied through
+        # by (y2-y1) whose sign is known at plan time
+        lhs = (lon - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = F.lit(x2 - x1) * (lat - F.lit(y1))
+        cross = straddle & (lhs < rhs if y2 > y1 else lhs > rhs)
+        c = F.when(cross, F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    return crossings % 2 == 1
+
+
+def polygon_search(
+    points: DataFrame,
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Docs inside the polygon. A bounding-box prefilter (implied by
+    containment, so semantics-free) goes first — that is the pushable
+    range predicate parquet rowgroup stats can prune on, exactly the
+    role of the BKD tree's bounding-box visit in the reference; the
+    exact crossing-number test runs only on box survivors."""
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    pre = points.where(
+        box_filter(
+            F.col(lat_col), F.col(lon_col),
+            min(lats), max(lats), min(lons), max(lons),
+        )
+    )
+    return pre.where(polygon_filter(F.col(lat_col), F.col(lon_col), vertices))
+
+
+def polygon_sql(
+    vertices: list[tuple[float, float]], lat_expr: str, lon_expr: str
+) -> str:
+    """ANSI-SQL twin of polygon_filter — the SAME edge arithmetic, for
+    oracle duels. Returns a boolean SQL expression over lat/lon exprs."""
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    terms = []
+    for y1, x1, y2, x2 in _polygon_edges(vertices):
+        op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
+            f" AND (({lon_expr} - {x1!r}) * {y2 - y1!r}"
+            f" {op} {x2 - x1!r} * ({lat_expr} - {y1!r}))"
+            " THEN 1 ELSE 0 END)"
+        )
+    box = (
+        f"{lat_expr} >= {min(lats)!r} AND {lat_expr} <= {max(lats)!r}"
+        f" AND {lon_expr} >= {min(lons)!r} AND {lon_expr} <= {max(lons)!r}"
+    )
+    return f"(({box}) AND ((" + " + ".join(terms) + ") % 2 = 1))"
