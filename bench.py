@@ -135,10 +135,25 @@ def main() -> None:
         "knn_classify",
         "nb_classify",
         "function_score_top10",
+        "block_join_top10",
+        "join_top10",
+        "drill_sideways",
+        "span_first_top10",
+        "span_not_top10",
+        "common_terms_top10",
+        "covering_top10",
+        "diversified_top10",
+        "rescore_top10",
+        "suggest_infix",
+        "facet_assoc_sum",
+        "geo_polygon_count",
+        "domain_cap",
+        "hash_sample_ids",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
-        # mlt_vector_top10 are gate-only: each needs a separately-built
-        # index (offsets+vectors / stemmed); the headline bench measures
-        # the default positions-only StandardAnalyzer configuration
+        # mlt_vector_top10 / payload_sum_top10 are gate-only: each needs
+        # a separately-built index (offsets+vectors / stemmed / payloads);
+        # the headline bench measures the default positions-only
+        # StandardAnalyzer configuration
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]

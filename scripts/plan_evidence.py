@@ -199,6 +199,55 @@ def main() -> None:
     assert full.count("MapInPandas") == 1, "drill_sideways re-decoded postings!"
     assert "partial_count" in full, "drill_sideways lost its map-side combine!"
 
+    div = s.search_diversified(["table", "scan"], k=10, max_per_key=1)
+    full = _full(div)
+    p = _plan(div, head=16)
+    sections.append((
+        "Diversified top-k — ONE window exchange keyed by repo, then TakeOrdered",
+        "DiversifiedTopDocsCollector analog: per-key pruning is a single row_number window (one extra "
+        "hashpartitioning on the key) after the score aggregate; the final top-k stays "
+        "TakeOrderedAndProject — no per-key re-query, no global sort.",
+        p,
+    ))
+    assert "TakeOrderedAndProject" in full, "diversified lost its top-k!"
+    assert full.count("row_number") >= 1, "diversified lost its window!"
+
+    first = s.search(["table", "scan"], k=50)
+    resc = s.rescore(first, "query", weight=2.0, k=10)
+    full = _full(resc)
+    p = _plan(resc, head=18)
+    sections.append((
+        "Query rescorer — second pass semi-joined to the BROADCAST first-pass window",
+        "QueryRescorer analog: the second query's postings join the 50-row first-pass window via "
+        "BroadcastHashJoin BEFORE aggregation, so window size (not corpus size) bounds the rescore "
+        "work — the exact TopDocs-driven property of the reference.",
+        p,
+    ))
+    assert "BroadcastHashJoin" in full, "rescore lost its broadcast window join!"
+
+    from lucene_spark.search.geo import polygon_search
+
+    geo_dir = os.path.join(
+        os.path.dirname(OUT), "..", ".build", "plan_geo_points"
+    )
+    pts = gate._geo_cols(
+        gate._documents(spark, SF).select("doc_id", "source")
+    )
+    pts.write.mode("overwrite").parquet(geo_dir)
+    stored = spark.read.parquet(geo_dir)
+    poly = polygon_search(stored, gate.GEO_POLY)
+    full = _full(poly)
+    p = _plan(poly, head=8)
+    sections.append((
+        "Polygon query over STORED coordinates — bbox prefilter pushed to the parquet scan",
+        "LatLonPoint.newPolygonQuery analog: the bounding-box range predicate (implied by containment) "
+        "reaches PushedFilters, so rowgroup min/max stats prune wholly-outside groups — the BKD "
+        "bounding-box visit's role; the division-free crossing-number test runs on box survivors only.",
+        p,
+    ))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(lat", full), \
+        "polygon bbox stopped pushing to the scan!"
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")
