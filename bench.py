@@ -142,6 +142,10 @@ def main() -> None:
         "span_not_top10",
         "common_terms_top10",
         "covering_top10",
+        "lmdirichlet_top10",
+        "lmjm_top10",
+        "tfidf_top10",
+        "dv_stats",
         "diversified_top10",
         "rescore_top10",
         "suggest_infix",

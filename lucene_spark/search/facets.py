@@ -107,3 +107,25 @@ def association_sum(
         .groupBy("dim")
         .agg(F.sum("v").alias("assoc_sum"))
     )
+
+
+def numeric_docvalues_stats(
+    docs: DataFrame, value_col: str | Column
+) -> DataFrame:
+    """Numeric DocValues statistics over a match set —
+    DocValuesStats/DocValuesStatsCollector analog (reference lucene/misc/
+    src/java/org/apache/lucene/misc/search/DocValuesStats.java:82-137):
+    count, min, max, sum, mean, variance (POPULATION — the reference
+    divides its Welford accumulator by count), stdev. One partial-
+    aggregated job; the reference's per-segment collector loop is a
+    groupBy-less global aggregate here. Returns a single row."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return docs.select(v.alias("v")).agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("v").alias("vsum"),
+        F.avg("v").alias("mean"),
+        F.var_pop("v").alias("variance"),
+        F.stddev_pop("v").alias("stdev"),
+    )

@@ -248,6 +248,25 @@ def main() -> None:
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(lat", full), \
         "polygon bbox stopped pushing to the scan!"
 
+    from lucene_spark.search.similarity import search_similarity
+
+    lmd = search_similarity(s, ["table", "scan"], sim="lmdirichlet", k=10)
+    full = _full(lmd)
+    p = _plan(lmd, head=14)
+    sections.append((
+        "Alternative similarity (LMDirichlet) — same fast-path shape as BM25",
+        "Pluggable similarities reuse the tombstone-aware postings decode (term IN pushdown, positions "
+        "pruned) + ONE broadcast join of the 2-column norms; the score (incl. the 256-entry quantized "
+        "LENGTH_TABLE lookup) is a pure Catalyst expression in whole-stage codegen — no extra UDF, no "
+        "extra shuffle vs search().",
+        p,
+    ))
+    assert full.count("MapInPandas") == 1, "similarity grew a second decode!"
+    assert "BroadcastHashJoin" in full, "similarity norms join stopped broadcasting!"
+    assert "TakeOrderedAndProject" in full, "similarity lost its top-k!"
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full, \
+        "similarity scoring fell off the JVM!"
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")
