@@ -145,6 +145,7 @@ def main() -> None:
         "lmdirichlet_top10",
         "lmjm_top10",
         "tfidf_top10",
+        "dfi_top10",
         "dv_stats",
         "diversified_top10",
         "rescore_top10",

@@ -2439,6 +2439,14 @@ def q_tfidf_top10(spark, sf_dir):
     return _similarity_gate(spark, sf_dir, TERMS_OR, "classic")
 
 
+def q_dfi_top10(spark, sf_dir):
+    """DFISimilarity duel (DFISimilarity.java:70-81 with
+    IndependenceChiSquared.java:33): expected = (cf+1)*docLen/(total+1)
+    over the quantized docLen, 0 when freq <= expected, else
+    log2(chi2+1) — the divergence-from-independence family."""
+    return _similarity_gate(spark, sf_dir, TERMS_OR, "dfi")
+
+
 def q_dv_stats(spark, sf_dir):
     """DocValuesStats duel (misc/search/DocValuesStats.java:82-137 via
     DocValuesStatsCollector): count/min/max/sum/mean/variance/stdev of
@@ -2480,6 +2488,7 @@ QUERIES = {
     "lmdirichlet_top10": q_lmdirichlet_top10,
     "lmjm_top10": q_lmjm_top10,
     "tfidf_top10": q_tfidf_top10,
+    "dfi_top10": q_dfi_top10,
     "dv_stats": q_dv_stats,
     "diversified_top10": q_diversified_top10,
     "rescore_top10": q_rescore_top10,
@@ -2523,7 +2532,6 @@ QUERIES = {
     "bm25_explain": q_bm25_explain,
     "highlight_top10": q_highlight_top10,
     "mlt_top10": q_mlt_top10,
-    "suggest_prefix": q_suggest_prefix,
     "facet_ranges": q_facet_ranges,
     # training-data pipeline
     "dedup_components": q_dedup_components,
@@ -2556,7 +2564,10 @@ QUERIES = {
     # Batch 4 admitted lmdirichlet_top10 / lmjm_top10 / tfidf_top10 /
     # dv_stats by rotating out minhash_near_dup (twice-green, dedup path
     # untouched in r5) and lang_id / token_stats / emb_near_dup
-    # (r3-green, pipeline paths untouched since r3) ----
+    # (r3-green, pipeline paths untouched since r3); dfi_top10 admitted
+    # by rotating out suggest_prefix (r4-green, trivial startswith path
+    # unchanged since) ----
+    "suggest_prefix": q_suggest_prefix,
     "minhash_near_dup": q_minhash_near_dup,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -3789,6 +3800,20 @@ scored AS (
          sqrt(tf.tf) * (ln(((SELECT n FROM n) + 1.0) / (dfs.df + 1.0)) + 1.0)
            / sqrt(dlq.dlq) AS s
   FROM tf JOIN dfs USING (term) JOIN dlq USING (doc_id))
+{_sim_tail}"""
+
+    sqls["dfi_top10"] = f"""{_sim_base},
+scored AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf <= (cfs.cf + 1.0) * dlq.dlq / ((SELECT total FROM tot) + 1.0)
+              THEN 0.0
+              ELSE log2(
+                (tf.tf - (cfs.cf + 1.0) * dlq.dlq / ((SELECT total FROM tot) + 1.0))
+                * (tf.tf - (cfs.cf + 1.0) * dlq.dlq / ((SELECT total FROM tot) + 1.0))
+                / ((cfs.cf + 1.0) * dlq.dlq / ((SELECT total FROM tot) + 1.0))
+                + 1.0)
+         END AS s
+  FROM tf JOIN cfs USING (term) JOIN dlq USING (doc_id))
 {_sim_tail}"""
 
     sqls["dv_stats"] = f"""WITH {TOKENS_CTE},

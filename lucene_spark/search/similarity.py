@@ -18,6 +18,9 @@ Reference semantics (specification only, no code reuse):
     (1/sqrt(docLen)); idf = ln((docCount+1)/(df+1)) + 1.
   - BooleanSimilarity (BooleanSimilarity.java:50-52): score = boost per
     matching term, statistics ignored.
+  - DFISimilarity (DFISimilarity.java:70-81, IndependenceChiSquared.java:33):
+    expected = (cf+1)*docLen/(total+1); 0 when freq <= expected, else
+    boost * log2(chi2 + 1) with chi2 = (freq-expected)^2/expected.
 
 Fidelity note: the reference evaluates each per-(term,doc) score in
 float32 at the SimScorer boundary and sums disjuncts in double; here the
@@ -43,7 +46,7 @@ from pyspark.sql import functions as F
 
 from lucene_spark.util.smallfloat import byte4_to_int
 
-SIMILARITIES = ("lmdirichlet", "lmjelinekmercer", "classic", "boolean")
+SIMILARITIES = ("lmdirichlet", "lmjelinekmercer", "classic", "boolean", "dfi")
 
 
 def _length_table_col(norm_col: Column) -> Column:
@@ -103,6 +106,15 @@ def similarity_scores(
             * (F.lit(float(boost)) * idf_map[F.col("term")])
             / F.sqrt(dlen)
         )
+    elif sim == "dfi":
+        cf_map = F.create_map(
+            *[F.lit(x) for t in present for x in (t, float(stats[t].cf))]
+        )
+        expected = (cf_map[F.col("term")] + 1.0) * dlen / (total_cf + 1.0)
+        chi2 = (tfd - expected) * (tfd - expected) / expected
+        s = F.when(
+            tfd <= expected, F.lit(0.0)
+        ).otherwise(F.lit(float(boost)) * F.log2(chi2 + F.lit(1.0)))
     else:
         # collection model p(w|C) — DefaultCollectionModel
         p_map = F.create_map(

@@ -44,13 +44,17 @@ def _numpy_scores(oracle, terms, sim, mu=2000.0, lam=0.1):
             s = np.sqrt(tfd) * idf / np.sqrt(dl)
         elif sim == "boolean":
             s = np.ones_like(tfd)
+        elif sim == "dfi":
+            expected = (cf + 1.0) * dl / (total + 1.0)
+            chi2 = (tfd - expected) * (tfd - expected) / expected
+            s = np.where(tfd <= expected, 0.0, np.log2(chi2 + 1.0))
         for r, v in zip(rows, s):
             out[int(r)] = out.get(int(r), 0.0) + float(v)
     return out
 
 
 @pytest.mark.parametrize(
-    "sim", ["lmdirichlet", "lmjelinekmercer", "classic", "boolean"]
+    "sim", ["lmdirichlet", "lmjelinekmercer", "classic", "boolean", "dfi"]
 )
 def test_similarity_replicates_numpy(built_index, sim):
     _, oracle, searcher = built_index
