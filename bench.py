@@ -146,6 +146,7 @@ def main() -> None:
         "lmjm_top10",
         "tfidf_top10",
         "dfi_top10",
+        "feature_boost_top10",
         "dv_stats",
         "diversified_top10",
         "rescore_top10",

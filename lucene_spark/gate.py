@@ -2447,6 +2447,41 @@ def q_dfi_top10(spark, sf_dir):
     return _similarity_gate(spark, sf_dir, TERMS_OR, "dfi")
 
 
+FEAT_PIVOT = 300.0
+FEAT_W_SAT = 1.5
+FEAT_W_SIG = 0.5
+FEAT_A = 2.0
+
+
+def q_feature_boost_top10(spark, sf_dir):
+    """FeatureField duel (document/FeatureField.java newSaturationQuery
+    :440-451 + newSigmoidQuery :525-532): BM25(TERM_1) in double plus a
+    saturation and a sigmoid feature boost over the n_chars per-doc
+    signal — the 'text query SHOULD static-rank feature' shape; both
+    functions use the reference's rounding-safe rewritten forms
+    (1 - pivot/(f+pivot))."""
+    from lucene_spark.search.features import feature_score
+
+    scored = (
+        _bm25_spark_scored(spark, sf_dir, [TERM_1])
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s"))
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    j = scored.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "v",
+        F.col("s")
+        + feature_score("n_chars", "saturation", FEAT_W_SAT, FEAT_PIVOT)
+        + feature_score("n_chars", "sigmoid", FEAT_W_SIG, FEAT_PIVOT, FEAT_A),
+    )
+    return (
+        j.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def q_dv_stats(spark, sf_dir):
     """DocValuesStats duel (misc/search/DocValuesStats.java:82-137 via
     DocValuesStatsCollector): count/min/max/sum/mean/variance/stdev of
@@ -2489,6 +2524,7 @@ QUERIES = {
     "lmjm_top10": q_lmjm_top10,
     "tfidf_top10": q_tfidf_top10,
     "dfi_top10": q_dfi_top10,
+    "feature_boost_top10": q_feature_boost_top10,
     "dv_stats": q_dv_stats,
     "diversified_top10": q_diversified_top10,
     "rescore_top10": q_rescore_top10,
@@ -2531,7 +2567,6 @@ QUERIES = {
     "term_offsets": q_term_offsets,
     "bm25_explain": q_bm25_explain,
     "highlight_top10": q_highlight_top10,
-    "mlt_top10": q_mlt_top10,
     "facet_ranges": q_facet_ranges,
     # training-data pipeline
     "dedup_components": q_dedup_components,
@@ -2566,7 +2601,10 @@ QUERIES = {
     # untouched in r5) and lang_id / token_stats / emb_near_dup
     # (r3-green, pipeline paths untouched since r3); dfi_top10 admitted
     # by rotating out suggest_prefix (r4-green, trivial startswith path
-    # unchanged since) ----
+    # unchanged since); feature_boost_top10 admitted by rotating out
+    # mlt_top10 (r4-green; the shared MLT selection path stays driver-
+    # checked through mlt_vector_top10) ----
+    "mlt_top10": q_mlt_top10,
     "suggest_prefix": q_suggest_prefix,
     "minhash_near_dup": q_minhash_near_dup,
     "lang_id": q_lang_id,
@@ -3815,6 +3853,29 @@ scored AS (
          END AS s
   FROM tf JOIN cfs USING (term) JOIN dlq USING (doc_id))
 {_sim_tail}"""
+
+    from lucene_spark.search.features import feature_score_sql
+
+    _sat = feature_score_sql("d.n_chars", "saturation", FEAT_W_SAT, FEAT_PIVOT)
+    _sig = feature_score_sql(
+        "d.n_chars", "sigmoid", FEAT_W_SIG, FEAT_PIVOT, FEAT_A
+    )
+    sqls["feature_boost_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term = '{TERM_1}' GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT agg.doc_id,
+       round(agg.s + {_sat} + {_sig}, {ROUND}) AS score
+FROM agg JOIN documents d ON agg.doc_id = d.doc_id
+ORDER BY agg.s + {_sat} + {_sig} DESC, agg.doc_id ASC LIMIT 10"""
 
     sqls["dv_stats"] = f"""WITH {TOKENS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}')

@@ -141,3 +141,80 @@ def test_numeric_docvalues_stats_matches_numpy(spark):
     # POPULATION variance (DocValuesStats.java divides by count)
     assert row["variance"] == pytest.approx(a.var())
     assert row["stdev"] == pytest.approx(a.std())
+
+
+# -- FeatureField functions ---------------------------------------------------
+
+def test_feature_functions_match_numpy(spark):
+    from lucene_spark.search.features import feature_score
+
+    vals = [0.0, 1.0, 37.0, 300.0, 5000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "f double")
+    out = df.select(
+        feature_score("f", "linear", 2.0).alias("lin"),
+        feature_score("f", "log", 1.5, scale=1.0).alias("lg"),
+        feature_score("f", "saturation", 1.5, pivot=300.0).alias("sat"),
+        feature_score("f", "sigmoid", 0.5, pivot=300.0, a=2.0).alias("sig"),
+    ).collect()
+    for v, r in zip(vals, out):
+        assert r["lin"] == pytest.approx(2.0 * v)
+        assert r["lg"] == pytest.approx(1.5 * math.log(1.0 + v))
+        assert r["sat"] == pytest.approx(1.5 * (1 - 300.0 / (v + 300.0)))
+        assert r["sig"] == pytest.approx(
+            0.5 * (1 - 300.0**2 / (v**2 + 300.0**2))
+        )
+    # saturation at the pivot is exactly half the weight (FeatureField
+    # javadoc contract), sigmoid likewise
+    mid = df.where("f = 300.0").select(
+        feature_score("f", "saturation", 1.0, pivot=300.0).alias("s"),
+        feature_score("f", "sigmoid", 1.0, pivot=300.0, a=2.0).alias("g"),
+    ).head()
+    assert mid["s"] == pytest.approx(0.5)
+    assert mid["g"] == pytest.approx(0.5)
+
+
+def test_feature_functions_monotonic(spark):
+    from lucene_spark.search.features import feature_score
+
+    df = spark.createDataFrame([(float(i),) for i in range(200)], "f double")
+    for fn in ("linear", "log", "saturation", "sigmoid"):
+        vals = [
+            r["s"]
+            for r in df.select(
+                feature_score("f", fn, 1.0, pivot=10.0, a=2.0).alias("s")
+            ).orderBy("f").collect()
+        ]
+        assert all(b >= a for a, b in zip(vals, vals[1:])), fn
+
+
+def test_feature_sql_twin_matches(spark):
+    import duckdb
+
+    from lucene_spark.search.features import feature_score, feature_score_sql
+
+    vals = [0.0, 3.0, 77.5, 1234.0]
+    df = spark.createDataFrame([(v,) for v in vals], "f double")
+    got = [
+        r["s"]
+        for r in df.select(
+            feature_score("f", "sigmoid", 0.7, pivot=55.0, a=3.0).alias("s")
+        ).orderBy("f").collect()
+    ]
+    con = duckdb.connect()
+    expr = feature_score_sql("f", "sigmoid", 0.7, pivot=55.0, a=3.0)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (SELECT unnest({vals}) AS f) ORDER BY f"
+        ).fetchall()
+    ]
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_feature_unknown_raises():
+    from lucene_spark.search.features import feature_score, feature_score_sql
+
+    with pytest.raises(ValueError):
+        feature_score("f", "nope")
+    with pytest.raises(ValueError):
+        feature_score_sql("f", "nope")
