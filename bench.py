@@ -148,6 +148,8 @@ def main() -> None:
         "dfi_top10",
         "feature_boost_top10",
         "dv_stats",
+        "pii_scrub",
+        "decontam_overlap",
         "diversified_top10",
         "rescore_top10",
         "suggest_infix",
