@@ -150,6 +150,7 @@ def main() -> None:
         "dv_stats",
         "pii_scrub",
         "decontam_overlap",
+        "freetext_suggest",
         "diversified_top10",
         "rescore_top10",
         "suggest_infix",

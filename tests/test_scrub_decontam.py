@@ -87,3 +87,52 @@ def test_contamination_eval_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# -- FreeTextSuggester ---------------------------------------------------------
+
+def test_freetext_suggest_exact_scores(spark):
+    from lucene_spark.search.freetext import build_freetext_model, freetext_suggest
+
+    # "red" is followed by: car x2, bus x1; cnt(red)=4 (one trailing)
+    rows = [
+        (1, "red car goes fast"),
+        (2, "red car red bus"),
+        (3, "blue sky and a red"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, bi = build_freetext_model(docs)
+    out = [(r["word"], r["score"]) for r in freetext_suggest(uni, bi, "red", k=4).collect()]
+    # bigram order: car 2/4, bus 1/4; backoff: others 0.4*cnt/total
+    # (total tokens = 4 + 4 + 5 = 13)
+    assert out[0] == ("car", 0.5)
+    assert out[1] == ("bus", 0.25)
+    # red never follows red, so it backs off: 0.4 * cnt(red)/total
+    assert out[2][0] == "red" and out[2][1] == pytest.approx(0.4 * 4 / 13)
+
+
+def test_freetext_backoff_excludes_seen(spark):
+    from lucene_spark.search.freetext import build_freetext_model, freetext_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    uni, bi = build_freetext_model(docs)
+    out = {r["word"]: r["score"] for r in freetext_suggest(uni, bi, "a", k=10).collect()}
+    # after 'a': b twice, c once; cnt(a)=3
+    assert out["b"] == pytest.approx(2 / 3)
+    assert out["c"] == pytest.approx(1 / 3)
+    # 'a' itself only via backoff: 0.4 * 3/6
+    assert out["a"] == pytest.approx(0.4 * 3 / 6)
+    assert len(out) == 3
+
+
+def test_freetext_unknown_context_pure_backoff(spark):
+    from lucene_spark.search.freetext import build_freetext_model, freetext_suggest
+
+    docs = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    uni, bi = build_freetext_model(docs)
+    out = [(r["word"], r["score"]) for r in freetext_suggest(uni, bi, "qq", k=3).collect()]
+    # nothing follows 'qq' -> everything backs off by unigram frequency
+    assert out[0] == ("x", pytest.approx(0.4 * 2 / 4))
+    assert {w for w, _ in out} == {"x", "y", "z"}
