@@ -140,6 +140,10 @@ def main() -> None:
         "drill_sideways",
         "span_first_top10",
         "span_not_top10",
+        "span_near_top10",
+        "span_or_top10",
+        "span_containing_top10",
+        "simple_query_top10",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",

@@ -1734,6 +1734,201 @@ def q_span_not_top10(spark, sf_dir):
     return _span_topk(spark, sf_dir, exclude=SPAN_EXCL)
 
 
+# --- SpanNear / SpanOr / SpanContaining (spans module, r5 batch 6) ----------
+SN_T1, SN_T2 = "key", "table"  # varied-gap pair (also the interval gate pair)
+SN_SLOP = 5           # ~137 chains / 113 docs at sf0.01
+SN_CONT_SLOP = 8      # containing: 29 surviving spans / 24 docs
+SN_LITTLE = "value"
+SPANOR_TERMS = ["table", "scan", "spark"]
+
+
+def _span_near_chains(spark, sf_dir, slop: int):
+    """(doc_id, p1, p2, sf) surviving NearSpansOrdered chains for the
+    SN pair over index-decoded positions: every p1 of SN_T1 chains to
+    the FIRST SN_T2 position strictly after it
+    (NearSpansOrdered.stretchToOrder); matchWidth = p2-p1-1 <= slop;
+    sf = 1/(1+matchWidth) (SpanScorer.setFreqCurrentDoc:112 — every
+    chain is enumerated, not just minimal intervals)."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([SN_T1, SN_T2])
+    c1 = pos.where(F.col("term") == SN_T1).select("docID", F.col("pos").alias("p1"))
+    t2 = pos.where(F.col("term") == SN_T2).select("docID", F.col("pos").alias("tp"))
+    ch = (
+        c1.join(t2, "docID")
+        .filter(F.col("tp") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("tp").alias("p2"))
+    )
+    return ch.filter(F.col("p2") - F.col("p1") - 1 <= slop).withColumn(
+        "sf", F.lit(1.0) / (F.lit(1.0) + F.col("p2") - F.col("p1") - 1)
+    )
+
+
+def _span_near_score(spark, sf_dir, chains, weight: float):
+    s = searcher_for(spark, sf_dir)
+    avgdl = s.manifest["sum_total_term_freq"] / s.manifest["doc_count"]
+    freq = chains.groupBy("docID").agg(F.sum("sf").alias("freq"))
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "v",
+        F.lit(weight)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def _idf_sum(s, terms: list[str]) -> float:
+    import math
+
+    stats = s.term_stats(terms)
+    n = s.manifest["doc_count"]
+    w = 0.0
+    for t in dict.fromkeys(terms):
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    return w
+
+
+def q_span_near_top10(spark, sf_dir):
+    """Ordered SpanNearQuery duel (queries/spans/SpanNearQuery.java via
+    NearSpansOrdered.java:107-116): SN_T1->SN_T2 chains with gap <=
+    SN_SLOP, freq = sum of 1/(1+matchWidth), weight = summed idf over
+    the DISTINCT clause terms (SpanWeight.buildSimWeight's deduplicated
+    termStates map) — double replica over index-decoded positions; the
+    float32 engine path search_span_near is oracle-dueled in
+    tests/test_r5_batch6.py."""
+    s = searcher_for(spark, sf_dir)
+    chains = _span_near_chains(spark, sf_dir, SN_SLOP)
+    return _span_near_score(
+        spark, sf_dir, chains, _idf_sum(s, [SN_T1, SN_T2])
+    )
+
+
+def q_span_containing_top10(spark, sf_dir):
+    """SpanContainingQuery duel (spans/SpanContainingQuery.java:30 via
+    ContainSpans): big = SN pair near-spans (gap <= SN_CONT_SLOP), keep
+    those containing an SN_LITTLE occurrence in [p1, p2]; freq still
+    counts big spans at their slop factor; weight sums BOTH sides' idf
+    (SpanContainWeight.extractTermStates forwards big and little)."""
+    s = searcher_for(spark, sf_dir)
+    chains = _span_near_chains(spark, sf_dir, SN_CONT_SLOP)
+    lit = (
+        s.postings_positions([SN_LITTLE])
+        .select("docID", F.col("pos").alias("lp"))
+    )
+    kept = (
+        chains.join(lit, "docID")
+        .filter((F.col("lp") >= F.col("p1")) & (F.col("lp") <= F.col("p2")))
+        .select("docID", "p1", "p2", "sf")
+        .distinct()
+    )
+    return _span_near_score(
+        spark, sf_dir, kept, _idf_sum(s, [SN_T1, SN_T2, SN_LITTLE])
+    )
+
+
+def q_span_or_top10(spark, sf_dir):
+    """SpanOrQuery duel (queries/spans/SpanOrQuery.java): every clause
+    occurrence is a width-0 span (TermSpans.java:106), so freq = TOTAL
+    tf across SPANOR_TERMS, scored ONCE with weight = summed idf —
+    unlike the boolean OR (per-term saturation then sum). Double
+    replica; the float32 engine path search_span_or is dueled in
+    tests/test_r5_batch6.py."""
+    s = searcher_for(spark, sf_dir)
+    avgdl = s.manifest["sum_total_term_freq"] / s.manifest["doc_count"]
+    w = _idf_sum(s, SPANOR_TERMS)
+    freq = (
+        s.postings_tf(SPANOR_TERMS)
+        .groupBy("docID")
+        .agg(F.sum("tf").alias("freq"))
+    )
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "v",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+# --- SimpleQueryParser (queryparser/simple/SimpleQueryParser.java) ----------
+SQ_QUERY = 'value + (scan | filt*) -"table scan"'
+
+
+def q_simple_query_top10(spark, sf_dir):
+    """SimpleQueryParser duel: `value + (scan | filt*) -"table scan"`
+    parses (SimpleQueryParser.java:447-490 buildQueryTree fold) to
+    bool[SHOULD bool[MUST value, MUST grp[SHOULD scan, SHOULD filt*]],
+         SHOULD bool[MUST_NOT "table scan", SHOULD MatchAll]]
+    => score = (s_value + s_scan + s_filt-expansion when value AND
+    (scan|filt*) match) + 1.0 for docs WITHOUT the phrase; a doc matches
+    if either leg does. Double replica of the executor's sum semantics;
+    the float32 execute_simple path is dueled in tests/test_r5_batch6.py.
+    The filt* expansion uses the engine's dictionary (top-df capped at
+    1024; the corpus has a single filt- term so the cap is moot)."""
+    s = searcher_for(spark, sf_dir)
+    filt = s.expand_terms(prefix="filt", top_terms=True)
+    sc = _bm25_spark_scored(spark, sf_dir, ["value", "scan"] + filt)
+    is_val = F.col("term") == "value"
+    per = sc.groupBy("doc_id").agg(
+        F.sum(F.when(is_val, F.col("s")).otherwise(0.0)).alias("s_val"),
+        F.max(F.when(is_val, 1).otherwise(0)).alias("has_val"),
+        F.sum(F.when(~is_val, F.col("s")).otherwise(0.0)).alias("s_grp"),
+        F.max(F.when(~is_val, 1).otherwise(0)).alias("has_grp"),
+    )
+    inner = per.filter(
+        (F.col("has_val") == 1) & (F.col("has_grp") == 1)
+    ).select("doc_id", (F.col("s_val") + F.col("s_grp")).alias("si"))
+    pos = s.postings_positions(["table", "scan"])
+    p0 = pos.where(F.col("term") == "table").select("docID", "pos")
+    p1 = pos.where(F.col("term") == "scan").select(
+        "docID", (F.col("pos") - 1).alias("pos")
+    )
+    dm = _docid_map(s)
+    ph = (
+        p0.join(p1, ["docID", "pos"])
+        .select("docID")
+        .distinct()
+        .join(F.broadcast(dm), "docID")
+        .select("doc_id", F.lit(1).alias("hasph"))
+    )
+    u = (
+        dm.select("doc_id")
+        .join(inner, "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .withColumn(
+            "v",
+            F.coalesce(F.col("si"), F.lit(0.0))
+            + F.when(F.col("hasph").isNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("si").isNotNull() | F.col("hasph").isNull())
+    )
+    return (
+        u.select("doc_id", F.round("v", ROUND).alias("score"), "v")
+        .orderBy(F.desc("v"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --- CommonTermsQuery (lucene/queries CommonTermsQuery.java) ----------------
 CT_GATE_TERMS = ["dup", "value", "scan", "table"]  # dup df=25, rest ~380-400
 CT_MTF = 0.7  # cut = ceil(0.7*N): 'dup' is the only low-frequency term
@@ -2632,16 +2827,16 @@ QUERIES = {
     "drill_sideways": q_drill_sideways,
     "span_first_top10": q_span_first_top10,
     "span_not_top10": q_span_not_top10,
+    "span_near_top10": q_span_near_top10,
+    "span_or_top10": q_span_or_top10,
+    "span_containing_top10": q_span_containing_top10,
+    "simple_query_top10": q_simple_query_top10,
     "common_terms_top10": q_common_terms_top10,
     "covering_top10": q_covering_top10,
     # core index contract
     "term_postings": q_term_postings,
     # scoring / query operators
-    "bm25_top10_term": q_bm25_top10_term,
-    "lucene_bm25_top10": q_lucene_bm25_top10,
     "regexp_df": q_regexp_df,
-    "term_offsets": q_term_offsets,
-    "highlight_top10": q_highlight_top10,
     # training-data pipeline
     "dedup_components": q_dedup_components,
     "simhash": q_simhash,
@@ -2680,7 +2875,20 @@ QUERIES = {
     # checked through mlt_vector_top10); batch 5 admitted pii_scrub /
     # decontam_overlap by rotating out facet_ranges / bm25_explain
     # (both r4-green, paths unchanged in r5); freetext_suggest admitted by
-    # rotating out phrase_prefix_top10 (r4-green, path unchanged) ----
+    # rotating out phrase_prefix_top10 (r4-green, path unchanged).
+    # Batch 6 admitted span_near_top10 / span_or_top10 /
+    # span_containing_top10 / simple_query_top10 by rotating out
+    # bm25_top10_term (r2/r3/r4-green, term-scoring path unchanged in
+    # r5), lucene_bm25_top10 (rows-only no_oracle by design; the float32
+    # path stays rank-identity-asserted in pytest and remains the
+    # entry()/bench headline), and term_offsets / highlight_top10 (both
+    # r4-green; the only r5 change to the offsets path is the
+    # mixed-runs merge GUARD, which errors rather than altering
+    # behavior) ----
+    "bm25_top10_term": q_bm25_top10_term,
+    "lucene_bm25_top10": q_lucene_bm25_top10,
+    "term_offsets": q_term_offsets,
+    "highlight_top10": q_highlight_top10,
     "phrase_prefix_top10": q_phrase_prefix_top10,
     "facet_ranges": q_facet_ranges,
     "bm25_explain": q_bm25_explain,
@@ -3647,6 +3855,99 @@ surv AS (SELECT * FROM m WHERE NOT EXISTS (
   SELECT 1 FROM tokp x WHERE x.doc_id = m.doc_id AND x.term = '{SPAN_EXCL}'
     AND x.pos BETWEEN m.s - {SPAN_PRE} AND m.s + 2 + {SPAN_POST} - 1)),
 {_span_score}"""
+
+    # --- SpanNear / SpanOr / SpanContaining (r5 batch 6) --------------------
+    def _idf_terms_sql(ts):
+        return " + ".join(
+            f"ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - "
+            f"(SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5) / "
+            f"((SELECT count(DISTINCT doc_id) FROM tokp WHERE term = '{t}')::DOUBLE + 0.5))"
+            for t in dict.fromkeys(ts)
+        )
+
+    _sn_chain = (
+        f"c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2 "
+        f"FROM (SELECT doc_id, pos AS p1 FROM tokp WHERE term = '{SN_T1}') c1 "
+        f"JOIN tokp t ON t.doc_id = c1.doc_id AND t.term = '{SN_T2}' AND t.pos > c1.p1 "
+        f"GROUP BY c1.doc_id, c1.p1)"
+    )
+
+    def _sn_score_sql(idf_expr: str) -> str:
+        return f"""
+f AS (SELECT doc_id, sum(1.0 / (1.0 + (p2 - p1 - 1))) AS freq FROM surv GROUP BY doc_id)
+SELECT f.doc_id,
+       round(({idf_expr}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
+ORDER BY ({idf_expr}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
+LIMIT 10
+"""
+
+    sqls["span_near_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+{_sn_chain},
+surv AS (SELECT * FROM c2 WHERE p2 - p1 - 1 <= {SN_SLOP}),
+{_sn_score_sql(_idf_terms_sql([SN_T1, SN_T2]))}"""
+
+    sqls["span_containing_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+{_sn_chain},
+surv AS (SELECT * FROM c2 WHERE p2 - p1 - 1 <= {SN_CONT_SLOP}
+  AND EXISTS (SELECT 1 FROM tokp x WHERE x.doc_id = c2.doc_id
+              AND x.term = '{SN_LITTLE}' AND x.pos BETWEEN c2.p1 AND c2.p2)),
+{_sn_score_sql(_idf_terms_sql([SN_T1, SN_T2, SN_LITTLE]))}"""
+
+    _so_list = ", ".join(f"'{t}'" for t in SPANOR_TERMS)
+    _so_idf = _idf_terms_sql(SPANOR_TERMS)
+    sqls["span_or_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+f AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM tokp
+      WHERE term IN ({_so_list}) GROUP BY doc_id)
+SELECT f.doc_id,
+       round(({_so_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
+ORDER BY ({_so_idf}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
+LIMIT 10
+"""
+
+    # --- SimpleQueryParser (r5 batch 6) --------------------------------------
+    sqls["simple_query_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+exp AS (SELECT term, df FROM alldf
+        WHERE term IN ('value', 'scan') OR term LIKE 'filt%'),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + ((SELECT n FROM n) - exp.df + 0.5) / (exp.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN exp USING (term) JOIN dl USING (doc_id)
+),
+per AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'value' THEN s ELSE 0.0 END) AS s_val,
+         max(CASE WHEN term = 'value' THEN 1 ELSE 0 END) AS has_val,
+         sum(CASE WHEN term <> 'value' THEN s ELSE 0.0 END) AS s_grp,
+         max(CASE WHEN term <> 'value' THEN 1 ELSE 0 END) AS has_grp
+  FROM sc GROUP BY doc_id
+),
+inr AS (SELECT doc_id, s_val + s_grp AS si FROM per WHERE has_val = 1 AND has_grp = 1),
+ph AS (SELECT DISTINCT p0.doc_id FROM tokp p0
+       JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = 'table' AND p1.term = 'scan'),
+u AS (SELECT d.doc_id,
+             coalesce(i.si, 0.0)
+               + (CASE WHEN ph.doc_id IS NULL THEN 1.0 ELSE 0.0 END) AS v,
+             (i.doc_id IS NOT NULL OR ph.doc_id IS NULL) AS m
+      FROM documents d
+      LEFT JOIN inr i ON i.doc_id = d.doc_id
+      LEFT JOIN ph ON ph.doc_id = d.doc_id)
+SELECT doc_id, round(v, {ROUND}) AS score FROM u WHERE m
+ORDER BY v DESC, doc_id ASC LIMIT 10
+"""
 
     # --- CommonTermsQuery ---------------------------------------------------
     _ct_list = ", ".join(f"'{t}'" for t in CT_GATE_TERMS)

@@ -536,6 +536,118 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def span_near_freqs(
+        self,
+        terms: list[str],
+        slop: int,
+        contain: str | None = None,
+        contain_mode: str = "containing",
+    ) -> dict[int, float]:
+        """row -> float sloppy freq for an ordered SpanNearQuery
+        (spans/NearSpansOrdered.java): for EVERY occurrence p1 of the
+        first clause, stretch each later clause to its first position
+        strictly after the previous (start_{i+1} >= end_i); a chain with
+        matchWidth = (p_n - p_1) - (n-1) <= slop contributes
+        1/(1+matchWidth) (SpanScorer.setFreqCurrentDoc:112).
+
+        contain='t' with contain_mode='containing' keeps only big spans
+        holding an occurrence of t in [p_1, p_n] (ContainSpans); with
+        'within' the freq instead counts occurrences of t covered by a
+        valid big span, 1 each (SpanWithinQuery; a term span has width
+        0)."""
+        need = terms + ([contain] if contain else [])
+        if any(t not in self.postings for t in need):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in need]
+        cand = set.intersection(*rowsets)
+        out: dict[int, float] = {}
+        for r in cand:
+            base = self.postings[terms[0]][2][r]
+            spans: list[tuple[int, int]] = []  # (start, end) valid chains
+            freq = 0.0
+            for p1 in base.tolist():
+                cur = p1
+                dead = False
+                for t in terms[1:]:
+                    lst = self.postings[t][2][r]
+                    nxt = lst[lst > cur]
+                    if nxt.size == 0:
+                        dead = True
+                        break
+                    cur = int(nxt[0])
+                if dead:
+                    continue
+                width = (cur - p1) - (len(terms) - 1)
+                if width > slop:
+                    continue
+                if contain and contain_mode == "containing":
+                    cpos = self.postings[contain][2][r]
+                    if not np.any((cpos >= p1) & (cpos <= cur)):
+                        continue
+                spans.append((p1, cur))
+                freq += 1.0 / (1.0 + width)
+            if contain and contain_mode == "within":
+                cpos = self.postings[contain][2][r]
+                freq = float(
+                    sum(
+                        1
+                        for q in cpos.tolist()
+                        if any(s <= q <= e for s, e in spans)
+                    )
+                )
+            if freq > 0:
+                out[r] = freq
+        return out
+
+    def search_span_near(
+        self,
+        terms: list[str],
+        slop: int,
+        k: int = 10,
+        contain: str | None = None,
+        contain_mode: str = "containing",
+    ):
+        """Top-k for SpanNear / SpanContaining / SpanWithin: float freq
+        from span_near_freqs, weight = summed idf over DISTINCT terms of
+        both sides (SpanWeight.buildSimWeight iterates the deduplicated
+        termStates map)."""
+        freqs = self.span_near_freqs(terms, slop, contain, contain_mode)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for t in dict.fromkeys(terms + ([contain] if contain else [])):
+            w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+    def search_span_or(self, terms: list[str], k: int = 10):
+        """SpanOrQuery replica (spans/SpanOrQuery.java): freq = TOTAL tf
+        of present clause terms (every occurrence is a width-0 span, slop
+        factor 1), scored once with weight = summed idf of the present
+        distinct terms."""
+        present = [t for t in dict.fromkeys(terms) if t in self.postings]
+        if not present:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        freq = np.zeros(self.doc_count, dtype=np.int64)
+        for t in present:
+            rows, tfs, _ = self.postings[t]
+            freq[rows] += tfs
+            w = np.float32(w + idf(len(rows), self.doc_count))
+        rows = np.flatnonzero(freq > 0)
+        scores = score_term(
+            freq[rows].astype(np.float32), self.norms[rows], w, self.scorer.cache
+        )
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
     def search_common_terms(
         self,
         terms: list[str],

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -2770,6 +2771,339 @@ class IndexSearcher:
         if scored is None:
             return self._empty_topk()
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def span_near_scores(
+        self,
+        terms: list[str],
+        slop: int,
+        contain: str | None = None,
+        contain_mode: str = "containing",
+    ) -> DataFrame | None:
+        """(docID, score float32) for an ordered SpanNearQuery over term
+        clauses (queries/spans/SpanNearQuery.java via NearSpansOrdered):
+        for EVERY occurrence p1 of the first term, stretch each following
+        clause to its first position strictly after the previous one
+        (NearSpansOrdered.stretchToOrder — start_{i+1} >= end_i); the
+        span matches when matchWidth = sum of inter-clause gaps
+        = (p_n - p_1) - (n-1) <= slop, and contributes
+        1/(1+matchWidth) to the doc's float freq
+        (SpanScorer.setFreqCurrentDoc:112 — every chained first-term
+        occurrence is enumerated, NOT just minimal intervals; contrast
+        search_intervals). Accumulation is float64 then cast, the same
+        documented convention as sloppy_scores.
+
+        weight = sum of idf over DISTINCT terms — SpanWeight.buildSimWeight
+        iterates the deduplicated Map<Term,TermStates>, unlike PhraseQuery
+        which weights per position (span_scores' per-entry sum only
+        differs on repeated terms; both conventions are documented).
+
+        contain adds a SpanContainingQuery / SpanWithinQuery constraint
+        (spans/SpanContainingQuery.java:30, SpanWithinQuery.java:30, both
+        via ContainSpans): with contain_mode='containing' the surviving
+        big spans must contain an occurrence q of ``contain``
+        (p_1 <= q <= p_n) and freq still counts big spans at their slop
+        factor; with 'within' the roles flip — freq counts ``contain``
+        occurrences covered by >= 1 valid big span, each at slop factor
+        1 (a term span's width is 0, TermSpans.java:106). Either mode
+        adds the contain term's idf to the weight (SpanContainWeight
+        .extractTermStates forwards BOTH sides).
+
+        Plan shape: the rarest-first broadcast phrase join supplies
+        candidates; one Arrow kernel does the chain with one batched
+        searchsorted per clause — no per-doc loop, no extra shuffle."""
+        if len(terms) < 2:
+            raise ValueError("span_near needs at least two clauses")
+        if contain_mode not in ("containing", "within"):
+            raise ValueError("contain_mode must be 'containing' or 'within'")
+        all_terms = terms + ([contain] if contain else [])
+        stats = self.term_stats(all_terms)
+        if any(t not in stats for t in all_terms):
+            return None
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        w = np.float32(0.0)
+        for t in dict.fromkeys(all_terms):
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        uniq = list(dict.fromkeys(all_terms))
+        joined = self._phrase_join(uniq, stats)
+        tidx = {t: i for i, t in enumerate(uniq)}
+        order_idx = [tidx[t] for t in terms]
+        c_idx = tidx[contain] if contain else None
+        n_terms = len(terms)
+        slop_i = int(slop)
+        mode_within = contain is not None and contain_mode == "within"
+        mode_contain = contain is not None and contain_mode == "containing"
+
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+
+        def match_batch(batches):
+            for pdf in batches:
+                n_docs = len(pdf)
+                if n_docs == 0:
+                    yield pd.DataFrame(
+                        {"docID": pd.array([], dtype="int64"),
+                         "score": pd.array([], dtype="float32")}
+                    )
+                    continue
+                docids = pdf["docID"].to_numpy(np.int64)
+                flats, starts_l, lens_l = [], [], []
+                maxpos = 0
+                for li in range(n_terms):
+                    arrs = [
+                        np.asarray(a, dtype=np.int64)
+                        for a in pdf[f"pos{order_idx[li]}"]
+                    ]
+                    lens = np.fromiter(
+                        (a.size for a in arrs), dtype=np.int64, count=n_docs
+                    )
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    starts_l.append(np.concatenate(([0], np.cumsum(lens)[:-1])))
+                    lens_l.append(lens)
+                if contain is not None:
+                    carrs = [
+                        np.asarray(a, dtype=np.int64) for a in pdf[f"pos{c_idx}"]
+                    ]
+                    clens = np.fromiter(
+                        (a.size for a in carrs), dtype=np.int64, count=n_docs
+                    )
+                    cflat = np.concatenate(carrs) if carrs else np.empty(0, np.int64)
+                    if cflat.size:
+                        maxpos = max(maxpos, int(cflat.max()))
+                SHIFT = _pos_shift(maxpos, 1, floor_bits=22)
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys = [
+                    np.repeat(doc_key, lens_l[li]) + flats[li]
+                    for li in range(n_terms)
+                ]
+                big = np.int64(1) << np.int64(60)
+                # NearSpansOrdered chain: first strictly-after per clause
+                cur = keys[0].copy()
+                alive = np.ones(cur.shape, dtype=bool)
+                for li in range(1, n_terms):
+                    idx = np.searchsorted(keys[li], cur, side="right")
+                    okh = idx < keys[li].size
+                    cur = np.where(
+                        okh, keys[li][np.minimum(idx, keys[li].size - 1)], big
+                    )
+                    alive &= okh
+                startv = keys[0]
+                endv = np.where(alive, cur, big)
+                width = endv - startv - np.int64(n_terms - 1)
+                # exact same-doc guard: a chain whose first-after step fell
+                # into the NEXT doc's key space can still have a small key
+                # difference (SHIFT - maxpos), so compare doc slots
+                valid = (
+                    alive
+                    & (endv < big)
+                    & (width <= slop_i)
+                    & (endv // SHIFT == startv // SHIFT)
+                )
+                if mode_contain:
+                    ckeys = np.repeat(doc_key, clens) + cflat
+                    n_in = np.searchsorted(ckeys, endv, side="right") - (
+                        np.searchsorted(ckeys, startv, side="left")
+                    )
+                    valid &= n_in > 0
+                if mode_within:
+                    ckeys = np.repeat(doc_key, clens) + cflat
+                    vs, ve = startv[valid], endv[valid]
+                    if vs.size:
+                        # chained ends are monotone in start, so the last
+                        # valid span starting <= q has the max end among them
+                        j = np.searchsorted(vs, ckeys, side="right") - 1
+                        covered = (j >= 0) & (ve[np.maximum(j, 0)] >= ckeys)
+                    else:
+                        covered = np.zeros(ckeys.shape, dtype=bool)
+                    cstarts = np.concatenate(([0], np.cumsum(clens)[:-1]))
+                    freq = (
+                        np.add.reduceat(covered.astype(np.float64), cstarts)
+                        if ckeys.size
+                        else np.zeros(n_docs, np.float64)
+                    )
+                    freq = np.where(clens > 0, freq, 0.0)
+                else:
+                    contrib = np.where(
+                        valid, 1.0 / (1.0 + width.astype(np.float64)), 0.0
+                    )
+                    freq = (
+                        np.add.reduceat(contrib, starts_l[0])
+                        if startv.size
+                        else np.zeros(n_docs, np.float64)
+                    )
+                    freq = np.where(lens_l[0] > 0, freq, 0.0)
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(
+                    np.float32
+                )
+                yield pd.DataFrame({"docID": docids[hit], "score": scores})
+
+        return joined.mapInPandas(match_batch, schema=out_schema)
+
+    def search_span_near(
+        self, query: str | list[str], slop: int, k: int = 10
+    ) -> DataFrame:
+        """Ordered SpanNearQuery top-k (queries/spans/SpanNearQuery.java):
+        clause spans in order with total gap <= slop, freq = sum of
+        1/(1+matchWidth) over enumerated spans. (docID, score) by score
+        DESC, docID ASC."""
+        terms = self._parse(query)
+        if len(terms) == 1:
+            return self.search(terms, k=k)
+        scored = self.span_near_scores(terms, slop)
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_span_containing(
+        self, big: str | list[str], slop: int, little: str, k: int = 10
+    ) -> DataFrame:
+        """SpanContainingQuery top-k (spans/SpanContainingQuery.java:30):
+        ordered near-spans of ``big`` (gap <= slop) that contain an
+        occurrence of ``little``; freq counts surviving big spans at
+        their slop factor, weight sums both sides' idf."""
+        parsed_l = self._parse(little)
+        if len(parsed_l) != 1:
+            raise ValueError("little must be a single term")
+        scored = self.span_near_scores(
+            self._parse(big), slop, contain=parsed_l[0], contain_mode="containing"
+        )
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_span_within(
+        self, little: str, big: str | list[str], slop: int, k: int = 10
+    ) -> DataFrame:
+        """SpanWithinQuery top-k (spans/SpanWithinQuery.java:30): little
+        spans that lie within a big ordered near-span (gap <= slop);
+        freq counts covered little occurrences (width 0 => slop factor
+        1 each), weight sums both sides' idf."""
+        parsed_l = self._parse(little)
+        if len(parsed_l) != 1:
+            raise ValueError("little must be a single term")
+        scored = self.span_near_scores(
+            self._parse(big), slop, contain=parsed_l[0], contain_mode="within"
+        )
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_span_or(self, terms: str | list[str], k: int = 10) -> DataFrame:
+        """SpanOrQuery top-k over term clauses
+        (queries/spans/SpanOrQuery.java): the span disjunction emits every
+        clause occurrence (width 0, slop factor 1 each —
+        SpanScorer.setFreqCurrentDoc:112 + TermSpans.java:106), so
+        freq = TOTAL tf across present clause terms, scored ONCE with
+        weight = sum of the present terms' idf (SpanWeight.buildSimWeight
+        over the merged termStates map). Differs from both the boolean OR
+        (per-term saturation, then sum) and SynonymQuery (max-df pseudo
+        term): here tf sums BEFORE the BM25 saturation.
+
+        Plan: one postings decode of the clause terms -> groupBy docID
+        sum(tf) (map-side partial agg) -> one Arrow-batched scoring UDF;
+        absent terms drop out of both freq and weight (a TermStates with
+        zero docFreq contributes no scorer)."""
+        parsed = self._parse(terms)
+        stats = self.term_stats(parsed)
+        present = [t for t in dict.fromkeys(parsed) if t in stats]
+        if not present:
+            return self._empty_topk()
+        w = np.float32(0.0)
+        for t in present:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+
+        rows = self._tf_norm_rows(present)
+        agg = rows.groupBy("docID").agg(
+            F.sum("tf").alias("freq"), F.max("norm").alias("norm")
+        )
+
+        @pandas_udf(FloatType())
+        def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
+            wv = np.float32(weight)
+            inv = cache[norm.to_numpy(np.int64)]
+            f32 = freq.to_numpy(np.int64).astype(np.float32)
+            return pd.Series(
+                (wv - wv / (np.float32(1.0) + f32 * inv)).astype(np.float32)
+            )
+
+        return (
+            agg.select(
+                "docID", score_udf(F.col("freq"), F.col("norm")).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def _tf_norm_rows(self, terms: list[str]) -> DataFrame:
+        """Decode (docID, tf, norm) rows for the given terms — the
+        postings_tf shape plus the norm byte, for scorers that need the
+        RAW tf (span-or's freq sums before saturation). Tombstones are
+        filtered inside the kernel per the decode-kernel contract."""
+        schema = StructType(
+            [
+                StructField("docID", LongType()),
+                StructField("tf", LongType()),
+                StructField("norm", IntegerType()),
+            ]
+        )
+        dele_bc = self._deleted_bc
+
+        def fn(batches):
+            dele = dele_bc.value
+            for pdf in batches:
+                outs = []
+                for docs_vb, tfs_vb, norms_b in zip(
+                    pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"]
+                ):
+                    doc_ids = delta_decode(decode(bytes(docs_vb)))
+                    tfs = decode(bytes(tfs_vb))
+                    norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                    if dele.size:
+                        keep = ~np.isin(doc_ids, dele)
+                        doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "docID": doc_ids,
+                                "tf": tfs.astype(np.int64),
+                                "norm": norms.astype(np.int32),
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {
+                        "docID": pd.array([], dtype="int64"),
+                        "tf": pd.array([], dtype="int64"),
+                        "norm": pd.array([], dtype="int32"),
+                    }
+                )
+
+        return self._strip_deleted(
+            self._postings.filter(F.col("term").isin(list(set(terms))))
+            .select("docs_vb", "tfs_vb", "norms_b")
+            .mapInPandas(fn, schema=schema)
+        )
+
+    def match_all_scores(self) -> DataFrame:
+        """(docID, score=1.0 float) for every live doc —
+        MatchAllDocsQuery (core search/MatchAllDocsQuery.java: score ==
+        boost, default 1). Tombstones applied via the live-docmap
+        broadcast anti-join."""
+        return self._live_docmap().select(
+            "docID", F.lit(1.0).cast(FloatType()).alias("score")
+        )
 
     # -- sloppy phrase ----------------------------------------------------
 

@@ -294,6 +294,11 @@ def _leaf_scores(searcher, node: Node) -> DataFrame | None:
             scored = scored.select(
                 "docID", F.col("score").cast(DoubleType()).alias("score")
             )
+    elif node.kind == "all":
+        # MatchAllDocsQuery: every live doc at score == boost
+        scored = searcher.match_all_scores().select(
+            "docID", F.col("score").cast(DoubleType()).alias("score")
+        )
     else:
         scored = _bool_scores(searcher, node)
     if scored is None:
