@@ -144,6 +144,7 @@ def main() -> None:
         "span_or_top10",
         "span_containing_top10",
         "simple_query_top10",
+        "phrase_wild_top10",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",

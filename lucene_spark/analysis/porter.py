@@ -231,12 +231,24 @@ def possessive(word: str) -> str:
     return word
 
 
+def reverse_token(word: str) -> str:
+    """ReverseStringFilter (reference lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/reverse/ReverseStringFilter.java:28,
+    without the marker-char option): reverses each token, the classic
+    recipe for EFFICIENT leading-wildcard queries — ``*suffix`` becomes
+    a PREFIX over the reversed dictionary, so the sorted-terms parquet
+    min/max stats prune the scan exactly like PrefixQuery
+    (IndexSearcher.search_suffix)."""
+    return word[::-1]
+
+
 from lucene_spark.analysis.folding import ascii_fold  # noqa: E402
 
 TOKEN_FILTERS = {
     "possessive": possessive,
     "porter": porter_stem,
     "ascii_folding": ascii_fold,
+    "reverse": reverse_token,
 }
 
 

@@ -165,6 +165,45 @@ def searcher_for_stemmed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_rev: dict[str, IndexSearcher] = {}
+REV_FILTERS = ("reverse",)
+
+
+def searcher_for_reverse(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Aux index built with ReverseStringFilter
+    (analysis/reverse/ReverseStringFilter.java:28) — the classic
+    leading-wildcard recipe: *suffix becomes a dictionary PREFIX, so
+    parquet min/max prunes the terms scan. Kept apart from the headline
+    index like the stemmed/offsets aux indexes."""
+    if sf_dir in _searchers_rev:
+        return _searchers_rev[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_rev"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or tuple(m.get("token_filters", ())) != REV_FILTERS
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            token_filters=REV_FILTERS,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_rev[sf_dir] = s
+    return s
+
+
 _searchers_pay: dict[str, IndexSearcher] = {}
 
 # per-token integer payload: (doc_id * 31 + position) % 97 — closed form
@@ -1929,6 +1968,77 @@ def q_simple_query_top10(spark, sf_dir):
     )
 
 
+# --- leading wildcard via ReverseStringFilter (r5 batch 7) -------------------
+SUFFIX = "er"  # *er => customer / filter / order
+
+
+def q_suffix_top10(spark, sf_dir):
+    """Leading-wildcard `*er` over the REVERSE-filtered aux index
+    (analysis/reverse/ReverseStringFilter.java:28 + the classic
+    leading-wildcard recipe): the engine expands the reversed-prefix
+    dictionary slice (parquet min/max pruned, NO full-dict regex) and
+    scores the scoring-boolean sum; this replica runs the identical
+    expansion on the reversed index but scores in double
+    (the float32 path search_suffix is pytest-dueled). The DuckDB
+    oracle expands the FORWARD vocabulary with LIKE '%er' — the two
+    sides agree only if reversal round-trips the whole dictionary."""
+    s = searcher_for_reverse(spark, sf_dir)
+    terms = s.expand_terms(prefix=SUFFIX[::-1], top_terms=True)
+    return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
+
+
+# --- PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java) -----------
+PW_PREFIX, PW_W2 = "v", "table"  # "v* table": v* => value, vector
+
+
+def q_phrase_wild_top10(spark, sf_dir):
+    """PhraseWildcardQuery duel (reference lucene/sandbox/src/java/org/
+    apache/lucene/sandbox/search/PhraseWildcardQuery.java:60): phrase
+    "v* table" — the wildcard slot expands against the dictionary and
+    the phrase runs with MultiPhraseQuery semantics (per-slot position
+    union, summed idf over every expanded slot term). Double replica
+    over index-decoded positions; the float32 engine path
+    search_phrase_wildcard is pytest-dueled."""
+    import math
+
+    s = searcher_for(spark, sf_dir)
+    exp0 = s.expand_terms(prefix=PW_PREFIX, top_terms=True)
+    all_terms = sorted(exp0) + [PW_W2]
+    n = s.manifest["doc_count"]
+    avgdl = s.manifest["sum_total_term_freq"] / n
+    stats = s.term_stats(all_terms)
+    w = 0.0
+    for t in all_terms:
+        df = float(stats[t].df) if t in stats else 0.0
+        w = w + math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+    pos = s.postings_positions(all_terms)
+    p0 = pos.where(F.col("term").isin(exp0)).select(
+        "docID", (F.col("pos") + 1).alias("nxt")
+    )
+    p1 = pos.where(F.col("term") == PW_W2).select(
+        "docID", F.col("pos").alias("nxt")
+    )
+    freq = p0.join(p1, ["docID", "nxt"]).groupBy("docID").agg(
+        F.count("*").alias("freq")
+    )
+    dm = _docid_map(s)
+    scored = freq.join(F.broadcast(dm), "docID").withColumn(
+        "s",
+        F.lit(w)
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.select("doc_id", F.round("s", ROUND).alias("score"), "s")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --- CommonTermsQuery (lucene/queries CommonTermsQuery.java) ----------------
 CT_GATE_TERMS = ["dup", "value", "scan", "table"]  # dup df=25, rest ~380-400
 CT_MTF = 0.7  # cut = ceil(0.7*N): 'dup' is the only low-frequency term
@@ -2833,8 +2943,7 @@ QUERIES = {
     "simple_query_top10": q_simple_query_top10,
     "common_terms_top10": q_common_terms_top10,
     "covering_top10": q_covering_top10,
-    # core index contract
-    "term_postings": q_term_postings,
+    "suffix_top10": q_suffix_top10,
     # scoring / query operators
     "regexp_df": q_regexp_df,
     # training-data pipeline
@@ -2884,7 +2993,16 @@ QUERIES = {
     # entry()/bench headline), and term_offsets / highlight_top10 (both
     # r4-green; the only r5 change to the offsets path is the
     # mixed-runs merge GUARD, which errors rather than altering
-    # behavior) ----
+    # behavior). Batch 7 admitted suffix_top10 (reverse-filter
+    # leading-wildcard, a NEW aux-index path) by rotating out
+    # term_postings (driver-green r1-r4, invert path unchanged in r5 —
+    # the default-empty token_filters chain is a no-op remap);
+    # phrase_wild_top10 starts in the rotation bench directly: its
+    # engine path is a thin composition of expand_terms (driver-green
+    # via regexp_df/suffix_top10) and search_multi_phrase
+    # (multiphrase_top10, twice driver-green) ----
+    "term_postings": q_term_postings,
+    "phrase_wild_top10": q_phrase_wild_top10,
     "bm25_top10_term": q_bm25_top10_term,
     "lucene_bm25_top10": q_lucene_bm25_top10,
     "term_offsets": q_term_offsets,
@@ -3947,6 +4065,31 @@ u AS (SELECT d.doc_id,
       LEFT JOIN ph ON ph.doc_id = d.doc_id)
 SELECT doc_id, round(v, {ROUND}) AS score FROM u WHERE m
 ORDER BY v DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- leading wildcard *{SUFFIX} (ReverseStringFilter recipe, r5 b7) ----
+    # oracle expands the FORWARD vocabulary; the Spark side expands the
+    # REVERSED dictionary and maps back — agreement proves the reversal
+    # round-trips the entire term set
+    sqls["suffix_top10"] = _expansion_scored_sql(f"term LIKE '%{SUFFIX}'")
+
+    # --- PhraseWildcardQuery "v* table" (r5 b7) -----------------------------
+    sqls["phrase_wild_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp GROUP BY term),
+st AS (SELECT term, df FROM dict WHERE term LIKE '{PW_PREFIX}%'
+       UNION ALL SELECT term, df FROM dict WHERE term = '{PW_W2}'),
+w AS (SELECT sum(ln(1 + ((SELECT count(*) FROM documents)::DOUBLE - df + 0.5) / (df + 0.5))) AS w FROM st),
+m AS (SELECT p0.doc_id, count(*)::DOUBLE AS freq
+      FROM tokp p0 JOIN tokp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+      WHERE p0.term LIKE '{PW_PREFIX}%' AND p1.term = '{PW_W2}'
+      GROUP BY p0.doc_id)
+SELECT m.doc_id,
+       round((SELECT w FROM w) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM m JOIN dl ON dl.doc_id = m.doc_id, avg
+ORDER BY (SELECT w FROM w) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, m.doc_id ASC
+LIMIT 10
 """
 
     # --- CommonTermsQuery ---------------------------------------------------

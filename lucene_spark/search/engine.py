@@ -3105,6 +3105,90 @@ class IndexSearcher:
             "docID", F.lit(1.0).cast(FloatType()).alias("score")
         )
 
+    def suffix_terms(self, suffix: str) -> DataFrame:
+        """Dictionary terms ENDING with ``suffix`` as (term, df) rows with
+        the term in its stored (reversed) surface — the efficient
+        leading-wildcard recipe (analysis/reverse/ReverseStringFilter.java:28
+        + the classic *suffix pattern): on an index built with
+        token_filters=("reverse",) the suffix becomes a PREFIX over the
+        reversed dictionary, so the sorted-terms parquet min/max prunes
+        the scan exactly like PrefixQuery — no full-dictionary rlike.
+        Raises unless the index was built with the reverse filter."""
+        if "reverse" not in tuple(self._token_filters or ()):
+            raise ValueError(
+                "search_suffix needs an index built with "
+                "token_filters=('reverse',) — leading wildcards on a "
+                "forward index would scan the whole dictionary"
+            )
+        from lucene_spark.analysis import lowercase
+
+        pre = lowercase(suffix)[::-1]
+        return self._terms.filter(F.col("term").startswith(pre)).select(
+            "term", "df"
+        )
+
+    def search_suffix(self, suffix: str, k: int = 10) -> DataFrame:
+        """Leading-wildcard top-k (``*suffix`` — WildcardQuery with a
+        leading '*', made index-cheap by ReverseStringFilter): bounded
+        top-df expansion over the reversed-prefix dictionary slice, then
+        the scoring-boolean rewrite (sum of per-term BM25, the same
+        contract as the parser's wildcard leaf). Returns (docID, score
+        float32) by score DESC, docID ASC."""
+        if "reverse" not in tuple(self._token_filters or ()):
+            raise ValueError(
+                "search_suffix needs an index built with "
+                "token_filters=('reverse',)"
+            )
+        from lucene_spark.analysis import lowercase
+
+        expanded = self.expand_terms(
+            prefix=lowercase(suffix)[::-1], top_terms=True
+        )
+        if not expanded:
+            return self._empty_topk()
+        stats = self.term_stats(expanded)
+        scored = (
+            self._scored_postings(expanded, stats)
+            .groupBy("docID")
+            .agg(F.sum(F.col("score").cast(DoubleType())).alias("score"))
+        )
+        return (
+            scored.select(
+                "docID", F.col("score").cast(FloatType()).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def search_phrase_wildcard(self, slots: list[str], k: int = 10) -> DataFrame:
+        """PhraseWildcardQuery (reference lucene/sandbox/src/java/org/
+        apache/lucene/sandbox/search/PhraseWildcardQuery.java:60): an
+        exact phrase where any slot may be a trailing-* prefix wildcard
+        ("key ta*"). Each wildcard slot expands against the dictionary
+        (top-df capped, TopTermsRewrite bound) and the phrase executes
+        with MultiPhraseQuery semantics — per-slot union of positions,
+        summed idf over every slot's expanded terms (the repo's
+        documented MultiPhrase scoring; the reference's
+        segment-by-segment expansion budgeting is an executor-local
+        optimization Spark replaces with one bounded dictionary scan).
+        A slot expanding to nothing matches nothing."""
+        alts: list[list[str]] = []
+        for slot in slots:
+            if slot.endswith("*") and len(slot) > 1 and "*" not in slot[:-1]:
+                stem = self._parse(slot[:-1])
+                if len(stem) != 1:
+                    raise ValueError(f"bad wildcard slot {slot!r}")
+                exp = self.expand_terms(prefix=stem[0], top_terms=True)
+                if not exp:
+                    return self._empty_topk()
+                alts.append(exp)
+            else:
+                parsed = self._parse(slot)
+                if len(parsed) != 1:
+                    raise ValueError(f"slot {slot!r} must analyze to one term")
+                alts.append(parsed)
+        return self.search_multi_phrase(alts, k=k)
+
     # -- sloppy phrase ----------------------------------------------------
 
     def search_sloppy_phrase(self, phrase: str, slop: int, k: int = 10) -> DataFrame:
