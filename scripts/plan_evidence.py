@@ -267,6 +267,31 @@ def main() -> None:
     assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full, \
         "similarity scoring fell off the JVM!"
 
+    # --- r5 batch 6/7: span_or column pruning, span_near broadcast -------
+    so = s.search_span_or(["table", "scan", "spark"], k=10)
+    full = _full(so)
+    p = _plan(so, head=12)
+    sections.append((
+        "SpanOr — positions PRUNED from the scan (width-0 spans need no pos_vb)",
+        "The disjunction's freq is total tf, so the decode reads only docs/tfs/norms — ReadSchema drops "
+        "pos_vb (~half the index bytes) — and the tf sum partial-aggregates map-side before one exchange.",
+        p,
+    ))
+    assert "pos_vb" not in full, "span_or started reading positions!"
+    assert "partial_sum" in full, "span_or lost its map-side combine!"
+
+    sn = s.search_span_near(["key", "table"], slop=5, k=10)
+    full = _full(sn)
+    p = _plan(sn, head=16)
+    sections.append((
+        "SpanNear — rarest-first BROADCAST candidate join, one Arrow chain kernel",
+        "The NearSpansOrdered chain rides the exact-phrase join shape: per-term position decodes joined "
+        "rarest-df-first with the accumulated candidate side broadcast, then ONE mapInPandas does the "
+        "batched-searchsorted chain + sloppy-freq scoring.",
+        p,
+    ))
+    assert "BroadcastHashJoin" in full, "span_near lost the broadcast candidate join!"
+
     with open(OUT, "w") as f:
         f.write("# Physical-plan evidence (generated)\n\n")
         f.write("Captured from the live engine at sf0.01; regenerate with\n")
