@@ -145,6 +145,7 @@ def main() -> None:
         "span_containing_top10",
         "simple_query_top10",
         "phrase_wild_top10",
+        "dup_span_stats",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",

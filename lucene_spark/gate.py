@@ -1987,6 +1987,25 @@ def q_suffix_top10(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
 
 
+# --- ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499) -------------------
+SUB_K = 5  # k-token windows; 71/500 sf0.01 docs carry a duplicated span
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring dedup stats (the ExactSubstr protocol of Lee et
+    al. 2022 at k-token resolution): per doc, the count of
+    corpus-duplicated SUB_K-token windows and the token length of their
+    interval UNION (merged maximal spans). Pure-integer outputs plus a
+    4-digit fraction — hash-exact duel; the DuckDB oracle rebuilds the
+    identical windows from the raw token arrays (no shared hashing:
+    Spark compares xxhash64, the oracle compares the window strings
+    themselves, so agreement also rules out hash-collision effects)."""
+    from lucene_spark.pipeline.substring import duplicate_span_stats
+
+    docs = _documents(spark, sf_dir)
+    return duplicate_span_stats(docs, k=SUB_K, round_to=ROUND)
+
+
 # --- PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java) -----------
 PW_PREFIX, PW_W2 = "v", "table"  # "v* table": v* => value, vector
 
@@ -2925,7 +2944,7 @@ QUERIES = {
     "spell_top5": q_spell_top5,
     "facet_taxonomy": q_facet_taxonomy,
     "geo_distance_top10": q_geo_distance_top10,
-    "geo_box_count": q_geo_box_count,
+    "dup_span_stats": q_dup_span_stats,
     "knn_classify": q_knn_classify,
     "nb_classify": q_nb_classify,
     "term_vector_doc": q_term_vector_doc,
@@ -3000,7 +3019,12 @@ QUERIES = {
     # phrase_wild_top10 starts in the rotation bench directly: its
     # engine path is a thin composition of expand_terms (driver-green
     # via regexp_df/suffix_top10) and search_multi_phrase
-    # (multiphrase_top10, twice driver-green) ----
+    # (multiphrase_top10, twice driver-green). Batch 8 admitted
+    # dup_span_stats (ExactSubstr dedup — a NEW pipeline path) by
+    # rotating geo_box_count here: its box range predicate is exercised
+    # in-cap by geo_polygon_count's bbox prefilter and
+    # geo_distance_top10's range handling (same geo.py scan path) ----
+    "geo_box_count": q_geo_box_count,
     "term_postings": q_term_postings,
     "phrase_wild_top10": q_phrase_wild_top10,
     "bm25_top10_term": q_bm25_top10_term,
@@ -4072,6 +4096,35 @@ ORDER BY v DESC, doc_id ASC LIMIT 10
     # REVERSED dictionary and maps back — agreement proves the reversal
     # round-trips the entire term set
     sqls["suffix_top10"] = _expansion_scored_sql(f"term LIKE '%{SUFFIX}'")
+
+    # --- ExactSubstr dedup stats (r5 b8) -------------------------------------
+    sqls["dup_span_stats"] = f"""
+WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+dl AS (SELECT doc_id, len(a)::BIGINT AS dl FROM tk),
+win AS (SELECT doc_id, i - 1 AS pos, array_to_string(a[i:i+{SUB_K - 1}], ' ') AS w
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - {SUB_K - 1})) AS i)
+        WHERE len(a) >= {SUB_K}),
+dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN pos >= coalesce(max(pos + {SUB_K}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+        FROM hits),
+isl2 AS (SELECT doc_id, pos, sum(ni) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+g AS (SELECT doc_id, island, count(*)::BIGINT AS nw,
+             max(pos + {SUB_K}) - min(pos) AS len
+      FROM isl2 GROUP BY doc_id, island),
+agg AS (SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+               sum(len)::BIGINT AS dup_tokens
+        FROM g GROUP BY doc_id)
+SELECT a.doc_id, dl.dl, a.n_dup_windows, a.dup_tokens,
+       round(a.dup_tokens::DOUBLE / dl.dl, {ROUND}) AS dup_frac
+FROM agg a JOIN dl USING (doc_id)
+"""
 
     # --- PhraseWildcardQuery "v* table" (r5 b7) -----------------------------
     sqls["phrase_wild_top10"] = f"""
