@@ -478,6 +478,7 @@ class OracleIndex:
         exclude: str | None = None,
         pre: int = 0,
         post: int = 0,
+        first_start: int | None = None,
     ) -> dict[int, int]:
         """row -> surviving-span count for an exact include span under the
         SpanFirstQuery end limit and/or SpanNotQuery pre/post exclusion
@@ -497,6 +498,8 @@ class OracleIndex:
                 ok &= np.isin(base + i, self.postings[t][2][r])
             if first_end is not None:
                 ok &= base + L <= first_end
+            if first_start is not None:
+                ok &= base >= first_start
             if exclude is not None and exclude in self.postings:
                 xmap = self.postings[exclude][2]
                 if r in xmap:
@@ -518,11 +521,14 @@ class OracleIndex:
         exclude: str | None = None,
         pre: int = 0,
         post: int = 0,
+        first_start: int | None = None,
     ):
         """Top-k for a span query: freq = surviving spans, weight = summed
         include-term idf (SpanNotWeight scores from the include side
         only)."""
-        freqs = self.span_freqs(terms, first_end, exclude, pre, post)
+        freqs = self.span_freqs(
+            terms, first_end, exclude, pre, post, first_start
+        )
         if not freqs:
             return []
         from lucene_spark.search.bm25 import idf, score_term

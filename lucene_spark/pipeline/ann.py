@@ -79,21 +79,38 @@ def emb_near_dup_pairs(
     billion vectors you shard tiles by IVF cell first; the tile kernel is
     unchanged."""
     tiles = _pack_tiles(emb, num_tiles, id_col, vec_col)
+    return _tile_pairs_matched(tiles, threshold, round_to)
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("a", LongType()),
+        StructField("b", LongType()),
+        StructField("cos", DoubleType()),
+    ]
+)
+
+
+def _tile_pairs_matched(
+    tiles: DataFrame,
+    threshold: float,
+    round_to: int,
+    same_group=None,
+) -> DataFrame:
+    """Upper-triangle tile join + the matmul match kernel, shared by the
+    exact all-pairs path and the SemDeDup within-cluster path.
+    ``same_group(l_tile, r_tile)`` optionally restricts pairing (e.g. to
+    tiles of the same IVF cell)."""
     l = tiles.alias("l")
     r = tiles.alias("r")
-    pairs = l.join(r, F.col("l.tile") <= F.col("r.tile")).select(
+    cond = F.col("l.tile") <= F.col("r.tile")
+    if same_group is not None:
+        cond = cond & same_group(F.col("l.tile"), F.col("r.tile"))
+    pairs = l.join(r, cond).select(
         F.col("l.tile").alias("ta"), F.col("l.ids").alias("ids_a"),
         F.col("l.mat").alias("mat_a"), F.col("l.n").alias("na"),
         F.col("r.tile").alias("tb"), F.col("r.ids").alias("ids_b"),
         F.col("r.mat").alias("mat_b"), F.col("r.n").alias("nb"),
-    )
-
-    out_schema = StructType(
-        [
-            StructField("a", LongType()),
-            StructField("b", LongType()),
-            StructField("cos", DoubleType()),
-        ]
     )
     thr = float(threshold)
 
@@ -131,8 +148,127 @@ def emb_near_dup_pairs(
                 )
 
     return (
-        pairs.mapInPandas(match, schema=out_schema)
+        pairs.mapInPandas(match, schema=_PAIR_SCHEMA)
         .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )
+
+
+def _assign_multi_udf(cents_arr: np.ndarray, p: int):
+    """Arrow-batched TOP-p cell assignment (multi-probe): each vector
+    lands in its p nearest cells, so near-dup pairs that straddle one
+    cell boundary still meet — the standard recall lever for
+    cluster-bucketed comparison."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float32) for x in v])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cents_arr.T
+        top = np.argsort(-sims, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def semantic_dedup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 5,
+    tiles_per_cell: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with the IVF coarse quantizer, then compare pairs
+    only WITHIN a cluster — compute drops from O(n^2) to
+    O(nprobe^2 x sum of cell^2), the paper's entire point, at the cost
+    of missing pairs whose members share NO probed cell (the accepted
+    approximation; recall vs the exact path is pytest-measured).
+    ``nprobe`` assigns each vector to its top-p cells (multi-probe), the
+    standard recall lever. Columns (a, b, cos) with a < b; a pair found
+    in several shared cells is emitted once.
+
+    Plan shape: bounded-sample centroid training (one scan), map-only
+    multi-cell assignment + explode, per-(cell, subtile) Arrow packing,
+    tile join restricted to same-cell — the same matmul kernel as the
+    exact path, sharded exactly the way emb_near_dup_pairs' docstring
+    prescribes for 10^9 vectors."""
+    _, cents = _train_centroids(emb, n_cells, kmeans_iters, id_col, vec_col)
+    assign = _assign_multi_udf(cents, int(nprobe))
+    tpc = int(tiles_per_cell)
+    cells = emb.withColumn(
+        "cell", F.explode(assign(F.col(vec_col)))
+    )
+    keyed = cells.withColumn(
+        "gtile",
+        (F.col("cell").cast("long") * tpc + F.col(id_col) % tpc).cast("int"),
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pd.DataFrame(
+            {
+                "tile": [int(key[0])],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+                "n": [len(ids)],
+            }
+        )
+
+    tiles = keyed.groupBy("gtile").applyInPandas(pack, schema=_TILE_SCHEMA)
+    matched = _tile_pairs_matched(
+        tiles,
+        threshold,
+        round_to,
+        same_group=lambda lt, rt: (lt / tpc).cast("long")
+        == (rt / tpc).cast("long"),
+    )
+    # multi-probe duplicates the same pair in every shared cell; the
+    # cosine is deterministic, so distinct() collapses them exactly
+    return matched.distinct() if nprobe > 1 else matched
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 5,
+    tiles_per_cell: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Full SemDeDup resolution: (id_col, cluster, keep) for every
+    vector — near-dup pairs from semantic_dedup_pairs resolved to
+    connected components (pipeline.dedup.dedup_components'
+    pointer-doubling), keep = the minimum id of each component (the
+    paper keeps one representative per cluster; min-id is the
+    deterministic choice, matching exact_dedup's convention). Vectors in
+    no near-dup pair form singleton clusters and are kept."""
+    from lucene_spark.pipeline.dedup import dedup_components
+
+    pairs = semantic_dedup_pairs(
+        spark, emb, threshold, n_cells, kmeans_iters, tiles_per_cell,
+        id_col, vec_col, nprobe=nprobe,
+    )
+    comp = dedup_components(spark, pairs.select("a", "b"))  # (doc_id, rep)
+    ids = emb.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).alias("cluster")
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "cluster",
+        (F.col("doc_id") == F.col("cluster")).alias("keep"),
     )
 
 

@@ -2614,6 +2614,7 @@ class IndexSearcher:
         exclude: str | None = None,
         pre: int = 0,
         post: int = 0,
+        first_start: int | None = None,
     ) -> DataFrame | None:
         """(docID, score float32) for a span query whose include side is a
         single term or an exact-adjacency phrase (SpanTermQuery /
@@ -2621,7 +2622,10 @@ class IndexSearcher:
 
         - SpanFirstQuery (queries/spans/SpanFirstQuery.java:35): keep only
           spans with end() <= ``first_end`` — a span starting at s with
-          length L has end s+L;
+          length L has end s+L; with ``first_start`` too this is the
+          general SpanPositionRangeQuery
+          (queries/spans/SpanPositionRangeQuery.java:30: start() >= start
+          AND end() <= end — SpanFirst extends it with start=0);
         - SpanNotQuery (queries/spans/SpanNotQuery.java:67, the pre/post
           form): drop spans with an ``exclude``-term occurrence within
           ``pre`` tokens before or ``post`` tokens after, i.e. any
@@ -2671,6 +2675,7 @@ class IndexSearcher:
         L = len(terms)
         n_pre, n_post = int(pre), int(post)
         end_lim = None if first_end is None else int(first_end)
+        start_lim = None if first_start is None else int(first_start)
 
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
@@ -2719,6 +2724,8 @@ class IndexSearcher:
                         ok &= np.isin(base_keys + off, keys_t)
                 if end_lim is not None:
                     ok &= flats[base_t] + L <= end_lim
+                if start_lim is not None:
+                    ok &= flats[base_t] >= start_lim
                 if has_exclude:
                     xkeys = np.repeat(doc_key, xlens) + xflat  # sorted: row-
                     # ascending doc keys + per-doc ascending positions
@@ -2767,6 +2774,21 @@ class IndexSearcher:
             raise ValueError("exclude must be a single term")
         scored = self.span_scores(
             self._parse(include), exclude=parsed_x[0], pre=pre, post=post
+        )
+        if scored is None:
+            return self._empty_topk()
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_span_position_range(
+        self, query: str | list[str], start: int, end: int, k: int = 10
+    ) -> DataFrame:
+        """SpanPositionRangeQuery top-k
+        (queries/spans/SpanPositionRangeQuery.java:30): spans of the
+        include term/phrase with start() >= ``start`` AND end() <=
+        ``end`` (SpanFirstQuery is the start=0 special case). Returns
+        (docID, score) by score DESC, docID ASC."""
+        scored = self.span_scores(
+            self._parse(query), first_end=end, first_start=start
         )
         if scored is None:
             return self._empty_topk()
