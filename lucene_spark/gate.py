@@ -204,6 +204,44 @@ def searcher_for_reverse(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_sh: dict[str, list] = {}
+
+
+def searchers_for_shards(spark: SparkSession, sf_dir: str) -> list[IndexSearcher]:
+    """Two half-corpus indexes (doc_id < n/2 and >=), independently
+    built — the shard fixture for the MultiReader/TopDocs.merge gate.
+    Each shard is a complete standalone index; nothing global is shared
+    at build time (global stats are the SEARCHER's job, which is the
+    point of the test)."""
+    if sf_dir in _searchers_sh:
+        return _searchers_sh[sf_dir]
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    cut = f"{n // 2:012d}"
+    out = []
+    for i, pred in enumerate(
+        [F.col("path") < cut, F.col("path") >= cut]
+    ):
+        idx_dir = _index_dir_for(sf_dir) + f"_sh{i}"
+        part = docs.where(pred)
+        np_ = part.count()
+        manifest = os.path.join(idx_dir, "manifest.json")
+        rebuild = True
+        if os.path.exists(manifest):
+            import json
+
+            from lucene_spark.util.blockcodec import CODEC_NAME
+
+            with open(manifest) as f:
+                m = json.load(f)
+            rebuild = m.get("doc_count") != np_ or m.get("codec") != CODEC_NAME
+        if rebuild:
+            build_index(spark, part, idx_dir, store_positions=True)
+        out.append(IndexSearcher(spark, idx_dir))
+    _searchers_sh[sf_dir] = out
+    return out
+
+
 _searchers_pay: dict[str, IndexSearcher] = {}
 
 # per-token integer payload: (doc_id * 31 + position) % 97 — closed form
@@ -1987,6 +2025,50 @@ def q_suffix_top10(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
 
 
+# --- MultiReader / TopDocs.merge (sharded search, r5 batch 10) ---------------
+def q_multi_shard_top10(spark, sf_dir):
+    """Sharded BM25 top-10 (index/MultiReader.java:33 +
+    search/TopDocs.java:203-231): the corpus split into two
+    independently-built half indexes, searched with GLOBAL collection
+    statistics (summed df, summed doc counts / term freq — the
+    top-level TermStatistics contract that keeps a document's score
+    independent of which shard holds it). The oracle is the ORDINARY
+    single-corpus BM25 SQL — sharding must be invisible. Double
+    replica; the float32 engine path (search/multi.py) is pytest-dueled
+    incl. docID/docBase arithmetic."""
+    shards = searchers_for_shards(spark, sf_dir)
+    n = sum(s.manifest["doc_count"] for s in shards)
+    avgdl = sum(s.manifest["sum_total_term_freq"] for s in shards) / n
+    dfg: dict[str, float] = {}
+    for s in shards:
+        for t, st in s.term_stats(TERMS_OR).items():
+            dfg[t] = dfg.get(t, 0.0) + float(st.df)
+    df_map = F.create_map(*[F.lit(x) for t in dfg for x in (t, dfg[t])])
+    parts = []
+    for s in shards:
+        tf = s.postings_tf(TERMS_OR)
+        parts.append(tf.join(F.broadcast(_docid_map(s)), "docID").select(
+            "doc_id", "term", "tf", "dl"
+        ))
+    un = parts[0].unionByName(parts[1])
+    scored = un.withColumn("dfv", df_map[F.col("term")]).withColumn(
+        "s",
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("dfv") + 0.5) / (F.col("dfv") + 0.5))
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("ssum"))
+    return (
+        agg.select("doc_id", F.round("ssum", ROUND).alias("score"), "ssum")
+        .orderBy(F.desc("ssum"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 # --- ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499) -------------------
 SUB_K = 5  # k-token windows; 71/500 sf0.01 docs carry a duplicated span
 
@@ -2919,7 +3001,7 @@ def q_freetext_suggest(spark, sf_dir):
 QUERIES = {
     # new / never driver-checked first (r4 verdict #10)
     "lmdirichlet_top10": q_lmdirichlet_top10,
-    "lmjm_top10": q_lmjm_top10,
+    "multi_shard_top10": q_multi_shard_top10,
     "tfidf_top10": q_tfidf_top10,
     "dfi_top10": q_dfi_top10,
     "feature_boost_top10": q_feature_boost_top10,
@@ -3023,7 +3105,12 @@ QUERIES = {
     # dup_span_stats (ExactSubstr dedup — a NEW pipeline path) by
     # rotating geo_box_count here: its box range predicate is exercised
     # in-cap by geo_polygon_count's bbox prefilter and
-    # geo_distance_top10's range handling (same geo.py scan path) ----
+    # geo_distance_top10's range handling (same geo.py scan path).
+    # Batch 10 admitted multi_shard_top10 (sharded search with global
+    # stats — a NEW cross-index path) by rotating lmjm_top10: the
+    # shared similarity plumbing (decode + norms join + LENGTH_TABLE)
+    # stays driver-checked three ways via lmdirichlet/tfidf/dfi ----
+    "lmjm_top10": q_lmjm_top10,
     "geo_box_count": q_geo_box_count,
     "term_postings": q_term_postings,
     "phrase_wild_top10": q_phrase_wild_top10,
@@ -3194,6 +3281,9 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT term)::BIGINT AS distinct_terms FROM tf""",
         "bm25_top10_term": _bm25_sql([TERM_1], "or"),
         "bm25_top10_or": _bm25_sql(TERMS_OR, "or"),
+        # sharded search must be INVISIBLE: the multi-shard gate duels
+        # against the ordinary single-corpus BM25 SQL
+        "multi_shard_top10": _bm25_sql(TERMS_OR, "or"),
         "bm25_top10_and": _bm25_sql(TERMS_AND, "and"),
         "bool_and_docs": f"""WITH {TOKENS_CTE}
             SELECT doc_id FROM tok WHERE term IN ({tlist_and})

@@ -3069,13 +3069,15 @@ class IndexSearcher:
         )
 
     def _tf_norm_rows(self, terms: list[str]) -> DataFrame:
-        """Decode (docID, tf, norm) rows for the given terms — the
+        """Decode (docID, term, tf, norm) rows for the given terms — the
         postings_tf shape plus the norm byte, for scorers that need the
-        RAW tf (span-or's freq sums before saturation). Tombstones are
-        filtered inside the kernel per the decode-kernel contract."""
+        RAW tf (span-or's freq sums before saturation; the multi-index
+        searcher's shard-local decode). Tombstones are filtered inside
+        the kernel per the decode-kernel contract."""
         schema = StructType(
             [
                 StructField("docID", LongType()),
+                StructField("term", StringType()),
                 StructField("tf", LongType()),
                 StructField("norm", IntegerType()),
             ]
@@ -3086,8 +3088,8 @@ class IndexSearcher:
             dele = dele_bc.value
             for pdf in batches:
                 outs = []
-                for docs_vb, tfs_vb, norms_b in zip(
-                    pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"]
+                for term, docs_vb, tfs_vb, norms_b in zip(
+                    pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["norms_b"]
                 ):
                     doc_ids = delta_decode(decode(bytes(docs_vb)))
                     tfs = decode(bytes(tfs_vb))
@@ -3099,6 +3101,7 @@ class IndexSearcher:
                         pd.DataFrame(
                             {
                                 "docID": doc_ids,
+                                "term": term,
                                 "tf": tfs.astype(np.int64),
                                 "norm": norms.astype(np.int32),
                             }
@@ -3107,6 +3110,7 @@ class IndexSearcher:
                 yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
                     {
                         "docID": pd.array([], dtype="int64"),
+                        "term": pd.array([], dtype="object"),
                         "tf": pd.array([], dtype="int64"),
                         "norm": pd.array([], dtype="int32"),
                     }
@@ -3114,7 +3118,7 @@ class IndexSearcher:
 
         return self._strip_deleted(
             self._postings.filter(F.col("term").isin(list(set(terms))))
-            .select("docs_vb", "tfs_vb", "norms_b")
+            .select("term", "docs_vb", "tfs_vb", "norms_b")
             .mapInPandas(fn, schema=schema)
         )
 
