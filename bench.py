@@ -146,6 +146,10 @@ def main() -> None:
         "simple_query_top10",
         "phrase_wild_top10",
         "dup_span_stats",
+        "dfr_top10",
+        "ib_top10",
+        "axiomatic_top10",
+        "multi_shard_top10",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",

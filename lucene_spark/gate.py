@@ -2853,6 +2853,31 @@ def q_dfi_top10(spark, sf_dir):
     return _similarity_gate(spark, sf_dir, TERMS_OR, "dfi")
 
 
+def q_dfr_top10(spark, sf_dir):
+    """DFRSimilarity I(n)L2 duel (DFRSimilarity.java:127-131 with
+    BasicModelIn.java:34-44, AfterEffectL.java:32-34,
+    NormalizationH2.java:56-58): tfn = tf*log2(1 + avgdl/docLen),
+    score = log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn)); avgdl exact,
+    docLen quantized."""
+    return _similarity_gate(spark, sf_dir, TERMS_OR, "dfr_inl2")
+
+
+def q_ib_top10(spark, sf_dir):
+    """IBSimilarity LL/DF/H1 duel (IBSimilarity.java:115-118,
+    DistributionLL.java:33-35, LambdaDF.java:32-39,
+    NormalizationH1.java:56-58): tfn = tf*avgdl/docLen,
+    lambda = FLOAT32((df+1)/(N+1)) (the reference computes it in float —
+    both sides replicate the cast), score = -ln(lambda/(tfn+lambda))."""
+    return _similarity_gate(spark, sf_dir, TERMS_OR, "ib_ll")
+
+
+def q_axiomatic_top10(spark, sf_dir):
+    """AxiomaticF2EXP duel (Axiomatic.java:106-117,
+    AxiomaticF2EXP.java:58-78): score = max(0,
+    tf/(tf + s + s*docLen/avgdl) * ((N+1)/df)^k), s=0.25 k=0.35."""
+    return _similarity_gate(spark, sf_dir, TERMS_OR, "axiomatic_f2exp")
+
+
 FEAT_PIVOT = 300.0
 FEAT_W_SAT = 1.5
 FEAT_W_SIG = 0.5
@@ -3109,7 +3134,13 @@ QUERIES = {
     # Batch 10 admitted multi_shard_top10 (sharded search with global
     # stats — a NEW cross-index path) by rotating lmjm_top10: the
     # shared similarity plumbing (decode + norms join + LENGTH_TABLE)
-    # stays driver-checked three ways via lmdirichlet/tfidf/dfi ----
+    # stays driver-checked three ways via lmdirichlet/tfidf/dfi.
+    # Batch 11's dfr/ib/axiomatic similarities start in the rotation
+    # bench directly — three more one-expression variants of the SAME
+    # dueled similarity path ----
+    "dfr_top10": q_dfr_top10,
+    "ib_top10": q_ib_top10,
+    "axiomatic_top10": q_axiomatic_top10,
     "lmjm_top10": q_lmjm_top10,
     "geo_box_count": q_geo_box_count,
     "term_postings": q_term_postings,
@@ -4504,6 +4535,33 @@ scored AS (
   SELECT tf.doc_id,
          sqrt(tf.tf) * (ln(((SELECT n FROM n) + 1.0) / (dfs.df + 1.0)) + 1.0)
            / sqrt(dlq.dlq) AS s
+  FROM tf JOIN dfs USING (term) JOIN dlq USING (doc_id))
+{_sim_tail}"""
+
+    _avgdl = "((SELECT total FROM tot)::DOUBLE / (SELECT n FROM n))"
+    sqls["dfr_top10"] = f"""{_sim_base},
+scored AS (
+  SELECT tf.doc_id,
+         log2(((SELECT n FROM n) + 1.0) / (dfs.df + 0.5))
+           * (1.0 - 1.0 / (1.0 + tf.tf * log2(1.0 + {_avgdl} / dlq.dlq))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dlq USING (doc_id))
+{_sim_tail}"""
+
+    sqls["ib_top10"] = f"""{_sim_base},
+scored AS (
+  SELECT tf.doc_id,
+         -ln(CAST((dfs.df + 1.0) / ((SELECT n FROM n) + 1.0) AS FLOAT)::DOUBLE
+             / (tf.tf * {_avgdl} / dlq.dlq
+                + CAST((dfs.df + 1.0) / ((SELECT n FROM n) + 1.0) AS FLOAT)::DOUBLE)) AS s
+  FROM tf JOIN dfs USING (term) JOIN dlq USING (doc_id))
+{_sim_tail}"""
+
+    sqls["axiomatic_top10"] = f"""{_sim_base},
+scored AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           (tf.tf / (tf.tf + 0.25 + 0.25 * dlq.dlq / {_avgdl}))
+             * pow(((SELECT n FROM n) + 1.0) / dfs.df, 0.35)) AS s
   FROM tf JOIN dfs USING (term) JOIN dlq USING (doc_id))
 {_sim_tail}"""
 

@@ -21,6 +21,21 @@ Reference semantics (specification only, no code reuse):
   - DFISimilarity (DFISimilarity.java:70-81, IndependenceChiSquared.java:33):
     expected = (cf+1)*docLen/(total+1); 0 when freq <= expected, else
     boost * log2(chi2 + 1) with chi2 = (freq-expected)^2/expected.
+  - DFRSimilarity I(n)L2 (DFRSimilarity.java:127-131, BasicModelIn.java:34-44,
+    AfterEffectL.java:32-34 [aeTimes1pTfn == 1], NormalizationH2.java:56-58):
+    tfn = tf * log2(1 + c*avgdl/docLen); score = boost *
+    log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn)); default c = 1.
+  - IBSimilarity LL/DF/H1 (IBSimilarity.java:115-118,
+    DistributionLL.java:33-35, LambdaDF.java:32-39 [lambda computed in
+    FLOAT32 — replicated], NormalizationH1.java:56-58):
+    tfn = c * tf * avgdl/docLen; lambda = float32((df+1)/(N+1));
+    score = boost * -ln(lambda/(tfn+lambda)); default c = 1.
+  - AxiomaticF2EXP (Axiomatic.java:106-117 [tf=ln=1, gamma=0, max(0,.)],
+    AxiomaticF2EXP.java:58-78): score = max(0, boost *
+    freq/(freq + s + s*docLen/avgdl) * ((N+1)/df)^k); defaults
+    s = 0.25, k = 0.35.
+    avgdl for all three is the EXACT sumTotalTermFreq/docCount double
+    (BasicStats.avgFieldLength), while docLen stays quantized.
 
 Fidelity note: the reference evaluates each per-(term,doc) score in
 float32 at the SimScorer boundary and sums disjuncts in double; here the
@@ -46,7 +61,16 @@ from pyspark.sql import functions as F
 
 from lucene_spark.util.smallfloat import byte4_to_int
 
-SIMILARITIES = ("lmdirichlet", "lmjelinekmercer", "classic", "boolean", "dfi")
+SIMILARITIES = (
+    "lmdirichlet",
+    "lmjelinekmercer",
+    "classic",
+    "boolean",
+    "dfi",
+    "dfr_inl2",
+    "ib_ll",
+    "axiomatic_f2exp",
+)
 
 
 def _length_table_col(norm_col: Column) -> Column:
@@ -67,6 +91,9 @@ def similarity_scores(
     mu: float = 2000.0,
     lam: float = 0.1,
     boost: float = 1.0,
+    c: float = 1.0,
+    ax_s: float = 0.25,
+    ax_k: float = 0.35,
 ) -> DataFrame | None:
     """(docID, term, s) double-precision per-(term,doc) scores for the
     chosen similarity, or None when no query term exists in the index.
@@ -115,6 +142,60 @@ def similarity_scores(
         s = F.when(
             tfd <= expected, F.lit(0.0)
         ).otherwise(F.lit(float(boost)) * F.log2(chi2 + F.lit(1.0)))
+    elif sim == "dfr_inl2":
+        avgdl = total_cf / n_docs
+        a_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in present
+                for x in (
+                    t,
+                    math.log2((n_docs + 1.0) / (stats[t].df + 0.5)),
+                )
+            ]
+        )
+        tfn = tfd * F.log2(F.lit(1.0) + F.lit(float(c) * avgdl) / dlen)
+        s = (
+            F.lit(float(boost))
+            * a_map[F.col("term")]
+            * (F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + tfn))
+        )
+    elif sim == "ib_ll":
+        import numpy as np
+
+        avgdl = total_cf / n_docs
+        # LambdaDF computes in FLOAT32 (LambdaDF.java:32) — replicate
+        lam_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in present
+                for x in (
+                    t,
+                    float(np.float32((stats[t].df + 1.0) / (n_docs + 1.0))),
+                )
+            ]
+        )
+        tfn = F.lit(float(c)) * tfd * (F.lit(avgdl) / dlen)
+        lw = lam_map[F.col("term")]
+        s = F.lit(float(boost)) * -F.log(lw / (tfn + lw))
+    elif sim == "axiomatic_f2exp":
+        avgdl = total_cf / n_docs
+        idf_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in present
+                for x in (
+                    t,
+                    math.pow((n_docs + 1.0) / stats[t].df, float(ax_k)),
+                )
+            ]
+        )
+        tfln = tfd / (
+            tfd + F.lit(float(ax_s)) + F.lit(float(ax_s)) * dlen / F.lit(avgdl)
+        )
+        s = F.greatest(
+            F.lit(float(boost)) * tfln * idf_map[F.col("term")], F.lit(0.0)
+        )
     else:
         # collection model p(w|C) — DefaultCollectionModel
         p_map = F.create_map(
@@ -149,13 +230,17 @@ def search_similarity(
     mu: float = 2000.0,
     lam: float = 0.1,
     boost: float = 1.0,
+    c: float = 1.0,
+    ax_s: float = 0.25,
+    ax_k: float = 0.35,
 ) -> DataFrame:
     """Top-k under an alternative similarity — IndexSearcher.setSimilarity
     analog. mode='and' requires every (present-in-index) query term,
     matching BooleanQuery MUST semantics. Scores double, ties docID ASC."""
     terms = searcher._parse(query)
     scored = similarity_scores(
-        searcher, terms, sim=sim, mu=mu, lam=lam, boost=boost
+        searcher, terms, sim=sim, mu=mu, lam=lam, boost=boost,
+        c=c, ax_s=ax_s, ax_k=ax_k,
     )
     if scored is None or (
         mode == "and"

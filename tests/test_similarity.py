@@ -48,13 +48,37 @@ def _numpy_scores(oracle, terms, sim, mu=2000.0, lam=0.1):
             expected = (cf + 1.0) * dl / (total + 1.0)
             chi2 = (tfd - expected) * (tfd - expected) / expected
             s = np.where(tfd <= expected, 0.0, np.log2(chi2 + 1.0))
+        elif sim == "dfr_inl2":
+            # DFRSimilarity I(n)L2: BasicModelIn.java:34-44 (A = log2(
+            # (N+1)/(df+0.5))), AfterEffectL (aeTimes1pTfn == 1),
+            # NormalizationH2.java:56-58 (tfn = tf*log2(1 + avgdl/dl))
+            avgdl = total / n
+            a = math.log2((n + 1.0) / (df + 0.5))
+            tfn = tfd * np.log2(1.0 + avgdl / dl)
+            s = a * (1.0 - 1.0 / (1.0 + tfn))
+        elif sim == "ib_ll":
+            # IBSimilarity LL/DF/H1: DistributionLL.java:33-35,
+            # LambdaDF.java:32-39 (FLOAT32 lambda), NormalizationH1
+            avgdl = total / n
+            lam32 = float(np.float32((df + 1.0) / (n + 1.0)))
+            tfn = tfd * avgdl / dl
+            s = -np.log(lam32 / (tfn + lam32))
+        elif sim == "axiomatic_f2exp":
+            # Axiomatic.java:106-117 + AxiomaticF2EXP.java:58-78
+            avgdl = total / n
+            tfln = tfd / (tfd + 0.25 + 0.25 * dl / avgdl)
+            s = np.maximum(0.0, tfln * math.pow((n + 1.0) / df, 0.35))
         for r, v in zip(rows, s):
             out[int(r)] = out.get(int(r), 0.0) + float(v)
     return out
 
 
 @pytest.mark.parametrize(
-    "sim", ["lmdirichlet", "lmjelinekmercer", "classic", "boolean", "dfi"]
+    "sim",
+    [
+        "lmdirichlet", "lmjelinekmercer", "classic", "boolean", "dfi",
+        "dfr_inl2", "ib_ll", "axiomatic_f2exp",
+    ],
 )
 def test_similarity_replicates_numpy(built_index, sim):
     _, oracle, searcher = built_index
