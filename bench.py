@@ -149,7 +149,6 @@ def main() -> None:
         "dfr_top10",
         "ib_top10",
         "axiomatic_top10",
-        "multi_shard_top10",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",
@@ -169,10 +168,11 @@ def main() -> None:
         "domain_cap",
         "hash_sample_ids",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
-        # mlt_vector_top10 / payload_sum_top10 are gate-only: each needs
-        # a separately-built index (offsets+vectors / stemmed / payloads);
-        # the headline bench measures the default positions-only
-        # StandardAnalyzer configuration
+        # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
+        # multi_shard_top10 are gate-only: each needs separately-built
+        # indexes (offsets+vectors / stemmed / payloads / reversed /
+        # shard pair); the headline bench measures the default
+        # positions-only StandardAnalyzer configuration
     ):
         if extra in gate.QUERIES:
             headline[extra] = gate.QUERIES[extra]
