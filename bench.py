@@ -149,6 +149,7 @@ def main() -> None:
         "dfr_top10",
         "ib_top10",
         "axiomatic_top10",
+        "domain_mix",
         "common_terms_top10",
         "covering_top10",
         "lmdirichlet_top10",

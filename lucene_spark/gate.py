@@ -2796,6 +2796,25 @@ def q_hash_sample_ids(spark, sf_dir):
     return hash_sample(docs, HASH_FRACTION, "text").select("doc_id")
 
 
+# mixture factors with exact-binary fractional parts, so the engine's
+# numeric pref < frac*16^8 compare equals the oracle's hex-string compare
+MIX_FACTORS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def q_domain_mix(spark, sf_dir):
+    """Mixture-weight resampling duel (training-data pipeline — the
+    GPT-3/Pile/Dolma per-source up/down-sampling recipe): src0 x2.5
+    (two sure copies + a deterministic half), src1 x0.25, src2 dropped,
+    everything else x1. Emits (doc_id, epoch, source) — the md5 copy
+    device is replicated in SQL with per-source hex thresholds."""
+    from lucene_spark.pipeline.sample import weighted_mix
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return weighted_mix(
+        docs.select("doc_id", "source"), MIX_FACTORS
+    ).select("doc_id", "epoch", "source")
+
+
 # --- r5 batch 4: pluggable similarities + docvalues stats -----------------
 
 LM_MU = 2000.0
@@ -3138,6 +3157,9 @@ QUERIES = {
     # Batch 11's dfr/ib/axiomatic similarities start in the rotation
     # bench directly — three more one-expression variants of the SAME
     # dueled similarity path ----
+    # batch 12's domain_mix also starts here (the md5 sampling device is
+    # driver-checked in-cap via hash_sample_ids / domain_cap)
+    "domain_mix": q_domain_mix,
     "dfr_top10": q_dfr_top10,
     "ib_top10": q_ib_top10,
     "axiomatic_top10": q_axiomatic_top10,
@@ -4493,6 +4515,30 @@ SELECT source, doc_id FROM (
         "SELECT doc_id FROM documents "
         f"WHERE substring(md5(text), 1, 8) < '{_hs_thresh}'"
     )
+
+    # --- mixture-weight resampling (r5 batch 12) -----------------------------
+    import math as _math
+
+    _mix_cases_full = " ".join(
+        f"WHEN source = '{k}' THEN {int(_math.floor(f))}"
+        for k, f in MIX_FACTORS.items()
+    )
+    _mix_cases_frac = " ".join(
+        f"WHEN source = '{k}' THEN '{format(int((f - _math.floor(f)) * 16**8), '08x')}'"
+        for k, f in MIX_FACTORS.items()
+    )
+    sqls["domain_mix"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE {_mix_cases_full} ELSE 1 END) AS nfull,
+         (CASE {_mix_cases_frac} ELSE '00000000' END) AS fthresh
+  FROM documents),
+cop AS (SELECT doc_id, source, nfull, fthresh, i AS epoch
+        FROM base, LATERAL (SELECT unnest(generate_series(0, nfull)) AS i))
+SELECT doc_id, epoch, source FROM cop
+WHERE epoch < nfull
+   OR substring(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR), 1, 8) < fthresh
+"""
 
     # --- r5 batch 4: similarities (quantized docLen via the shared
     # LENGTH_TABLE literal) + docvalues stats ------------------------------

@@ -71,3 +71,56 @@ def hash_sample(
     return df.where(pref <= F.lit(thresh)) if fraction >= 1.0 else df.where(
         pref < F.lit(thresh)
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    factors: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture resampling — the training-data "mixture
+    weights" operator (the GPT-3/Pile/Dolma recipe: each source is up- or
+    down-sampled by a per-source factor before concatenation).
+
+    ``factors[source] = f`` means every row of that source appears
+    floor(f) times for sure, plus once more with probability frac(f),
+    decided by the SAME md5 device as hash_sample, salted by the copy
+    ordinal — so f=0.25 keeps a deterministic quarter of the source,
+    f=2.5 emits 2 copies of every row and a third copy for a
+    deterministic half... reproducible across runs, engines, and
+    partitionings. Output adds an ``epoch`` column (0-based copy
+    ordinal: downstream shuffles/training loops can tell repeats apart,
+    and (key, epoch) stays unique).
+
+    Scale shape: map-only — a per-row factor lookup (one small literal
+    map), an explode over sequence(0, ceil(f)-1) (bounded by max factor),
+    and the hash filter; no shuffle, no driver collection. SQL-portable
+    end-to-end, hence oracle-duelable."""
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("factors must be >= 0")
+    if default < 0:
+        raise ValueError("default must be >= 0")
+    fmap = F.create_map(
+        *[F.lit(x) for k, f in factors.items() for x in (k, float(f))]
+    )
+    fac = F.coalesce(fmap[F.col(group_col)], F.lit(float(default)))
+    n_full = F.floor(fac).cast("long")
+    frac = fac - F.floor(fac)
+    # copies 0..floor(f)-1 are unconditional; copy floor(f) keeps when
+    # md5(key || ':' || epoch) < frac of the 32-bit hex space
+    epochs = F.sequence(F.lit(0).cast("long"), n_full)  # inclusive
+    out = df.withColumn("_fac", fac).withColumn(
+        "epoch", F.explode(epochs)
+    )
+    key = F.concat(
+        F.col(key_col).cast("string"), F.lit(":"), F.col("epoch").cast("string")
+    )
+    pref = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    keep_frac = pref < (F.col("_fac") - F.floor(F.col("_fac"))) * float(16**8)
+    return out.where(
+        (F.col("epoch") < F.floor(F.col("_fac"))) | keep_frac
+    ).drop("_fac")
