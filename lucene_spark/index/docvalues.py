@@ -65,12 +65,22 @@ def set_docvalues(
     field: str,
     values: DataFrame,
     partitions: int | None = None,
+    sort_by_value: bool = True,
 ) -> int:
     """Create or update the numeric docvalues column `field` from a
     (docID, value) DataFrame. Rows present in `values` win; every other
     doc keeps its previous value (absent docs in generation 0 simply
     have no value, like a missing DocValues entry). Returns the new
-    live generation after the atomic manifest commit."""
+    live generation after the atomic manifest commit.
+
+    ``sort_by_value`` (default) writes the generation VALUE-ORDERED —
+    the index-sort idea of the reference's
+    sandbox/search/IndexSortSortedNumericDocValuesRangeQuery.java:60:
+    each parquet file/rowgroup then covers a disjoint value range, so a
+    range or search-after cursor predicate prunes the scan via min/max
+    stats instead of reading the whole column (the BKD/index-sort role;
+    `sort_by_docvalue(after=...)` pushes exactly that predicate). Costs
+    one range exchange at write time; reads are order-insensitive."""
     values = values.select(
         F.col("docID").cast("long").alias("docID"),
         F.col("value").cast("long").alias("value"),
@@ -87,7 +97,16 @@ def set_docvalues(
             .select("docID", F.coalesce("v_new", "value").alias("value"))
         )
         new_gen = old_gen + 1
-    if partitions:
+    if sort_by_value:
+        # global range sort: disjoint per-file value ranges for pruning
+        new = (
+            new.repartitionByRange(partitions, "value", "docID")
+            if partitions
+            else new.orderBy("value", "docID")
+        )
+        if partitions:
+            new = new.sortWithinPartitions("value", "docID")
+    elif partitions:
         new = new.repartition(partitions, "docID")
     # phase 1: write the full new generation (crash here = stale dir)
     new.write.mode("overwrite").parquet(_field_dir(index_dir, field, new_gen))

@@ -1682,15 +1682,35 @@ class IndexSearcher:
         field: str,
         k: int = 10,
         descending: bool = True,
+        after: tuple[int, int] | None = None,
     ) -> DataFrame:
         """SortField.LONG over an index-resident numeric DocValues
         column (index/docvalues.py — updateNumericDocValue analog):
         live docs matching `term`, ordered by the field's LIVE
         generation (re-resolved through the manifest per call, so
-        updates are visible without reopening the searcher)."""
+        updates are visible without reopening the searcher).
+
+        ``after=(value, docID)`` is searchAfter for field sorts
+        (IndexSearcher.searchAfter + FieldDoc): only docs strictly after
+        the cursor in (value, docID) order are considered. On a
+        generation written value-sorted (set_docvalues' default) the
+        cursor's value bound is a PLAIN range predicate the parquet scan
+        prunes with file/rowgroup min/max stats — the
+        IndexSortSortedNumericDocValuesRangeQuery.java:60 trick: page N
+        of a deep pagination reads only the value range past the
+        cursor, not the whole column."""
         from lucene_spark.index.docvalues import read_docvalues
 
         dv = read_docvalues(self.spark, self.index_dir, field)
+        if after is not None:
+            av, adoc = int(after[0]), int(after[1])
+            val_past = (
+                F.col("value") < av if descending else F.col("value") > av
+            )
+            dv = dv.filter(
+                val_past
+                | ((F.col("value") == av) & (F.col("docID") > adoc))
+            )
         hits = self.filter_docs(term)
         order = [
             F.desc("value") if descending else F.asc("value"),

@@ -131,3 +131,46 @@ def test_sort_by_docvalue_sees_live_gen(spark, dv_index):
     update_numeric_docvalue(spark, s, "boost", "item8", 1000)
     top = s.sort_by_docvalue("cold", "boost", k=3).collect()
     assert [(r["docID"], r["value"]) for r in top] == [(8, 1000), (1, 9), (2, 8)]
+
+
+def test_search_after_cursor_pages(spark, dv_index):
+    """searchAfter over a field sort (IndexSearcher.searchAfter +
+    FieldDoc): page 2 via the (value, docID) cursor equals rows k..2k of
+    the full sort, both directions."""
+    from lucene_spark.index.docvalues import set_docvalues
+
+    s, out = dv_index
+    # values with TIES so the docID tie-break leg of the cursor matters
+    vals = [(i, 50 + (i % 3) * 10) for i in range(9)]
+    set_docvalues(
+        spark, out, "pagefield",
+        spark.createDataFrame(vals, "docID long, value long"),
+    )
+    for desc in (True, False):
+        full = [
+            (int(r["docID"]), int(r["value"]))
+            for r in s.sort_by_docvalue(
+                "filler", "pagefield", k=9, descending=desc
+            ).collect()
+        ]
+        cur_doc, cur_val = full[2]
+        page2 = [
+            (int(r["docID"]), int(r["value"]))
+            for r in s.sort_by_docvalue(
+                "filler", "pagefield", k=3, descending=desc,
+                after=(cur_val, cur_doc),
+            ).collect()
+        ]
+        assert page2 == full[3:6], f"desc={desc}"
+
+
+def test_sorted_gen_pushes_cursor_predicate(spark, dv_index):
+    """The value-sorted generation (set_docvalues default) lets the
+    cursor predicate reach the parquet scan (PushedFilters), the
+    IndexSortSortedNumericDocValuesRangeQuery.java:60 pruning shape."""
+    s, out = dv_index
+    df = s.sort_by_docvalue(
+        "filler", "pagefield", k=3, descending=True, after=(60, 0)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(value,60)" in plan, plan[:2000]
