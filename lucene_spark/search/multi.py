@@ -46,6 +46,24 @@ class MultiIndexSearcher:
             raise ValueError("need at least one index dir")
         self.spark = spark
         self.searchers = [IndexSearcher(spark, d) for d in index_dirs]
+        # shards must share the analysis chain: mixing (say) a stemmed
+        # shard with a raw one would score the same document set under
+        # two different token streams — the same class of error
+        # add_indexes refuses (store_offsets mismatch), refused here too
+        def _sig(s):
+            m = s.manifest
+            return (
+                m.get("tokenizer", "standard"),
+                tuple(m.get("token_filters", ())),
+                bool(m.get("store_positions", True)),
+            )
+
+        sigs = {_sig(s) for s in self.searchers}
+        if len(sigs) > 1:
+            raise ValueError(
+                f"shards disagree on analysis/options: {sorted(sigs)} — "
+                "rebuild with one configuration before searching across them"
+            )
         # docBase per shard = cumulative maxDoc (max docID + 1, which can
         # exceed the LIVE doc_count after deletes/expunge) — the
         # BaseCompositeReader starts[] arithmetic

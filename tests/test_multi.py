@@ -77,6 +77,24 @@ def test_multi_missing_and_empty(spark, shards):
     assert ms.search(["getvalue0", "zzznope"], k=5, mode="and").count() == 0
 
 
+def test_multi_refuses_mixed_analysis(spark, shards, tmp_path):
+    """A stemmed shard and a raw shard cannot be searched together —
+    the same guard class as add_indexes' store_offsets refusal."""
+    from lucene_spark.corpus import generate_corpus
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.multi import MultiIndexSearcher
+
+    dirs, _ = shards
+    stem = str(tmp_path / "stem_idx")
+    pdf = generate_corpus(40)
+    build_index(
+        spark, spark.createDataFrame(pdf), stem, partitions=2,
+        token_filters=("porter",),
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        MultiIndexSearcher(spark, [dirs[0], stem])
+
+
 def test_multi_count(spark, shards):
     from lucene_spark.search.multi import MultiIndexSearcher
 
