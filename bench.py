@@ -141,6 +141,7 @@ def main() -> None:
         "span_first_top10",
         "span_not_top10",
         "span_near_top10",
+        "span_near_un_top10",
         "span_or_top10",
         "span_containing_top10",
         "simple_query_top10",

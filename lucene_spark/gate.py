@@ -1913,6 +1913,41 @@ def q_span_containing_top10(spark, sf_dir):
     )
 
 
+def q_span_near_un_top10(spark, sf_dir):
+    """UNORDERED SpanNearQuery duel (spans/NearSpansUnordered.java:83-85
+    atMatch + :136 width): heap-sweep states — every position of either
+    term as window minimum with the other term's first at-or-after
+    head; width = maxEnd - minStart (span EXTENT, the reference's own
+    asymmetry vs the ordered gap count), match when width - 2 <=
+    SN_SLOP, freq += 1/(1+width). Double replica over index-decoded
+    positions; the float32 engine path (ordered=False) is dueled in
+    tests/test_r5_batch6.py."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([SN_T1, SN_T2])
+    pa = pos.where(F.col("term") == SN_T1).select("docID", F.col("pos").alias("e"))
+    pb = pos.where(F.col("term") == SN_T2).select("docID", F.col("pos").alias("p"))
+    ca = (
+        pa.join(pb, "docID")
+        .filter(F.col("p") >= F.col("e"))
+        .groupBy("docID", "e")
+        .agg(F.min("p").alias("h"))
+    )
+    cb = (
+        pb.withColumnRenamed("p", "e2")
+        .join(pa.withColumnRenamed("e", "p2"), "docID")
+        .filter(F.col("p2") > F.col("e2"))
+        .groupBy("docID", F.col("e2").alias("e"))
+        .agg(F.min("p2").alias("h"))
+    )
+    u = ca.unionByName(cb).withColumn(
+        "width", F.col("h") + 1 - F.col("e")
+    ).filter(F.col("width") - 2 <= SN_SLOP)
+    chains = u.withColumn("sf", F.lit(1.0) / (F.lit(1.0) + F.col("width")))
+    return _span_near_score(
+        spark, sf_dir, chains.select("docID", "sf"), _idf_sum(s, [SN_T1, SN_T2])
+    )
+
+
 def q_span_or_top10(spark, sf_dir):
     """SpanOrQuery duel (queries/spans/SpanOrQuery.java): every clause
     occurrence is a width-0 span (TermSpans.java:106), so freq = TOTAL
@@ -3160,6 +3195,7 @@ QUERIES = {
     # batch 12's domain_mix also starts here (the md5 sampling device is
     # driver-checked in-cap via hash_sample_ids / domain_cap)
     "domain_mix": q_domain_mix,
+    "span_near_un_top10": q_span_near_un_top10,
     "dfr_top10": q_dfr_top10,
     "ib_top10": q_ib_top10,
     "axiomatic_top10": q_axiomatic_top10,
@@ -4173,6 +4209,28 @@ avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM docume
 {_sn_chain},
 surv AS (SELECT * FROM c2 WHERE p2 - p1 - 1 <= {SN_SLOP}),
 {_sn_score_sql(_idf_terms_sql([SN_T1, SN_T2]))}"""
+
+    sqls["span_near_un_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+pa AS (SELECT doc_id, pos FROM tokp WHERE term = '{SN_T1}'),
+pb AS (SELECT doc_id, pos FROM tokp WHERE term = '{SN_T2}'),
+ca AS (SELECT pa.doc_id, pa.pos AS e, min(pb.pos) AS h FROM pa
+       JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos >= pa.pos
+       GROUP BY pa.doc_id, pa.pos),
+cb AS (SELECT pb.doc_id, pb.pos AS e, min(pa.pos) AS h FROM pb
+       JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+       GROUP BY pb.doc_id, pb.pos),
+surv AS (SELECT doc_id, e, h, h + 1 - e AS w
+         FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+         WHERE h + 1 - e - 2 <= {SN_SLOP}),
+f AS (SELECT doc_id, sum(1.0 / (1.0 + w)) AS freq FROM surv GROUP BY doc_id)
+SELECT f.doc_id,
+       round(({_idf_terms_sql([SN_T1, SN_T2])}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
+ORDER BY ({_idf_terms_sql([SN_T1, SN_T2])}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
+LIMIT 10
+"""
 
     sqls["span_containing_top10"] = f"""
 WITH {tokp}, {TOKENS_CTE}, {DL_CTE},

@@ -542,6 +542,62 @@ class OracleIndex:
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
 
+    def span_near_unordered_freqs(
+        self, terms: list[str], slop: int
+    ) -> dict[int, float]:
+        """row -> float sloppy freq for an UNORDERED SpanNearQuery
+        (spans/NearSpansUnordered.java): heap-sweep replica — every
+        element of every clause list becomes the window minimum once;
+        the state's width = maxEnd - minStart over the current heads
+        (first head at-or-after / strictly-after by list order), matches
+        when width - totalSpanLength <= slop (atMatch:83-85), and each
+        MATCHING state adds 1/(1+width)
+        (SpanScorer.setFreqCurrentDoc:112 + width():136)."""
+        if any(t not in self.postings for t in terms):
+            return {}
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        cand = set.intersection(*rowsets)
+        n = len(terms)
+        out: dict[int, float] = {}
+        for r in cand:
+            lists = [self.postings[t][2][r] for t in terms]
+            freq = 0.0
+            for i, li in enumerate(lists):
+                for e in li.tolist():
+                    wmax = e
+                    dead = False
+                    for j, lj in enumerate(lists):
+                        if j == i:
+                            continue
+                        heads = lj[lj > e] if j < i else lj[lj >= e]
+                        if heads.size == 0:
+                            dead = True
+                            break
+                        wmax = max(wmax, int(heads[0]))
+                    if dead:
+                        continue
+                    width = wmax + 1 - e
+                    if width - n <= slop:
+                        freq += 1.0 / (1.0 + width)
+            if freq > 0:
+                out[r] = freq
+        return out
+
+    def search_span_near_unordered(self, terms: list[str], slop: int, k: int = 10):
+        freqs = self.span_near_unordered_freqs(terms, slop)
+        if not freqs:
+            return []
+        from lucene_spark.search.bm25 import idf, score_term
+
+        w = np.float32(0.0)
+        for t in dict.fromkeys(terms):
+            w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
+        rows = np.array(sorted(freqs.keys()), dtype=np.int64)
+        f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
+        scores = score_term(f, self.norms[rows], w, self.scorer.cache)
+        order = np.lexsort((self.doc_ids[rows], -scores))[:k]
+        return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
     def span_near_freqs(
         self,
         terms: list[str],

@@ -2991,17 +2991,135 @@ class IndexSearcher:
 
         return joined.mapInPandas(match_batch, schema=out_schema)
 
+    def span_near_unordered_scores(
+        self, terms: list[str], slop: int
+    ) -> DataFrame | None:
+        """(docID, score float32) for an UNORDERED SpanNearQuery over
+        term clauses (spans/NearSpansUnordered.java): the span window is
+        a min-heap of per-clause positions; every element becomes the
+        window minimum exactly once (the same consumed-in-sorted-order
+        property the sloppy matcher exploits), the state matches when
+        maxEnd - minStart - totalSpanLength <= slop (atMatch,
+        NearSpansUnordered.java:83-85; totalSpanLength = n clauses for
+        term spans), and each MATCHING state adds 1/(1+width) with
+        width = maxEnd - minStart (NearSpansUnordered.java:136 — the
+        span EXTENT, unlike the ordered matcher's gap count; the
+        asymmetry is the reference's own). maxEnd is a running doc max,
+        but term ends of consumed elements never exceed the current
+        minimum's end, so it equals the max of the current heads —
+        computable per element with one batched searchsorted per list
+        pair, exactly the sloppy kernel minus the phrase offset
+        adjustment. Weight = summed idf over DISTINCT clause terms."""
+        if len(terms) < 2:
+            raise ValueError("span_near needs at least two clauses")
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return None
+        if not self.manifest.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        w = np.float32(0.0)
+        for t in dict.fromkeys(terms):
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        weight = float(w)
+        cache = self.scorer.cache
+        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        uniq_terms = list(term_order)
+        tidx_of_pos = [term_order[t] for t in terms]
+        joined = self._phrase_join(uniq_terms, stats)
+        out_schema = StructType(
+            [StructField("docID", LongType()), StructField("score", FloatType())]
+        )
+        n_pos = len(terms)
+        slop_i = int(slop)
+
+        def match_batch(batches):
+            for pdf in batches:
+                n_docs = len(pdf)
+                if n_docs == 0:
+                    yield pd.DataFrame(
+                        {"docID": pd.array([], dtype="int64"),
+                         "score": pd.array([], dtype="float32")}
+                    )
+                    continue
+                flats, lens_l = [], []
+                maxpos = 0
+                for li in range(n_pos):
+                    arrs = [
+                        np.asarray(a, dtype=np.int64)
+                        for a in pdf[f"pos{tidx_of_pos[li]}"]
+                    ]
+                    lens = np.fromiter(
+                        (a.size for a in arrs), dtype=np.int64, count=n_docs
+                    )
+                    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                    if flat.size:
+                        maxpos = max(maxpos, int(flat.max()))
+                    flats.append(flat)
+                    lens_l.append(lens)
+                SHIFT = _pos_shift(maxpos, 2, floor_bits=22)
+                doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
+                keys, starts = [], []
+                for li in range(n_pos):
+                    keys.append(np.repeat(doc_key, lens_l[li]) + flats[li])
+                    starts.append(
+                        np.concatenate(([0], np.cumsum(lens_l[li])[:-1]))
+                    )
+                freq = np.zeros(n_docs, dtype=np.float64)
+                big = np.int64(1) << np.int64(60)
+                for i in range(n_pos):
+                    e = keys[i]
+                    wmax = e.copy()
+                    for j in range(n_pos):
+                        if j == i:
+                            continue
+                        side = "right" if j < i else "left"
+                        idx = np.searchsorted(keys[j], e, side=side)
+                        ok = idx < keys[j].size
+                        head = np.where(
+                            ok, keys[j][np.minimum(idx, keys[j].size - 1)], big
+                        )
+                        np.maximum(wmax, head, out=wmax)
+                    width = wmax - e + 1  # maxEnd(=wmax+1) - minStart
+                    contrib = np.where(
+                        (width - n_pos <= slop_i) & (wmax - e < SHIFT // 2),
+                        1.0 / (1.0 + width.astype(np.float64)),
+                        0.0,
+                    )
+                    # inner phrase join => every doc has >=1 position per
+                    # list, so reduceat segments are never empty
+                    if e.size:
+                        freq += np.add.reduceat(contrib, starts[i])
+                hit = freq > 0
+                wv = np.float32(weight)
+                inv = cache[pdf["norm"].to_numpy(np.int64)[hit]]
+                f32 = freq[hit].astype(np.float32)
+                scores = (wv - wv / (np.float32(1.0) + f32 * inv)).astype(
+                    np.float32
+                )
+                yield pd.DataFrame(
+                    {"docID": pdf["docID"].to_numpy(np.int64)[hit], "score": scores}
+                )
+
+        return joined.mapInPandas(match_batch, schema=out_schema)
+
     def search_span_near(
-        self, query: str | list[str], slop: int, k: int = 10
+        self, query: str | list[str], slop: int, k: int = 10,
+        ordered: bool = True,
     ) -> DataFrame:
-        """Ordered SpanNearQuery top-k (queries/spans/SpanNearQuery.java):
-        clause spans in order with total gap <= slop, freq = sum of
-        1/(1+matchWidth) over enumerated spans. (docID, score) by score
-        DESC, docID ASC."""
+        """SpanNearQuery top-k (queries/spans/SpanNearQuery.java):
+        ordered => clause spans in order, freq = sum of 1/(1+matchWidth)
+        with matchWidth = total gaps (NearSpansOrdered); unordered =>
+        any order, width = span extent (NearSpansUnordered — the
+        reference's own asymmetry). (docID, score) by score DESC,
+        docID ASC."""
         terms = self._parse(query)
         if len(terms) == 1:
             return self.search(terms, k=k)
-        scored = self.span_near_scores(terms, slop)
+        scored = (
+            self.span_near_scores(terms, slop)
+            if ordered
+            else self.span_near_unordered_scores(terms, slop)
+        )
         if scored is None:
             return self._empty_topk()
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -70,6 +70,34 @@ def test_span_near_missing_term_empty(built_index):
     assert searcher.search_span_near(["getvalue0", "zzznope"], slop=3).count() == 0
 
 
+@pytest.mark.parametrize("slop", [0, 2, 5, 20])
+def test_span_near_unordered(built_index, slop):
+    _, oracle, searcher = built_index
+    got = _collect(
+        searcher.search_span_near(PAIR, slop=slop, k=10, ordered=False)
+    )
+    exp = oracle.search_span_near_unordered(PAIR, slop=slop, k=10)
+    assert_rank_identical(exp, got, msg=f"span_near unordered slop={slop}")
+
+
+def test_span_near_unordered_order_insensitive(built_index):
+    _, _, searcher = built_index
+    a = _collect(searcher.search_span_near(PAIR, slop=6, k=10, ordered=False))
+    b = _collect(
+        searcher.search_span_near(list(reversed(PAIR)), slop=6, k=10, ordered=False)
+    )
+    assert a == b
+
+
+def test_span_near_unordered_triple(built_index):
+    _, oracle, searcher = built_index
+    got = _collect(
+        searcher.search_span_near(TRIPLE, slop=10, k=10, ordered=False)
+    )
+    exp = oracle.search_span_near_unordered(TRIPLE, slop=10, k=10)
+    assert_rank_identical(exp, got, msg="span_near unordered 3-clause")
+
+
 # -- SpanOr -----------------------------------------------------------------
 
 def test_span_or(built_index):
