@@ -40,8 +40,11 @@ import json
 import os
 import shutil
 
-# mutable, refresh-rewritten artifacts: full re-ship + swap each sync
-_MUTABLE_DIRS = ("terms", "docmap", "stats", "lineage")
+# mutable, refresh-rewritten artifacts: full re-ship + swap each sync.
+# termvectors (the doc-major side table) and ivf (the trained vector
+# index) are rebuilt wholesale by their writers, so they re-ship too —
+# a replica must serve term_vector()/ivf_search() like the primary
+_MUTABLE_DIRS = ("terms", "docmap", "stats", "lineage", "termvectors", "ivf")
 # append-only / generational artifact roots: copy-if-absent per child
 _APPEND_ROOTS = ("deletes", "docvalues")
 

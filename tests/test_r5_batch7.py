@@ -208,3 +208,34 @@ def test_replicate_tiered_incremental(spark, tmp_path):
     # idempotent third sync: every generation skips
     r3 = replicate(src, dst)
     assert not [p for p in r3["copied"] if p.startswith("postings")]
+
+
+def test_replicate_ships_aux_artifacts(spark, tmp_path):
+    """termvectors / ivf / docvalues are searcher-visible and must reach
+    the replica (a replica serves term_vector()/ivf_search() too)."""
+    import os
+
+    from lucene_spark.corpus import corpus_spark_df
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.index.docvalues import set_docvalues
+    from lucene_spark.index.replicator import replicate
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    build_index(
+        spark, corpus_spark_df(spark, 60, partitions=2), src, partitions=2,
+        store_term_vectors=True, store_offsets=True,
+    )
+    set_docvalues(
+        spark, src, "f",
+        spark.createDataFrame([(i, i * 2) for i in range(60)],
+                              "docID long, value long"),
+    )
+    r = replicate(src, dst)
+    assert "termvectors" in r["copied"]
+    assert os.path.isdir(os.path.join(dst, "termvectors"))
+    assert any(p.startswith(os.path.join("docvalues", "f")) for p in r["copied"])
+    # the replica's docvalues read path resolves through its manifest
+    from lucene_spark.index.docvalues import read_docvalues
+
+    assert read_docvalues(spark, dst, "f").count() == 60
