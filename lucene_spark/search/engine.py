@@ -3056,7 +3056,11 @@ class IndexSearcher:
                         maxpos = max(maxpos, int(flat.max()))
                     flats.append(flat)
                     lens_l.append(lens)
-                SHIFT = _pos_shift(maxpos, 2, floor_bits=22)
+                # doubled headroom (the intervals-kernel convention): with
+                # SHIFT > 2*maxpos+2, a cross-doc head gives
+                # wmax - e >= SHIFT - maxpos > maxpos >= any same-doc
+                # width, so the width < SHIFT//2 guard excludes it exactly
+                SHIFT = _pos_shift(maxpos * 2 + 2, 1, floor_bits=22)
                 doc_key = np.arange(n_docs, dtype=np.int64) * SHIFT
                 keys, starts = [], []
                 for li in range(n_pos):
