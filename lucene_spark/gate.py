@@ -1090,6 +1090,44 @@ def q_block_join_top10(spark, sf_dir):
     )
 
 
+def q_block_join_child_top10(spark, sf_dir):
+    """ToChildBlockJoinQuery duel (reference lucene/join/src/java/org/
+    apache/lucene/search/join/ToChildBlockJoinQuery.java:57; the
+    doScores=true parentScore push-down at :188-197): parent scores =
+    exactly the block_join_top10 rollup (ScoreMode.Avg over the
+    TERMS_OR child BM25 sums), then EVERY child of a matching block
+    scores its parent's score — the reference's nested-document
+    ToChild(ToParent(q)) composition. Double replica; the float32
+    engine path `search_block_join_children` is rank-identity-tested in
+    tests/test_block_join.py. Top-10 by (score DESC, doc_id ASC) — ties
+    inside one block break in doc_id space on both sides."""
+    s = searcher_for(spark, sf_dir)
+    child = (
+        _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+        .groupBy("docID")
+        .agg(F.sum("s").alias("cs"))
+    )
+    dm = s.docmap.select(
+        "docID",
+        F.col("path").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "|", F.col("repo"), F.substring("path", 1, BJ_PREFIX)
+        ).alias("parent"),
+    )
+    agg = (
+        child.join(F.broadcast(dm.select("docID", "parent")), "docID")
+        .groupBy("parent")
+        .agg(F.avg("cs").alias("raw"))
+    )
+    return (
+        dm.join(F.broadcast(agg), "parent")
+        .select("doc_id", "parent", F.round("raw", ROUND).alias("score"), "raw")
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "parent", "score")
+    )
+
+
 def q_join_top10(spark, sf_dir):
     """Query-time join duel (reference lucene/join/src/java/org/apache/
     lucene/search/join/JoinUtil.java:81, ScoreMode.Avg): from-side = the
@@ -1945,6 +1983,44 @@ def q_span_near_un_top10(spark, sf_dir):
     chains = u.withColumn("sf", F.lit(1.0) / (F.lit(1.0) + F.col("width")))
     return _span_near_score(
         spark, sf_dir, chains.select("docID", "sf"), _idf_sum(s, [SN_T1, SN_T2])
+    )
+
+
+SMT_ALTS = ("key", "value")  # the wrapped multi-term query's expansions
+SMT_T2 = "table"
+SMT_SLOP = 5
+
+
+def q_span_multi_top10(spark, sf_dir):
+    """SpanMultiTermQueryWrapper duel (reference lucene/core/src/java/
+    org/apache/lucene/search/spans/SpanMultiTermQueryWrapper.java:47):
+    clause 1 is the SpanOr rewrite of a multi-term query — here an
+    explicit two-term expansion SMT_ALTS, positions merged — chained
+    ordered to SMT_T2 with gap <= SMT_SLOP; freq = sum 1/(1+width),
+    weight = summed idf over the DISTINCT terms of both clauses (the
+    wrapper's expansions all land in the shared termStates map). Double
+    replica over index-decoded positions; the float32 engine path
+    (list clauses in search_span_near) is oracle-dueled in
+    tests/test_r5_batch6.py."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions(list(SMT_ALTS) + [SMT_T2])
+    c1 = pos.where(F.col("term").isin(*SMT_ALTS)).select(
+        "docID", F.col("pos").alias("p1")
+    )
+    t2 = pos.where(F.col("term") == SMT_T2).select(
+        "docID", F.col("pos").alias("tp")
+    )
+    ch = (
+        c1.join(t2, "docID")
+        .filter(F.col("tp") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("tp").alias("p2"))
+    )
+    chains = ch.filter(F.col("p2") - F.col("p1") - 1 <= SMT_SLOP).withColumn(
+        "sf", F.lit(1.0) / (F.lit(1.0) + F.col("p2") - F.col("p1") - 1)
+    )
+    return _span_near_score(
+        spark, sf_dir, chains, _idf_sum(s, list(SMT_ALTS) + [SMT_T2])
     )
 
 
@@ -3193,7 +3269,15 @@ QUERIES = {
     # bench directly — three more one-expression variants of the SAME
     # dueled similarity path ----
     # batch 12's domain_mix also starts here (the md5 sampling device is
-    # driver-checked in-cap via hash_sample_ids / domain_cap)
+    # driver-checked in-cap via hash_sample_ids / domain_cap);
+    # block_join_child_top10 (ToChildBlockJoin) starts here too — a thin
+    # down-join composition over the ToParent rollup that stays
+    # driver-checked in-cap via block_join_top10
+    # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
+    # merged-clause generalization of the span_near kernel that stays
+    # driver-checked in-cap via span_near_top10
+    "span_multi_top10": q_span_multi_top10,
+    "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
     "span_near_un_top10": q_span_near_un_top10,
     "dfr_top10": q_dfr_top10,
@@ -3787,6 +3871,35 @@ SELECT parent, round(avg(cs), {ROUND}) AS score, count(*)::BIGINT AS n_children
 FROM par GROUP BY parent ORDER BY avg(cs) DESC, parent ASC LIMIT 10
 """
 
+    # --- ToChildBlockJoinQuery: parent score pushed down to children --------
+    sqls["block_join_child_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_bj_list}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+child AS (SELECT doc_id, sum(s) AS cs FROM scored GROUP BY doc_id),
+par AS (
+  SELECT d.source || '|' || substr(lpad(c.doc_id::VARCHAR, 12, '0'), 1, {BJ_PREFIX}) AS parent,
+         c.cs
+  FROM child c JOIN documents d USING (doc_id)
+),
+pagg AS (SELECT parent, avg(cs) AS raw FROM par GROUP BY parent),
+kids AS (
+  SELECT d.doc_id,
+         d.source || '|' || substr(lpad(d.doc_id::VARCHAR, 12, '0'), 1, {BJ_PREFIX}) AS parent
+  FROM documents d
+)
+SELECT k.doc_id, k.parent, round(p.raw, {ROUND}) AS score
+FROM kids k JOIN pagg p USING (parent)
+ORDER BY p.raw DESC, k.doc_id ASC LIMIT 10
+"""
+
     # --- query-time join (lucene/join JoinUtil, ScoreMode.Avg) -------------
     sqls["join_top10"] = f"""
 WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
@@ -4231,6 +4344,17 @@ FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
 ORDER BY ({_idf_terms_sql([SN_T1, SN_T2])}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
 LIMIT 10
 """
+
+    _smt_list = ", ".join(f"'{t}'" for t in SMT_ALTS)
+    sqls["span_multi_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
+  FROM (SELECT doc_id, pos AS p1 FROM tokp WHERE term IN ({_smt_list})) c1
+  JOIN tokp t ON t.doc_id = c1.doc_id AND t.term = '{SMT_T2}' AND t.pos > c1.p1
+  GROUP BY c1.doc_id, c1.p1),
+surv AS (SELECT * FROM c2 WHERE p2 - p1 - 1 <= {SMT_SLOP}),
+{_sn_score_sql(_idf_terms_sql(list(SMT_ALTS) + [SMT_T2]))}"""
 
     sqls["span_containing_top10"] = f"""
 WITH {tokp}, {TOKENS_CTE}, {DL_CTE},

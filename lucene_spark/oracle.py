@@ -553,14 +553,15 @@ class OracleIndex:
         when width - totalSpanLength <= slop (atMatch:83-85), and each
         MATCHING state adds 1/(1+width)
         (SpanScorer.setFreqCurrentDoc:112 + width():136)."""
-        if any(t not in self.postings for t in terms):
+        norm = self._norm_span_clauses(terms)
+        if norm is None:
             return {}
-        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
+        rowsets = [self._clause_rowset(c) for c in norm]
         cand = set.intersection(*rowsets)
-        n = len(terms)
+        n = len(norm)
         out: dict[int, float] = {}
         for r in cand:
-            lists = [self.postings[t][2][r] for t in terms]
+            lists = [self._clause_pos(c, r) for c in norm]
             freq = 0.0
             for i, li in enumerate(lists):
                 for e in li.tolist():
@@ -589,14 +590,43 @@ class OracleIndex:
             return []
         from lucene_spark.search.bm25 import idf, score_term
 
+        norm = self._norm_span_clauses(terms) or []
         w = np.float32(0.0)
-        for t in dict.fromkeys(terms):
+        for t in dict.fromkeys(t for c in norm for t in c):
             w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
         rows = np.array(sorted(freqs.keys()), dtype=np.int64)
         f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)
         scores = score_term(f, self.norms[rows], w, self.scorer.cache)
         order = np.lexsort((self.doc_ids[rows], -scores))[:k]
         return [(int(self.doc_ids[rows[i]]), float(scores[i])) for i in order]
+
+    def _norm_span_clauses(self, clauses) -> list[tuple[str, ...]] | None:
+        """Span clause normalization (SpanMultiTermQueryWrapper replica):
+        str = one term, tuple/list = alternatives merged into one SpanOr
+        clause. Absent members drop; a fully-absent clause returns None
+        (the whole near can't match)."""
+        out: list[tuple[str, ...]] = []
+        for c in clauses:
+            c = (c,) if isinstance(c, str) else tuple(c)
+            pres = tuple(t for t in c if t in self.postings)
+            if not pres:
+                return None
+            out.append(pres)
+        return out
+
+    def _clause_rowset(self, clause: tuple[str, ...]) -> set:
+        s: set = set()
+        for t in clause:
+            s |= set(self.postings[t][0].tolist())
+        return s
+
+    def _clause_pos(self, clause: tuple[str, ...], r: int) -> np.ndarray:
+        arrs = [
+            self.postings[t][2][r] for t in clause if r in self.postings[t][2]
+        ]
+        if len(arrs) == 1:
+            return arrs[0]
+        return np.sort(np.concatenate(arrs))
 
     def span_near_freqs(
         self,
@@ -617,21 +647,23 @@ class OracleIndex:
         'within' the freq instead counts occurrences of t covered by a
         valid big span, 1 each (SpanWithinQuery; a term span has width
         0)."""
-        need = terms + ([contain] if contain else [])
-        if any(t not in self.postings for t in need):
+        norm = self._norm_span_clauses(terms)
+        if norm is None or (contain and contain not in self.postings):
             return {}
-        rowsets = [set(self.postings[t][0].tolist()) for t in need]
+        rowsets = [self._clause_rowset(c) for c in norm] + (
+            [set(self.postings[contain][0].tolist())] if contain else []
+        )
         cand = set.intersection(*rowsets)
         out: dict[int, float] = {}
         for r in cand:
-            base = self.postings[terms[0]][2][r]
+            base = self._clause_pos(norm[0], r)
             spans: list[tuple[int, int]] = []  # (start, end) valid chains
             freq = 0.0
             for p1 in base.tolist():
                 cur = p1
                 dead = False
-                for t in terms[1:]:
-                    lst = self.postings[t][2][r]
+                for c in norm[1:]:
+                    lst = self._clause_pos(c, r)
                     nxt = lst[lst > cur]
                     if nxt.size == 0:
                         dead = True
@@ -678,8 +710,10 @@ class OracleIndex:
             return []
         from lucene_spark.search.bm25 import idf, score_term
 
+        norm = self._norm_span_clauses(terms) or []
+        flat = [t for c in norm for t in c] + ([contain] if contain else [])
         w = np.float32(0.0)
-        for t in dict.fromkeys(terms + ([contain] if contain else [])):
+        for t in dict.fromkeys(flat):
             w = np.float32(w + idf(len(self.postings[t][0]), self.doc_count))
         rows = np.array(sorted(freqs.keys()), dtype=np.int64)
         f = np.array([freqs[int(r)] for r in rows], dtype=np.float32)

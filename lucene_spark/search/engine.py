@@ -1149,16 +1149,36 @@ class IndexSearcher:
         broadcasts it for selective queries); the parent rollup is one
         partially-aggregated groupBy — two shuffles total, independent of
         corpus size."""
+        agg = self._block_join_parent_scores(
+            child_query, parent_of, score_mode, mode
+        )
+        if agg is None:
+            return self.spark.createDataFrame(
+                [], "parent string, score double, n_children long"
+            )
+        return (
+            agg.orderBy(F.desc("score"), F.asc("parent"))
+            .limit(k)
+            .select("parent", F.col("score").cast(DoubleType()), "n_children")
+        )
+
+    def _block_join_parent_scores(
+        self,
+        child_query: str | list[str],
+        parent_of: str,
+        score_mode: str,
+        mode: str,
+    ) -> DataFrame | None:
+        """Unlimited (parent, score, n_children) rollup shared by the
+        ToParent and ToChild block-join directions; None when no child
+        term exists (both directions return empty)."""
         if score_mode not in ("none", "avg", "max", "total", "min"):
             raise ValueError(f"unknown ScoreMode {score_mode!r}")
-        empty = self.spark.createDataFrame(
-            [], "parent string, score double, n_children long"
-        )
         terms = self._parse(child_query)
         stats = self.term_stats(terms)
         present = [t for t in terms if t in stats]
         if not present or (mode == "and" and len(present) < len(set(terms))):
-            return empty
+            return None
         child = (
             self._scored_postings(present, stats)
             .groupBy("docID")
@@ -1175,13 +1195,57 @@ class IndexSearcher:
             "avg": F.avg, "max": F.max, "total": F.sum, "min": F.min,
             "none": lambda c: F.lit(0.0),
         }[score_mode]
-        agg = joined.groupBy("parent").agg(
+        return joined.groupBy("parent").agg(
             agg_fn("cs").alias("score"), F.count("*").alias("n_children")
         )
+
+    def search_block_join_children(
+        self,
+        child_query: str | list[str],
+        parent_of: str = "repo",
+        score_mode: str = "avg",
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ToChildBlockJoinQuery analog (reference lucene/join/src/java/
+        org/apache/lucene/search/join/ToChildBlockJoinQuery.java:57): the
+        inverse join direction — a parent-level score is pushed DOWN to
+        every (live) child doc of the matching block, each child scoring
+        exactly its parent's score (the doScores=true path,
+        ToChildBlockJoinQuery.java:188-197 ``parentScore``). Composed the
+        way the reference's nested-document pattern uses it: the parent
+        score comes from the same child query + ScoreMode rollup as
+        ``search_block_join`` (ToChild(ToParent(q)) — "give me every
+        child of the best-matching parents").
+
+        Returns top-``k`` (docID, parent, score double) by score DESC,
+        docID ASC. Tombstoned children never come back (`_live_docmap`),
+        mirroring the reference's acceptDocs filtering at
+        ToChildBlockJoinQuery.java:152.
+
+        Plan shape at scale: the parent rollup is `search_block_join`'s
+        two-shuffle aggregate; the down-join touches each docmap row once
+        against the (at most |parents|-row) aggregate — AQE broadcasts
+        the parent side for selective queries — then TakeOrdered. No
+        shuffle proportional to corpus size beyond the scan."""
+        agg = self._block_join_parent_scores(
+            child_query, parent_of, score_mode, mode
+        )
+        if agg is None:
+            return self.spark.createDataFrame(
+                [], "docID long, parent string, score double"
+            )
+        parents = agg.select(
+            "parent", F.col("score").cast(DoubleType()).alias("score")
+        )
+        children = self._live_docmap().selectExpr(
+            "docID", f"({parent_of}) AS parent"
+        )
         return (
-            agg.orderBy(F.desc("score"), F.asc("parent"))
+            children.join(parents, "parent")
+            .orderBy(F.desc("score"), F.asc("docID"))
             .limit(k)
-            .select("parent", F.col("score").cast(DoubleType()), "n_children")
+            .select("docID", "parent", F.col("score").cast(DoubleType()))
         )
 
     def _live_docmap(self) -> DataFrame:
@@ -2487,6 +2551,63 @@ class IndexSearcher:
                 joined = joined.join(side, "docID")
         return self._strip_deleted(joined)
 
+    def _clause_positions_side(self, clause: tuple[str, ...]) -> DataFrame:
+        """(docID, norm, positions) rows for a SPAN CLAUSE — a single
+        term, or the union of several (SpanMultiTermQueryWrapper's
+        SpanOr rewrite, reference lucene/core/src/java/org/apache/
+        lucene/search/spans/SpanMultiTermQueryWrapper.java:47: the
+        multi-term query's expansions become one disjunction whose
+        spans are the merged per-term occurrences). Positions of the
+        member terms are disjoint by construction (one token per
+        position), so the merge is flatten + sort with no dedup.
+
+        Plan shape: each member decode is the map-only positions kernel;
+        the merge is ONE partial-aggregated groupBy over only the clause
+        terms' postings rows — cost bounded by the clause's summed df,
+        never the corpus."""
+        if len(clause) == 1:
+            return self._positions_side(clause[0])
+        un = self._positions_side(clause[0])
+        for t in clause[1:]:
+            un = un.unionByName(self._positions_side(t))
+        return un.groupBy("docID").agg(
+            F.first("norm").alias("norm"),
+            F.array_sort(F.flatten(F.collect_list("positions"))).alias(
+                "positions"
+            ),
+        )
+
+    def _span_clause_join(
+        self,
+        clauses: list[tuple[str, ...]],
+        stats: dict[str, TermStats],
+    ) -> DataFrame:
+        """_phrase_join generalized to multi-term clauses: n-way inner
+        join on docID of per-clause (docID, norm, positions) sides,
+        producing pos{i} array columns bound to the ORIGINAL clause
+        order. Join order is cheapest-clause-first with the accumulated
+        candidate side broadcast when the rarest clause's summed df is
+        small — the same ConjunctionDISI cost ordering `_phrase_join`
+        uses, with a clause's cost = the union bound sum(df) of its
+        members."""
+        cost = [sum(stats[t].df for t in c) for c in clauses]
+        order = sorted(range(len(clauses)), key=lambda i: cost[i])
+        bcast = cost[order[0]] <= self.PHRASE_BROADCAST_DF
+        joined = None
+        for i in order:
+            side = self._clause_positions_side(clauses[i]).select(
+                "docID",
+                *(["norm"] if joined is None else []),
+                F.col("positions").alias(f"pos{i}"),
+            )
+            if joined is None:
+                joined = side
+            elif bcast:
+                joined = side.join(F.broadcast(joined), "docID")
+            else:
+                joined = joined.join(side, "docID")
+        return self._strip_deleted(joined)
+
     def _positions_side(self, term: str) -> DataFrame:
         """One term's postings decoded to (docID, norm, positions) rows,
         with the tombstone set applied INSIDE the decode kernel (the
@@ -2814,6 +2935,58 @@ class IndexSearcher:
             return self._empty_topk()
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
+    def _span_clauses_setup(
+        self, terms: list, contain: str | None = None
+    ) -> tuple | None:
+        """Shared clause normalization for the span-near kernels. Each
+        element of ``terms`` is a clause: a str (one term) or a
+        list/tuple of alternative terms — the SpanMultiTermQueryWrapper
+        rewrite (spans/SpanMultiTermQueryWrapper.java:47: the multi-term
+        expansion becomes a SpanOrQuery whose spans are the merged
+        per-term occurrences, each width 0). Absent members of a
+        multi-term clause drop out (a sub-span with zero docFreq emits
+        nothing); a clause with NO present member — or an absent single
+        term / contain term — can never match, so the query returns
+        None (SpanOrQuery with no clauses rewrites to MatchNoDocs).
+
+        Weight = summed idf over the DISTINCT present terms of every
+        clause plus the contain term (SpanWeight.buildSimWeight over the
+        deduplicated termStates map — the wrapper's expansions all land
+        in the same map).
+
+        Returns (joined, order_idx, c_idx, weight) where ``joined`` has
+        one pos{i} column per distinct clause."""
+        clauses = [(c,) if isinstance(c, str) else tuple(c) for c in terms]
+        flat = [t for c in clauses for t in c] + (
+            [contain] if contain else []
+        )
+        stats = self.term_stats(flat)
+        kept: list[tuple[str, ...]] = []
+        for c in clauses:
+            pres = tuple(t for t in c if t in stats)
+            if not pres:
+                return None
+            kept.append(pres)
+        if contain is not None and contain not in stats:
+            return None
+        if not self.manifest.get("store_positions", True):
+            raise ValueError(
+                "index built without positions; span queries unavailable"
+            )
+        w = np.float32(0.0)
+        seen = dict.fromkeys(
+            [t for c in kept for t in c] + ([contain] if contain else [])
+        )
+        for t in seen:
+            w = np.float32(w + idf(stats[t].df, self.doc_count))
+        all_clauses = kept + ([(contain,)] if contain else [])
+        uniq = list(dict.fromkeys(all_clauses))
+        joined = self._span_clause_join(uniq, stats)
+        cmap = {c: i for i, c in enumerate(uniq)}
+        order_idx = [cmap[c] for c in kept]
+        c_idx = cmap[(contain,)] if contain else None
+        return joined, order_idx, c_idx, float(w)
+
     def span_near_scores(
         self,
         terms: list[str],
@@ -2822,7 +2995,10 @@ class IndexSearcher:
         contain_mode: str = "containing",
     ) -> DataFrame | None:
         """(docID, score float32) for an ordered SpanNearQuery over term
-        clauses (queries/spans/SpanNearQuery.java via NearSpansOrdered):
+        clauses — each a str or a tuple of alternatives (the
+        SpanMultiTermQueryWrapper SpanOr rewrite; see
+        _span_clauses_setup) (queries/spans/SpanNearQuery.java via
+        NearSpansOrdered):
         for EVERY occurrence p1 of the first term, stretch each following
         clause to its first position strictly after the previous one
         (NearSpansOrdered.stretchToOrder — start_{i+1} >= end_i); the
@@ -2857,22 +3033,11 @@ class IndexSearcher:
             raise ValueError("span_near needs at least two clauses")
         if contain_mode not in ("containing", "within"):
             raise ValueError("contain_mode must be 'containing' or 'within'")
-        all_terms = terms + ([contain] if contain else [])
-        stats = self.term_stats(all_terms)
-        if any(t not in stats for t in all_terms):
+        setup = self._span_clauses_setup(terms, contain)
+        if setup is None:
             return None
-        if not self.manifest.get("store_positions", True):
-            raise ValueError("index built without positions; span queries unavailable")
-        w = np.float32(0.0)
-        for t in dict.fromkeys(all_terms):
-            w = np.float32(w + idf(stats[t].df, self.doc_count))
-        weight = float(w)
+        joined, order_idx, c_idx, weight = setup
         cache = self.scorer.cache
-        uniq = list(dict.fromkeys(all_terms))
-        joined = self._phrase_join(uniq, stats)
-        tidx = {t: i for i, t in enumerate(uniq)}
-        order_idx = [tidx[t] for t in terms]
-        c_idx = tidx[contain] if contain else None
         n_terms = len(terms)
         slop_i = int(slop)
         mode_within = contain is not None and contain_mode == "within"
@@ -2995,7 +3160,10 @@ class IndexSearcher:
         self, terms: list[str], slop: int
     ) -> DataFrame | None:
         """(docID, score float32) for an UNORDERED SpanNearQuery over
-        term clauses (spans/NearSpansUnordered.java): the span window is
+        term clauses — each a str or a tuple of alternatives (the
+        SpanMultiTermQueryWrapper SpanOr rewrite; see
+        _span_clauses_setup) (spans/NearSpansUnordered.java): the span
+        window is
         a min-heap of per-clause positions; every element becomes the
         window minimum exactly once (the same consumed-in-sorted-order
         property the sloppy matcher exploits), the state matches when
@@ -3012,20 +3180,11 @@ class IndexSearcher:
         adjustment. Weight = summed idf over DISTINCT clause terms."""
         if len(terms) < 2:
             raise ValueError("span_near needs at least two clauses")
-        stats = self.term_stats(terms)
-        if any(t not in stats for t in terms):
+        setup = self._span_clauses_setup(terms)
+        if setup is None:
             return None
-        if not self.manifest.get("store_positions", True):
-            raise ValueError("index built without positions; span queries unavailable")
-        w = np.float32(0.0)
-        for t in dict.fromkeys(terms):
-            w = np.float32(w + idf(stats[t].df, self.doc_count))
-        weight = float(w)
+        joined, tidx_of_pos, _, weight = setup
         cache = self.scorer.cache
-        term_order = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-        uniq_terms = list(term_order)
-        tidx_of_pos = [term_order[t] for t in terms]
-        joined = self._phrase_join(uniq_terms, stats)
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("score", FloatType())]
         )
@@ -3115,14 +3274,49 @@ class IndexSearcher:
         with matchWidth = total gaps (NearSpansOrdered); unordered =>
         any order, width = span extent (NearSpansUnordered — the
         reference's own asymmetry). (docID, score) by score DESC,
-        docID ASC."""
-        terms = self._parse(query)
-        if len(terms) == 1:
-            return self.search(terms, k=k)
+        docID ASC.
+
+        Clauses may be multi-term (SpanMultiTermQueryWrapper,
+        spans/SpanMultiTermQueryWrapper.java:47): a slot ending in ``*``
+        expands against the dictionary (top-df capped — the wrapper's
+        TopTermsSpanBooleanQueryRewrite, :134), and a list element
+        supplies explicit alternatives; either becomes a SpanOr clause
+        whose occurrences are the union of the member terms'."""
+        slots = query.split() if isinstance(query, str) else list(query)
+        clauses: list = []
+        for slot in slots:
+            if isinstance(slot, (list, tuple)):
+                exp = []
+                for t in slot:
+                    p = self._parse(t)
+                    if len(p) != 1:
+                        raise ValueError(
+                            f"alternative {t!r} must analyze to one term"
+                        )
+                    exp.append(p[0])
+                clauses.append(tuple(dict.fromkeys(exp)))
+            elif slot.endswith("*") and len(slot) > 1 and "*" not in slot[:-1]:
+                stem = self._parse(slot[:-1])
+                if len(stem) != 1:
+                    raise ValueError(f"bad wildcard slot {slot!r}")
+                exp = self.expand_terms(prefix=stem[0], top_terms=True)
+                if not exp:
+                    return self._empty_topk()
+                clauses.append(tuple(exp))
+            else:
+                # a plain slot may analyze to several tokens ("foo-bar");
+                # each becomes its own single-term clause, preserving the
+                # pre-wrapper parse behavior
+                clauses.extend(self._parse(slot))
+        if len(clauses) == 1:
+            c = clauses[0]
+            if isinstance(c, str):
+                return self.search([c], k=k)
+            return self.search_span_or(list(c), k=k)
         scored = (
-            self.span_near_scores(terms, slop)
+            self.span_near_scores(clauses, slop)
             if ordered
-            else self.span_near_unordered_scores(terms, slop)
+            else self.span_near_unordered_scores(clauses, slop)
         )
         if scored is None:
             return self._empty_topk()

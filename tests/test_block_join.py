@@ -135,3 +135,66 @@ def test_block_join_edge_cases(built_index):
         == 0
     )
     assert searcher.search_block_join(["zzqqxx_notaterm"]).count() == 0
+
+
+# --------------------------------------------------------------------------
+# ToChildBlockJoinQuery (search_block_join_children)
+# --------------------------------------------------------------------------
+
+
+def _expected_children(oracle, pdf, parent_key, mode="or", score_mode="avg", k=10):
+    """Every child of a matching parent scores its parent's aggregate
+    (ToChildBlockJoinQuery.java:188-197 parentScore), ranked (score DESC,
+    docID ASC)."""
+    parents = _expected(
+        oracle, pdf, parent_key, mode=mode, score_mode=score_mode, k=10**9
+    )
+    pscore = {p: s for p, s, _ in parents}
+    kids = []
+    for r in range(oracle.doc_count):
+        p = parent_key(pdf.iloc[r])
+        if p in pscore:
+            kids.append((r, p, pscore[p]))
+    kids.sort(key=lambda x: (-x[2], x[0]))
+    return kids[:k]
+
+
+@pytest.mark.parametrize("score_mode", ["avg", "total"])
+def test_block_join_children(built_index, corpus_pdf, score_mode):
+    _, oracle, searcher = built_index
+    got = [
+        (int(r["docID"]), r["parent"], float(r["score"]))
+        for r in searcher.search_block_join_children(
+            Q, parent_of="repo", score_mode=score_mode, k=10
+        ).collect()
+    ]
+    exp = _expected_children(
+        oracle, corpus_pdf, lambda row: row["repo"], score_mode=score_mode
+    )
+    assert [(d, p) for d, p, _ in got] == [(d, p) for d, p, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-5)
+
+
+def test_block_join_children_within_block_docid_ties(built_index, corpus_pdf):
+    """All children of one block tie at the parent score → docID ASC order,
+    and a k larger than the best block spills into the runner-up block."""
+    _, oracle, searcher = built_index
+    exp = _expected_children(
+        oracle, corpus_pdf, lambda row: row["repo"], k=10**9
+    )
+    k = 25
+    got = [
+        int(r["docID"])
+        for r in searcher.search_block_join_children(
+            Q, parent_of="repo", k=k
+        ).collect()
+    ]
+    assert got == [d for d, _, _ in exp[:k]]
+
+
+def test_block_join_children_empty(built_index):
+    _, _, searcher = built_index
+    df = searcher.search_block_join_children(["zzqqxx_notaterm"])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["docID", "parent", "score"]

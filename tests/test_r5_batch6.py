@@ -331,3 +331,82 @@ def test_simple_exec_group(built_index):
     order = np.lexsort((rows, -final))[:10]
     exp = [(int(rows[i]), float(final[i])) for i in order]
     assert_rank_identical(exp, got, msg="simple group")
+
+
+# -- SpanMultiTermQueryWrapper (multi-term span clauses) ----------------------
+# Reference: spans/SpanMultiTermQueryWrapper.java:47 — a multi-term query
+# used as a span clause rewrites to a SpanOrQuery over its expansions
+# (top-df capped, TopTermsSpanBooleanQueryRewrite :134); the clause's
+# spans are the merged member occurrences, each width 0.
+
+MULTI = [("getvalue0", "getvalue1"), "static"]
+
+
+def test_span_near_multi_clause_ordered(built_index):
+    _, oracle, searcher = built_index
+    got = _collect(
+        searcher.search_span_near(
+            [["getvalue0", "getvalue1"], "static"], slop=6, k=10
+        )
+    )
+    exp = oracle.search_span_near(MULTI, slop=6, k=10)
+    assert_rank_identical(exp, got, msg="span_near multi-term clause")
+
+
+def test_span_near_multi_clause_unordered(built_index):
+    _, oracle, searcher = built_index
+    got = _collect(
+        searcher.search_span_near(
+            [["getvalue0", "getvalue1"], "static"], slop=6, k=10, ordered=False
+        )
+    )
+    exp = oracle.search_span_near_unordered(MULTI, slop=6, k=10)
+    assert_rank_identical(exp, got, msg="span_near_un multi-term clause")
+
+
+def test_span_near_multi_docset_superset_of_single(built_index):
+    """Adding alternatives to a clause only adds positions, so chain
+    widths can only shrink — the matching doc set is a superset."""
+    _, oracle, searcher = built_index
+    single = set(oracle.span_near_freqs(["getvalue0", "static"], 6))
+    multi = set(oracle.span_near_freqs(MULTI, 6))
+    assert single <= multi
+    assert len(multi) > len(single)  # getvalue1 chains genuinely add docs
+
+
+def test_span_near_wildcard_slot_equals_explicit(built_index):
+    """A '*' slot expands via the dictionary exactly like passing the
+    expansion explicitly (TopTermsSpanBooleanQueryRewrite)."""
+    _, _, searcher = built_index
+    exp_terms = searcher.expand_terms(prefix="getvalue", top_terms=True)
+    assert len(exp_terms) > 1
+    got_wild = _collect(searcher.search_span_near("getvalue* static", slop=6))
+    got_explicit = _collect(
+        searcher.search_span_near([list(exp_terms), "static"], slop=6)
+    )
+    assert got_wild == got_explicit
+
+
+def test_span_near_multi_absent_members_drop(built_index):
+    """An absent alternative contributes no spans and no idf — identical
+    to omitting it (a zero-docFreq sub-span emits nothing)."""
+    _, _, searcher = built_index
+    got1 = _collect(
+        searcher.search_span_near(
+            [["getvalue0", "zzqq_nothere"], "static"], slop=6
+        )
+    )
+    got2 = _collect(
+        searcher.search_span_near([["getvalue0"], "static"], slop=6)
+    )
+    assert got1 == got2
+
+
+def test_span_near_fully_absent_clause_empty(built_index):
+    _, _, searcher = built_index
+    assert (
+        searcher.search_span_near(
+            [["zzqq1", "zzqq2"], "static"], slop=6
+        ).count()
+        == 0
+    )
