@@ -2657,6 +2657,51 @@ def q_range_scored_top10(spark, sf_dir):
     )
 
 
+def q_interval_before_top10(spark, sf_dir):
+    """Intervals.before duel (reference lucene/queries/src/java/org/
+    apache/lucene/queries/intervals/Intervals.java — source intervals
+    appearing before the reference): minimal ordered key..table
+    intervals (gaps <= INTERVAL_GAPS) that end strictly before some
+    same-doc occurrence of INTERVAL_INNER. Integer counts — exact across
+    engines; the engine kernel (search_intervals before=/after=/
+    not_containing=) duels the per-doc oracle loops in
+    tests/test_e2e_spark.py."""
+    s = searcher_for(spark, sf_dir)
+    pos = s.postings_positions([INTERVAL_T1, INTERVAL_T2, INTERVAL_INNER])
+    c1 = pos.where(F.col("term") == INTERVAL_T1).select(
+        "docID", F.col("pos").alias("p1")
+    )
+    t2 = pos.where(F.col("term") == INTERVAL_T2).select(
+        "docID", F.col("pos").alias("tp")
+    )
+    c2 = (
+        c1.join(t2, "docID")
+        .where(F.col("tp") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("tp").alias("p2"))
+    )
+    mini = c2.groupBy("docID", "p2").agg(F.max("p1").alias("mp1")).where(
+        F.col("p2") - F.col("mp1") - 1 <= INTERVAL_GAPS
+    )
+    ref = pos.where(F.col("term") == INTERVAL_INNER).select(
+        "docID", F.col("pos").alias("ip")
+    )
+    held = (
+        mini.join(ref, "docID")
+        .where(F.col("ip") > F.col("p2"))
+        .select("docID", "mp1", "p2")
+        .distinct()
+    )
+    res = held.groupBy("docID").agg(F.count("*").cast("long").alias("n_intervals"))
+    dm = _docid_map(s)
+    return (
+        res.join(F.broadcast(dm.select("docID", "doc_id")), "docID")
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_intervals")
+    )
+
+
 def q_interval_containing_top10(spark, sf_dir):
     """Intervals.containing: minimal ordered key...table intervals
     (gaps <= 5) that hold at least one occurrence of 'row'. Integer
@@ -3276,6 +3321,11 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # interval_before_top10 (Intervals.before/after/notContaining family)
+    # starts here — the filter generalization of the minimal-interval
+    # kernel that stays driver-checked in-cap via
+    # interval_containing_top10
+    "interval_before_top10": q_interval_before_top10,
     "span_multi_top10": q_span_multi_top10,
     "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
@@ -4145,6 +4195,22 @@ SELECT m.doc_id, count(*)::BIGINT AS n_intervals
 FROM mini m
 WHERE EXISTS (SELECT 1 FROM tokp t WHERE t.doc_id = m.doc_id
               AND t.term = '{INTERVAL_INNER}' AND t.pos BETWEEN m.mp1 AND m.p2)
+GROUP BY m.doc_id
+ORDER BY count(*) DESC, m.doc_id ASC
+LIMIT 10
+"""
+    sqls["interval_before_top10"] = f"""
+WITH {tokp},
+c1 AS (SELECT doc_id, pos AS p1 FROM tokp WHERE term = '{INTERVAL_T1}'),
+c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
+       FROM c1 JOIN tokp t ON t.doc_id = c1.doc_id AND t.term = '{INTERVAL_T2}' AND t.pos > c1.p1
+       GROUP BY c1.doc_id, c1.p1),
+mini AS (SELECT doc_id, p2, max(p1) AS mp1 FROM c2 GROUP BY doc_id, p2
+         HAVING p2 - max(p1) - 1 <= {INTERVAL_GAPS})
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mini m
+WHERE EXISTS (SELECT 1 FROM tokp t WHERE t.doc_id = m.doc_id
+              AND t.term = '{INTERVAL_INNER}' AND t.pos > m.p2)
 GROUP BY m.doc_id
 ORDER BY count(*) DESC, m.doc_id ASC
 LIMIT 10

@@ -361,19 +361,25 @@ class OracleIndex:
         max_gaps: int = 0,
         ordered: bool = True,
         containing: str | None = None,
+        not_containing: str | None = None,
+        before: str | None = None,
+        after: str | None = None,
     ) -> dict[int, int]:
         """row -> number of MINIMAL intervals spanning all terms with
         total gaps <= max_gaps (Intervals.maxgaps); with `containing`,
         only intervals holding >= 1 occurrence of that term count
-        (Intervals.containing). Reference implementation with explicit
+        (Intervals.containing); `not_containing` is the complement
+        (Intervals.notContaining — an absent subtrahend subtracts
+        nothing); `before`/`after` keep intervals with some same-doc
+        occurrence strictly after the end / before the start
+        (Intervals.before/after). Reference implementation with explicit
         per-doc loops."""
-        if any(t not in self.postings for t in terms):
+        conj = [t for t in (containing, before, after) if t is not None]
+        if any(t not in self.postings for t in terms + conj):
             return {}
-        if containing is not None and containing not in self.postings:
-            return {}
-        rowsets = [set(self.postings[t][0].tolist()) for t in terms]
-        if containing is not None:
-            rowsets.append(set(self.postings[containing][0].tolist()))
+        if not_containing is not None and not_containing not in self.postings:
+            not_containing = None
+        rowsets = [set(self.postings[t][0].tolist()) for t in terms + conj]
         cand = set.intersection(*rowsets)
         out: dict[int, int] = {}
         n = len(terms)
@@ -396,11 +402,15 @@ class OracleIndex:
                 by_end: dict[int, int] = {}
                 for s, e in intervals:
                     by_end[e] = max(by_end.get(e, s), s)
-                inner_pos = (
-                    self.postings[containing][2][r]
-                    if containing is not None
-                    else None
-                )
+                def _fpos(t):
+                    if t is None:
+                        return None
+                    return self.postings[t][2].get(r)
+
+                inner_pos = _fpos(containing)
+                nc_pos = _fpos(not_containing)
+                bef_pos = _fpos(before)
+                aft_pos = _fpos(after)
                 cnt = sum(
                     1
                     for e, s in by_end.items()
@@ -409,6 +419,12 @@ class OracleIndex:
                         inner_pos is None
                         or bool(((inner_pos >= s) & (inner_pos <= e)).any())
                     )
+                    and (
+                        nc_pos is None
+                        or not bool(((nc_pos >= s) & (nc_pos <= e)).any())
+                    )
+                    and (bef_pos is None or bool((bef_pos > e).any()))
+                    and (aft_pos is None or bool((aft_pos < s).any()))
                 )
             else:
                 # greedy sweep windows; minimal = last window per end

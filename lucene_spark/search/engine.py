@@ -4001,6 +4001,9 @@ class IndexSearcher:
         ordered: bool = True,
         k: int = 10,
         containing: str | None = None,
+        not_containing: str | None = None,
+        before: str | None = None,
+        after: str | None = None,
     ) -> DataFrame:
         """Interval query over stored positions: top-k docs by the number
         of MINIMAL intervals spanning all terms with total gap count
@@ -4016,32 +4019,74 @@ class IndexSearcher:
         are again the last window per distinct end. Both count at the
         minimal interval's width.
 
-        containing=<term> (ordered only): count only minimal intervals
-        that contain at least one occurrence of that term
-        (Intervals.containing — an outer source filtered by an inner)."""
+        Single-term interval filters (ordered only; reference
+        lucene/queries/src/java/org/apache/lucene/queries/intervals/
+        Intervals.java):
+          containing=<t>: count only minimal intervals holding at least
+            one occurrence of t (Intervals.containing — outer source
+            filtered by an inner).
+          not_containing=<t>: the complement (Intervals.notContaining);
+            docs without t keep ALL their intervals (an empty subtrahend
+            subtracts nothing), so t joins the candidate set via a LEFT
+            join, not the conjunction.
+          before=<t>: intervals that end before some occurrence of t
+            (Intervals.before — source intervals appearing before the
+            reference).
+          after=<t>: intervals that start after some occurrence of t
+            (Intervals.after)."""
         terms = self._parse(terms if isinstance(terms, str) else " ".join(terms))
         if len(terms) < 2:
             raise ValueError("interval queries need at least two terms")
-        inner = None
-        if containing is not None:
+
+        def _one(name: str, val: str | None) -> str | None:
+            if val is None:
+                return None
             if not ordered:
-                raise ValueError("containing is supported for ordered intervals")
-            parsed = self._parse(containing)
+                raise ValueError(f"{name} is supported for ordered intervals")
+            parsed = self._parse(val)
             if len(parsed) != 1:
-                raise ValueError("containing must be a single term")
-            inner = parsed[0]
-        stats = self.term_stats(terms + ([inner] if inner else []))
-        if any(t not in stats for t in terms) or (inner and inner not in stats):
+                raise ValueError(f"{name} must be a single term")
+            return parsed[0]
+
+        inner = _one("containing", containing)
+        nc = _one("not_containing", not_containing)
+        bef = _one("before", before)
+        aft = _one("after", after)
+        # conjunctive filter terms (the doc must contain them to match);
+        # not_containing is the exception — an absent subtrahend is a no-op
+        conj = [t for t in (inner, bef, aft) if t]
+        stats = self.term_stats(terms + conj + ([nc] if nc else []))
+        if any(t not in stats for t in terms + conj):
             return self.spark.createDataFrame(
                 [], "docID long, n_intervals long"
             )
         if not self.manifest.get("store_positions", True):
             raise ValueError("index built without positions")
-        uniq = list(dict.fromkeys(terms + ([inner] if inner else [])))
+        uniq = list(dict.fromkeys(terms + conj))
         joined = self._phrase_join(uniq, stats)
+        nc_idx = None
+        if nc and nc in stats:
+            if nc in uniq:
+                nc_idx = uniq.index(nc)
+            else:
+                nc_idx = len(uniq)
+                nc_side = self._positions_side(nc).select(
+                    "docID", F.col("positions").alias(f"pos{nc_idx}")
+                )
+                joined = joined.join(nc_side, "docID", "left")
+                uniq = uniq + [nc]
         tidx = {t: i for i, t in enumerate(uniq)}
         order_idx = [tidx[t] for t in terms]
         inner_idx = tidx[inner] if inner else None
+        # (column index, kind) specs evaluated on minimal intervals;
+        # kind semantics documented above
+        filter_specs = [(inner_idx, "containing")] if inner else []
+        if nc_idx is not None:
+            filter_specs.append((nc_idx, "not_containing"))
+        if bef:
+            filter_specs.append((tidx[bef], "before"))
+        if aft:
+            filter_specs.append((tidx[aft], "after"))
         n_terms = len(terms)
         gaps = int(max_gaps)
         out_schema = StructType(
@@ -4098,10 +4143,14 @@ class IndexSearcher:
                         cur = nxt
                     startv = keys[0]
                     endv = np.where(alive, cur, big)
-                    if inner_idx is not None:
+                    fmask = None
+                    doc_slot = startv // SHIFT
+                    for fi, kind in filter_specs:
                         arrs = [
-                            np.asarray(a, dtype=np.int64)
-                            for a in pdf[f"pos{inner_idx}"]
+                            np.asarray(
+                                a if a is not None else [], dtype=np.int64
+                            )
+                            for a in pdf[f"pos{fi}"]
                         ]
                         ilens = np.fromiter(
                             (a.size for a in arrs), dtype=np.int64, count=n_docs
@@ -4109,19 +4158,31 @@ class IndexSearcher:
                         ikeys = np.repeat(doc_key, ilens) + (
                             np.concatenate(arrs) if arrs else np.empty(0, np.int64)
                         )
-                        # contains: first inner position >= start is <= end
-                        if ikeys.size:
+                        if ikeys.size == 0:
+                            has = np.zeros(startv.shape, dtype=bool)
+                        elif kind in ("containing", "not_containing"):
+                            # first filter position >= start is <= end
                             iidx = np.searchsorted(ikeys, startv, side="left")
                             ival = np.where(
                                 iidx < ikeys.size,
                                 ikeys[np.minimum(iidx, ikeys.size - 1)],
                                 big,
                             )
-                            has_inner = ival <= endv
-                        else:
-                            has_inner = np.zeros(startv.shape, dtype=bool)
-                    else:
-                        has_inner = None
+                            has = ival <= endv
+                        elif kind == "before":
+                            # a same-doc occurrence strictly after the end
+                            iidx = np.searchsorted(ikeys, endv, side="right")
+                            okf = iidx < ikeys.size
+                            ival = ikeys[np.minimum(iidx, ikeys.size - 1)]
+                            has = okf & (ival // SHIFT == doc_slot)
+                        else:  # after: a same-doc occurrence strictly before
+                            iidx = np.searchsorted(ikeys, startv, side="left") - 1
+                            okf = iidx >= 0
+                            ival = ikeys[np.maximum(iidx, 0)]
+                            has = okf & (ival // SHIFT == doc_slot)
+                        if kind == "not_containing":
+                            has = ~has
+                        fmask = has if fmask is None else (fmask & has)
                     # minimal = last start per distinct end (end monotone)
                     last_of_doc = np.zeros(startv.shape, dtype=bool)
                     if startv.size:
@@ -4135,8 +4196,8 @@ class IndexSearcher:
                     minimal = last_of_doc | (endv != nxt_end)
                     width = endv - startv  # same doc => plain position diff
                     count = minimal & (endv < big) & (width - (n_terms - 1) <= gaps)
-                    if has_inner is not None:
-                        count &= has_inner
+                    if fmask is not None:
+                        count &= fmask
                     n_per_doc = np.add.reduceat(
                         count, starts_l[0]
                     ) if startv.size else np.zeros(n_docs, np.int64)

@@ -482,3 +482,65 @@ def test_regexp_terms_alternation(built_index):
     _, _, searcher = built_index
     got = {r["term"] for r in searcher.regexp_terms("license|apache").collect()}
     assert got == {"license", "apache"}
+
+
+@pytest.mark.parametrize(
+    "kw,fterm",
+    [
+        ({"not_containing": "software"}, "software"),
+        ({"not_containing": "zzznotaterm"}, None),
+        ({"before": "software"}, "software"),
+        ({"after": "the"}, "the"),
+        ({"before": "foundation", "after": "license"}, None),
+    ],
+)
+def test_interval_filters_match_oracle(built_index, kw, fterm):
+    """Intervals.notContaining / before / after (queries/intervals/
+    Intervals.java): single-term interval filters over the minimal
+    ordered source intervals, engine vectorized matcher vs oracle
+    per-doc loops. An absent notContaining subtrahend subtracts
+    nothing."""
+    _, oracle, searcher = built_index
+    terms, gaps = ["apache", "foundation"], 2
+    got = {
+        (r["docID"], r["n_intervals"])
+        for r in searcher.search_intervals(
+            terms, max_gaps=gaps, ordered=True, k=1000, **kw
+        ).collect()
+    }
+    exp_all = oracle.interval_counts(terms, max_gaps=gaps, ordered=True, **kw)
+    exp = {(int(oracle.doc_ids[r]), int(c)) for r, c in exp_all.items()}
+    assert got == exp, f"[interval filters {kw}]"
+
+
+def test_interval_containing_partition(built_index):
+    """On docs holding the filter term, containing + notContaining
+    partition the unfiltered minimal intervals."""
+    _, oracle, _ = built_index
+    terms, gaps, t = ["apache", "foundation"], 2, "software"
+    base = oracle.interval_counts(terms, max_gaps=gaps)
+    cont = oracle.interval_counts(terms, max_gaps=gaps, containing=t)
+    ncon = oracle.interval_counts(terms, max_gaps=gaps, not_containing=t)
+    t_rows = set(oracle.postings[t][0].tolist())
+    assert cont, "expected containing matches"
+    for r, n in base.items():
+        if r in t_rows:
+            assert cont.get(r, 0) + ncon.get(r, 0) == n
+
+
+def test_interval_nc_absent_is_noop(built_index):
+    _, oracle, searcher = built_index
+    terms, gaps = ["apache", "foundation"], 2
+    base = {
+        (r["docID"], r["n_intervals"])
+        for r in searcher.search_intervals(
+            terms, max_gaps=gaps, k=1000
+        ).collect()
+    }
+    nc = {
+        (r["docID"], r["n_intervals"])
+        for r in searcher.search_intervals(
+            terms, max_gaps=gaps, k=1000, not_containing="zzznotaterm"
+        ).collect()
+    }
+    assert base == nc and base
