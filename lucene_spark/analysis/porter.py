@@ -244,23 +244,55 @@ def reverse_token(word: str) -> str:
 
 from lucene_spark.analysis.folding import ascii_fold  # noqa: E402
 
+# EnglishAnalyzer's default stop set (reference lucene/analysis/common/
+# src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:46
+# ENGLISH_STOP_WORDS_SET — the classic 33 English stopwords).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+
+def stop_en(word: str) -> str | None:
+    """StopFilter over EnglishAnalyzer's default set (reference
+    analysis/StopFilter.java:25 via FilteringTokenFilter.java:50-56):
+    returns None to DROP the token. Position-increment semantics
+    (enablePositionIncrements=true, the only mode since 5.0) come from
+    the invert: dropped tokens keep their position slot, so surviving
+    tokens' positions gap across removed stopwords, and document length
+    counts only emitted tokens (FieldInvertState.length)."""
+    return None if word in ENGLISH_STOP_WORDS else word
+
+
 TOKEN_FILTERS = {
     "possessive": possessive,
     "porter": porter_stem,
     "ascii_folding": ascii_fold,
     "reverse": reverse_token,
+    "stop_en": stop_en,
 }
+
+# filters that may DROP tokens (map to None) — callers use this to skip
+# the drop-handling passes entirely on 1:1 chains
+DROPPY_FILTERS = frozenset({"stop_en"})
+
+
+def chain_can_drop(token_filters) -> bool:
+    return any(f in DROPPY_FILTERS for f in token_filters)
 
 
 def filter_vocab(uniq, token_filters) -> tuple[list, np.ndarray]:
     """Apply the ordered filter chain to each distinct surface form and
     collapse the result: returns (new_vocab, remap) where ``remap`` is
     an int32 array with remap[old_code] = new_code, suitable for a
-    single numpy gather over the token-code stream."""
+    single numpy gather over the token-code stream. A filter returning
+    None DROPS the form: remap[old_code] = -1 (pandas.factorize assigns
+    -1 to missing values and excludes them from the uniques), and later
+    filters in the chain pass the None through."""
     fns = [TOKEN_FILTERS[n] for n in token_filters]
     mapped = list(uniq)
     for fn in fns:
-        mapped = [fn(t) for t in mapped]
+        mapped = [fn(t) if t is not None else None for t in mapped]
     import pandas as pd
 
     codes, new_uniq = pd.factorize(np.asarray(mapped, dtype=object))

@@ -165,6 +165,45 @@ def searcher_for_stemmed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_stop: dict[str, IndexSearcher] = {}
+STOP_FILTERS = ("stop_en",)
+
+
+def searcher_for_stop(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Aux index built with the StopFilter chain (EnglishAnalyzer's
+    default ENGLISH_STOP_WORDS_SET, EnglishAnalyzer.java:46): stopwords
+    drop from the vocabulary, surviving positions keep their gaps, and
+    dl / norms / collection stats count only emitted tokens — kept apart
+    from the headline index like the stemmed/reverse variants."""
+    if sf_dir in _searchers_stop:
+        return _searchers_stop[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_stop"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or tuple(m.get("token_filters", ())) != STOP_FILTERS
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            token_filters=STOP_FILTERS,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_stop[sf_dir] = s
+    return s
+
+
 _searchers_rev: dict[str, IndexSearcher] = {}
 REV_FILTERS = ("reverse",)
 
@@ -1260,6 +1299,19 @@ def q_stemmed_bm25_top10(spark, sf_dir):
     s = searcher_for_stemmed(spark, sf_dir)
     terms = [porter_stem(possessive(t)) for t in STEM_QUERY]
     return _bm25_spark(spark, sf_dir, terms, "or", searcher=s)
+
+
+def q_stop_bm25_top10(spark, sf_dir):
+    """BM25 top-10 over a STOP-FILTERED index (StopFilter.java:25 with
+    EnglishAnalyzer.java:46's default set): the corpus contains 'a'/'the'
+    (~1.7k occurrences at sf0.01), so dl, avgdl and the doc ranking all
+    shift versus the unfiltered index — the duel checks that both
+    engines removed the same tokens from the same accounting. Double
+    replica over the aux _stop index; position-GAP semantics (dropped
+    tokens keep their slot) are oracle-dueled in
+    tests/test_stopfilter.py."""
+    s = searcher_for_stop(spark, sf_dir)
+    return _bm25_spark(spark, sf_dir, TERMS_OR, "or", searcher=s)
 
 
 N_HYBRID_CAND = 20  # per-leg candidate depth feeding the RRF fusion
@@ -3321,6 +3373,11 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # stop_bm25_top10 (StopFilter / EnglishAnalyzer stop set — the first
+    # DROPPING filter: gapped positions, emitted-token dl/norms/stats)
+    # starts here with its aux _stop index; the shared chain plumbing is
+    # driver-checked in-cap via stemmed_bm25_top10
+    "stop_bm25_top10": q_stop_bm25_top10,
     # interval_before_top10 (Intervals.before/after/notContaining family)
     # starts here — the filter generalization of the minimal-interval
     # kernel that stays driver-checked in-cap via
@@ -3551,6 +3608,29 @@ n AS (SELECT count(*)::BIGINT AS n FROM documents),
 ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
         WHERE term IN (SELECT stem FROM qs) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- StopFilter'd BM25 (aux _stop index) --------------------------------
+    from lucene_spark.analysis.porter import ENGLISH_STOP_WORDS
+
+    _stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    _oro = ", ".join(f"'{t}'" for t in TERMS_OR)
+    sqls["stop_bm25_top10"] = f"""
+WITH {TOKENS_CTE},
+stok AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_stop_list})),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_oro}) GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
          ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))

@@ -285,16 +285,35 @@ def _window_codes(
     VOCABULARY only (one call per distinct surface form) and the int32
     token stream is remapped with a single numpy gather — stemming cost
     is O(|vocab|), not O(tokens), which is what makes it free at 100-TB
-    scale. Token count / positions / offsets are unchanged (all filters
-    are 1:1 per token), so norms and dl stay valid."""
+    scale. For 1:1 filters token count / positions / offsets are
+    unchanged, so norms and dl stay valid.
+
+    Returns (codes, uniq, dls, emitted[, tok_st, tok_en]). ``emitted``
+    is None for 1:1 chains; with a DROPPING filter (StopFilter analog,
+    analysis/StopFilter.java:25) dropped tokens stay IN the stream as
+    code -1 — they keep their position slot, so surviving tokens'
+    positions gap exactly like enablePositionIncrements — and
+    ``emitted`` carries the per-doc count of SURVIVING tokens
+    (FieldInvertState.length, which feeds dl/norms). ``dls`` stays the
+    RAW per-doc token count: it is the stream segmentation every
+    consumer slices by."""
     out = _window_codes_raw(texts, with_offsets)
     if not token_filters:
-        return out
+        codes, uniq, dls, *rest = out
+        return (codes, uniq, dls, None, *rest)
     from lucene_spark.analysis.porter import filter_vocab
 
     codes, uniq, dls, *rest = out
     new_uniq, remap = filter_vocab(uniq, token_filters)
-    return (remap[codes], new_uniq, dls, *rest)
+    codes = remap[codes]
+    emitted = None
+    if remap.size and (remap < 0).any():
+        keep_cum = np.concatenate(
+            ([0], np.cumsum((codes >= 0).astype(np.int64)))
+        )
+        off = np.concatenate(([0], np.cumsum(dls)))
+        emitted = (keep_cum[off[1:]] - keep_cum[off[:-1]]).astype(dls.dtype)
+    return (codes, new_uniq, dls, emitted, *rest)
 
 
 def _window_codes_raw(
@@ -416,6 +435,7 @@ def _invert_codes(
     store_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
     pays: np.ndarray | None = None,
+    has_drops: bool = False,
 ) -> pd.DataFrame:
     """Invert one flush window (ascending-docID docs of ONE rpid range)
     into per-term posting runs — fully vectorized, no per-token Python.
@@ -447,6 +467,21 @@ def _invert_codes(
         pos = np.arange(total, dtype=np.int32) - np.repeat(
             doc_starts.astype(np.int32), dls
         )
+        if has_drops:
+            # StopFilter analog: -1 codes are dropped AFTER positions are
+            # assigned, so surviving tokens keep their gapped positions
+            # (enablePositionIncrements semantics); norms passed in were
+            # already computed from emitted counts
+            keep = codes32 >= 0
+            codes32 = codes32[keep]
+            doc_rep = doc_rep[keep]
+            norm_rep = norm_rep[keep]
+            pos = pos[keep]
+            if offs is not None:
+                offs = (offs[0][keep], offs[1][keep])
+            if pays is not None:
+                pays = pays[keep]
+            total = int(codes32.size)
         # stable grouping via ONE in-place introsort of unique packed keys
         # (code*total + index) — ~2.5x faster than a stable argsort of the
         # repeated codes at flush-window sizes. The pack needs
@@ -455,7 +490,7 @@ def _invert_codes(
         # ~185k tokens each) could overflow SILENTLY and corrupt posting
         # grouping, so the bound is CHECKED and the rare giant window
         # falls back to a stable argsort (same result, ~2.5x slower).
-        if (len(uniq) + 1) * total < (1 << 62):
+        if total and (len(uniq) + 1) * total < (1 << 62):
             key = codes32.astype(np.int64) * np.int64(total) + np.arange(
                 total, dtype=np.int64
             )
@@ -474,8 +509,13 @@ def _invert_codes(
         if pays is not None:
             sy = pays[order]
         del codes32, doc_rep, norm_rep, pos
-        # posting boundaries: run breaks of (term code, doc)
-        pb = np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
+        # posting boundaries: run breaks of (term code, doc). Size guards
+        # cover a window whose every token was dropped (all-stopword docs)
+        pb = (
+            np.concatenate(([True], (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])))
+            if sc.size
+            else np.empty(0, dtype=bool)
+        )
         pstarts = np.flatnonzero(pb)
         tf = np.diff(np.append(pstarts, total))
         pdocs = sd[pstarts].astype(np.int64) + np.int64(ids[0])
@@ -485,7 +525,11 @@ def _invert_codes(
         # NOT necessarily dense: a window assembled from batch slices can
         # skip vocabulary entries, so each slice is labeled by its ACTUAL
         # code, never by slice ordinal.
-        tb = np.concatenate(([True], pcodes[1:] != pcodes[:-1]))
+        tb = (
+            np.concatenate(([True], pcodes[1:] != pcodes[:-1]))
+            if pcodes.size
+            else np.empty(0, dtype=bool)
+        )
         tstarts = np.flatnonzero(tb)
         tends = np.append(tstarts[1:], pstarts.size)
         tok_bounds = np.append(pstarts, total)
@@ -563,6 +607,12 @@ def _invert_partition(
     ``flush_docs`` docs (DWPT flush analog) via the vectorized
     ``_invert_window`` — the only remaining per-doc Python is the
     C-speed regex tokenizer and the sha256 call."""
+    from lucene_spark.analysis.porter import chain_can_drop
+
+    # drop-capable chains (StopFilter) put -1 codes in the stream; the
+    # flag gates every negative-handling pass so 1:1 chains and the
+    # default path pay nothing
+    droppy = chain_can_drop(token_filters)
 
     def fn(batches):
         # docIDs: each range id (rpid) owns the dense docID range
@@ -606,7 +656,14 @@ def _invert_partition(
                         vocab[t] = c
                         uniq.append(t)
                     remap[k] = c
-                parts.append(remap[codes_c])
+                if droppy:
+                    # -1 (dropped) codes must survive the chunk remap —
+                    # a plain gather would alias them to the last entry
+                    mapped = remap[np.maximum(codes_c, 0)]
+                    mapped[codes_c < 0] = -1
+                    parts.append(mapped)
+                else:
+                    parts.append(remap[codes_c])
             codes = (
                 np.concatenate(parts) if parts else np.empty(0, np.int32)
             )
@@ -633,6 +690,7 @@ def _invert_partition(
                 store_positions,
                 offs=offs_w,
                 pays=pays_w,
+                has_drops=droppy,
             )
             win_chunks, win_dls, win_ids, win_norms, win_offs = [], [], [], [], []
             win_pays = []
@@ -665,16 +723,20 @@ def _invert_partition(
                 codes_b, uniq_b, dls, pays_b = whitespace_window_codes(
                     texts, parse_payloads=store_payloads
                 )
+                kept_b = None  # whitespace path takes no filter chain
             elif store_offsets:
-                codes_b, uniq_b, dls, tok_st, tok_en = _window_codes(
+                codes_b, uniq_b, dls, kept_b, tok_st, tok_en = _window_codes(
                     texts, with_offsets=True, token_filters=token_filters
                 )
             else:
-                codes_b, uniq_b, dls = _window_codes(
+                codes_b, uniq_b, dls, kept_b = _window_codes(
                     texts, token_filters=token_filters
                 )
+            # off_b segments the RAW token stream (dropped codes keep
+            # their slot); dl/norms count only EMITTED tokens
             off_b = np.concatenate(([0], np.cumsum(dls)))
-            norms_arr = int_to_byte4(dls)
+            eff_dls = kept_b if kept_b is not None else dls
+            norms_arr = int_to_byte4(eff_dls)
 
             meta_pdf = pd.DataFrame(
                 {
@@ -687,7 +749,7 @@ def _invert_partition(
                         hashlib.sha256(t.encode("utf-8")).digest()
                         for t in texts
                     ],
-                    "dl": pd.array(dls, dtype="int32"),
+                    "dl": pd.array(eff_dls, dtype="int32"),
                     "norm": pd.array(norms_arr, dtype="int32"),
                 }
             )
@@ -897,6 +959,7 @@ def _term_vectors_partition(
     a term_vector(docID) point lookup prunes to one rowgroup, which is
     the Spark analog of Lucene's doc-indexed vector file. Map-only: no
     shuffle, tokenization is the only cost of the opt-in flag."""
+    from lucene_spark.analysis.porter import chain_can_drop
 
     def fn(batches):
         next_ids: dict[int, int] = {}
@@ -924,6 +987,15 @@ def _term_vectors_partition(
             pos_in_doc = (
                 np.arange(len(codes)) - np.repeat(doc_starts, dls)
             ).astype(np.int32)
+            if chain_can_drop(token_filters):
+                # dropped (-1) codes leave gapped positions, same as the
+                # postings path
+                keep = codes >= 0
+                codes = codes[keep]
+                doc_idx = doc_idx[keep]
+                pos_in_doc = pos_in_doc[keep]
+                if len(codes) == 0:
+                    continue
             key = doc_idx.astype(np.int64) * (len(uniq_arr) + 1) + codes
             order = np.argsort(key, kind="stable")  # keeps positions ASC
             skey, spos = key[order], pos_in_doc[order]

@@ -24,18 +24,35 @@ from lucene_spark.util.smallfloat import int_to_byte4
 
 
 class OracleIndex:
-    def __init__(self, contents: list[str], doc_ids: list[int] | None = None):
-        """contents[i] is the raw text of docID doc_ids[i] (default i)."""
+    def __init__(
+        self,
+        contents: list[str],
+        doc_ids: list[int] | None = None,
+        token_filters: tuple[str, ...] = (),
+    ):
+        """contents[i] is the raw text of docID doc_ids[i] (default i).
+        ``token_filters`` replicates the index-side analyzer chain; a
+        dropping filter (stop_en) removes the token but keeps its
+        position slot (gaps) and shrinks dl to the emitted count —
+        StopFilter + FieldInvertState semantics."""
         self.doc_ids = np.asarray(
             doc_ids if doc_ids is not None else range(len(contents)), dtype=np.int64
         )
+        fns = []
+        if token_filters:
+            from lucene_spark.analysis.porter import TOKEN_FILTERS
+
+            fns = [TOKEN_FILTERS[n] for n in token_filters]
         post: dict[str, dict[int, list[int]]] = defaultdict(dict)
         dls = np.zeros(len(contents), dtype=np.int64)
         for row, text in enumerate(contents):
-            toks = analyze(text)
-            dls[row] = len(toks)
+            toks: list[str | None] = list(analyze(text))
+            for fn in fns:
+                toks = [fn(t) if t is not None else None for t in toks]
+            dls[row] = sum(1 for t in toks if t is not None)
             for pos, t in enumerate(toks):
-                post[t].setdefault(row, []).append(pos)
+                if t is not None:
+                    post[t].setdefault(row, []).append(pos)
         self.dl = dls
         self.norms = int_to_byte4(dls)
         self.postings = {

@@ -2308,7 +2308,11 @@ class IndexSearcher:
 
             fns = [TOKEN_FILTERS[n] for n in self._token_filters]
             for fn in fns:
-                out = [fn(t) for t in out]
+                out = [fn(t) if t is not None else None for t in out]
+            # a dropping filter (StopFilter) removes the token from the
+            # query too — QueryBuilder.createFieldQuery drops stopword
+            # clauses the same way
+            out = [t for t in out if t]
         return out
 
     def _empty_topk(self) -> DataFrame:
