@@ -272,13 +272,49 @@ TOKEN_FILTERS = {
     "stop_en": stop_en,
 }
 
+
+def _length_filter(lo: int, hi: int):
+    """LengthFilter (reference analysis/miscellaneous/LengthFilter.java:28,
+    also a FilteringTokenFilter): keep tokens with lo <= len <= hi,
+    DROP the rest — same position-gap + emitted-dl semantics as
+    stop_en. Codepoint length, matching CharTermAttribute.length() for
+    our BMP-only tokenizer output."""
+
+    def fn(word: str) -> str | None:
+        return word if lo <= len(word) <= hi else None
+
+    return fn
+
+
+def resolve_filter(name: str):
+    """TOKEN_FILTERS lookup extended with PARAMETERIZED filter names —
+    ``length_<min>_<max>`` builds a LengthFilter — so manifests can pin
+    an exact configuration as a plain string. Raises KeyError on
+    unknown names (build_index turns that into its ValueError)."""
+    fn = TOKEN_FILTERS.get(name)
+    if fn is not None:
+        return fn
+    parts = name.split("_")
+    if (
+        len(parts) == 3
+        and parts[0] == "length"
+        and parts[1].isdigit()
+        and parts[2].isdigit()
+        and int(parts[1]) <= int(parts[2])
+    ):
+        return _length_filter(int(parts[1]), int(parts[2]))
+    raise KeyError(name)
+
+
 # filters that may DROP tokens (map to None) — callers use this to skip
 # the drop-handling passes entirely on 1:1 chains
 DROPPY_FILTERS = frozenset({"stop_en"})
 
 
 def chain_can_drop(token_filters) -> bool:
-    return any(f in DROPPY_FILTERS for f in token_filters)
+    return any(
+        f in DROPPY_FILTERS or f.startswith("length_") for f in token_filters
+    )
 
 
 def filter_vocab(uniq, token_filters) -> tuple[list, np.ndarray]:
@@ -289,7 +325,7 @@ def filter_vocab(uniq, token_filters) -> tuple[list, np.ndarray]:
     None DROPS the form: remap[old_code] = -1 (pandas.factorize assigns
     -1 to missing values and excludes them from the uniques), and later
     filters in the chain pass the None through."""
-    fns = [TOKEN_FILTERS[n] for n in token_filters]
+    fns = [resolve_filter(n) for n in token_filters]
     mapped = list(uniq)
     for fn in fns:
         mapped = [fn(t) if t is not None else None for t in mapped]

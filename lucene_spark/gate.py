@@ -204,6 +204,45 @@ def searcher_for_stop(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_len: dict[str, IndexSearcher] = {}
+LEN_FILTERS = ("length_3_7",)
+
+
+def searcher_for_length(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Aux index built with the parameterized LengthFilter chain
+    (LengthFilter.java:28 keep 3 <= len <= 7): both short tokens ('a',
+    'to') and long ones ('licensed', 'database') drop with full
+    position-gap + emitted-dl accounting, and the manifest pins the
+    exact bounds as the plain string 'length_3_7'."""
+    if sf_dir in _searchers_len:
+        return _searchers_len[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_len"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or tuple(m.get("token_filters", ())) != LEN_FILTERS
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            token_filters=LEN_FILTERS,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_len[sf_dir] = s
+    return s
+
+
 _searchers_rev: dict[str, IndexSearcher] = {}
 REV_FILTERS = ("reverse",)
 
@@ -1311,6 +1350,18 @@ def q_stop_bm25_top10(spark, sf_dir):
     tokens keep their slot) are oracle-dueled in
     tests/test_stopfilter.py."""
     s = searcher_for_stop(spark, sf_dir)
+    return _bm25_spark(spark, sf_dir, TERMS_OR, "or", searcher=s)
+
+
+def q_length_bm25_top10(spark, sf_dir):
+    """BM25 top-10 over a LENGTH-FILTERED index (LengthFilter.java:28,
+    keep 3 <= len <= 7): short stopword-ish tokens AND long identifiers
+    both drop, shifting dl/avgdl/df versus the unfiltered index — the
+    duel checks both engines apply the same length band to the same
+    accounting. The SQL twin filters length(term) BETWEEN 3 AND 7;
+    position-gap semantics are oracle-dueled in
+    tests/test_lengthfilter.py."""
+    s = searcher_for_length(spark, sf_dir)
     return _bm25_spark(spark, sf_dir, TERMS_OR, "or", searcher=s)
 
 
@@ -3378,6 +3429,9 @@ QUERIES = {
     # starts here with its aux _stop index; the shared chain plumbing is
     # driver-checked in-cap via stemmed_bm25_top10
     "stop_bm25_top10": q_stop_bm25_top10,
+    # length_bm25_top10 (LengthFilter — the parameterized dropping
+    # filter riding the same drop machinery; aux _len index)
+    "length_bm25_top10": q_length_bm25_top10,
     # interval_before_top10 (Intervals.before/after/notContaining family)
     # starts here — the filter generalization of the minimal-interval
     # kernel that stays driver-checked in-cap via
@@ -3628,6 +3682,25 @@ WITH {TOKENS_CTE},
 stok AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_stop_list})),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_oro}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- LengthFilter'd BM25 (aux _len index) -------------------------------
+    sqls["length_bm25_top10"] = f"""
+WITH {TOKENS_CTE},
+ltok AS (SELECT doc_id, term FROM tok WHERE length(term) BETWEEN 3 AND 7),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ltok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ltok GROUP BY doc_id),
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
 ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_oro}) GROUP BY term),

@@ -1163,15 +1163,17 @@ def build_index(
             "tokenizer='whitespace' supports neither store_offsets, "
             "store_term_vectors, nor token_filters"
         )
-    from lucene_spark.analysis.porter import TOKEN_FILTERS
+    from lucene_spark.analysis.porter import TOKEN_FILTERS, resolve_filter
 
     token_filters = tuple(token_filters)
     for tf_name in token_filters:
-        if tf_name not in TOKEN_FILTERS:
+        try:
+            resolve_filter(tf_name)
+        except KeyError:
             raise ValueError(
                 f"unknown token filter {tf_name!r}; "
-                f"available: {sorted(TOKEN_FILTERS)}"
-            )
+                f"available: {sorted(TOKEN_FILTERS)} or length_<min>_<max>"
+            ) from None
     t0 = time.time()
     phases: dict[str, float] = {}
 

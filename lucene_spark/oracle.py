@@ -40,9 +40,9 @@ class OracleIndex:
         )
         fns = []
         if token_filters:
-            from lucene_spark.analysis.porter import TOKEN_FILTERS
+            from lucene_spark.analysis.porter import resolve_filter
 
-            fns = [TOKEN_FILTERS[n] for n in token_filters]
+            fns = [resolve_filter(n) for n in token_filters]
         post: dict[str, dict[int, list[int]]] = defaultdict(dict)
         dls = np.zeros(len(contents), dtype=np.int64)
         for row, text in enumerate(contents):

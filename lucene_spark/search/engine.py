@@ -2304,9 +2304,9 @@ class IndexSearcher:
             for q in query:
                 out.extend(analyze(q))
         if self._token_filters:
-            from lucene_spark.analysis.porter import TOKEN_FILTERS
+            from lucene_spark.analysis.porter import resolve_filter
 
-            fns = [TOKEN_FILTERS[n] for n in self._token_filters]
+            fns = [resolve_filter(n) for n in self._token_filters]
             for fn in fns:
                 out = [fn(t) if t is not None else None for t in out]
             # a dropping filter (StopFilter) removes the token from the

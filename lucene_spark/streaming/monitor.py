@@ -97,9 +97,9 @@ class Monitor:
         self.token_filters = tuple(token_filters)
         fns = []
         if self.token_filters:
-            from lucene_spark.analysis.porter import TOKEN_FILTERS
+            from lucene_spark.analysis.porter import resolve_filter
 
-            fns = [TOKEN_FILTERS[n] for n in self.token_filters]
+            fns = [resolve_filter(n) for n in self.token_filters]
         rows = []
         self._need: dict[str, int] = {}
         for qid, terms, mode in queries:
@@ -107,8 +107,10 @@ class Monitor:
             for t in terms:
                 toks.extend(analyze(t))
             for fn in fns:
-                toks = [fn(t) for t in toks]
-            toks = list(dict.fromkeys(toks))
+                toks = [fn(t) if t is not None else None for t in toks]
+            # dropping filters (stop/length) remove the clause, like the
+            # query-side analyzer in IndexSearcher._parse
+            toks = list(dict.fromkeys(t for t in toks if t))
             if mode == "and":
                 need = len(toks)
             elif mode.startswith("msm"):
