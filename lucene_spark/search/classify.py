@@ -184,6 +184,7 @@ def nb_classify_batch(searcher, docs: DataFrame, labels: DataFrame) -> DataFrame
     import numpy as np
     import pandas as pd
 
+    from lucene_spark.analysis.porter import chain_can_drop
     from lucene_spark.index.builder import _window_codes
 
     filters = tuple(searcher._token_filters)
@@ -199,6 +200,12 @@ def nb_classify_batch(searcher, docs: DataFrame, labels: DataFrame) -> DataFrame
                 continue
             uniq_arr = np.asarray(uniq, dtype=object)
             doc_idx = np.repeat(np.arange(len(pdf)), dls)
+            if chain_can_drop(filters):
+                # dropping filters leave -1 codes; no positions needed
+                keep = codes >= 0
+                codes, doc_idx = codes[keep], doc_idx[keep]
+                if len(codes) == 0:
+                    continue
             key = doc_idx.astype(np.int64) * (len(uniq_arr) + 1) + codes
             uk, cnt = np.unique(key, return_counts=True)
             d, c = uk // (len(uniq_arr) + 1), uk % (len(uniq_arr) + 1)

@@ -47,6 +47,7 @@ _TOK_SCHEMA = StructType(
 def _distinct_terms(docs: DataFrame, token_filters: tuple[str, ...] = ()) -> DataFrame:
     """(repo, path, term) — DISTINCT analyzed terms per document, via the
     same vectorized window tokenizer the index builder uses."""
+    from lucene_spark.analysis.porter import chain_can_drop
     from lucene_spark.index.builder import _window_codes
 
     def tok(batches):
@@ -60,6 +61,13 @@ def _distinct_terms(docs: DataFrame, token_filters: tuple[str, ...] = ()) -> Dat
                 continue
             uniq_arr = np.asarray(uniq, dtype=object)
             doc_idx = np.repeat(np.arange(len(pdf)), dls)
+            if chain_can_drop(token_filters):
+                # dropping filters leave -1 codes in the stream; no
+                # positions here, so just drop them before keying
+                keep = codes >= 0
+                codes, doc_idx = codes[keep], doc_idx[keep]
+                if len(codes) == 0:
+                    continue
             # distinct (doc, code) pairs without materializing strings
             key = doc_idx.astype(np.int64) * (len(uniq_arr) + 1) + codes
             uk = np.unique(key)

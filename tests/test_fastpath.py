@@ -65,7 +65,8 @@ def test_window_codes_merges_fallback_docs():
         "İstanbul İ",                # dotted capital I
         "",
     ]
-    codes, uniq, dls = _window_codes(texts)
+    codes, uniq, dls, emitted = _window_codes(texts)
+    assert emitted is None  # no dropping filter in the chain
     assert reconstruct(codes, uniq, dls) == [analyze(t) for t in texts]
     # codes all valid, vocabulary covers every referenced code
     assert codes.dtype == np.int32

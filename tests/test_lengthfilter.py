@@ -122,3 +122,62 @@ def test_unknown_filter_rejected(spark, tmp_path):
         build_index(
             spark, docs, str(tmp_path / "bad"), token_filters=("length_9_1",)
         )
+
+
+def test_monitor_droppy_chain(spark):
+    """Monitor's tokenize kernel must strip -1 (dropped) codes before
+    packing (doc, code) keys — an aliased -1 would either crash the
+    vocab gather or attribute a term to the PREVIOUS document."""
+    from pyspark.sql import Row
+
+    from lucene_spark.streaming.monitor import Monitor
+
+    docs = spark.createDataFrame([
+        Row(repo="r", path="0", commit="0", lang="en",
+            content="alpha to the alpha"),
+        Row(repo="r", path="1", commit="0", lang="en",
+            content="a to be"),  # every token dropped
+        Row(repo="r", path="2", commit="0", lang="en",
+            content="beta gamma"),
+    ])
+    m = Monitor(
+        spark,
+        [("q1", ["alpha", "to"], "or"), ("q2", ["alpha", "be"], "and")],
+        token_filters=CHAIN,
+    )
+    got = {(r["query_id"], r["path"]) for r in m.match_batch(docs).collect()}
+    # 'to'/'be' drop from the registered queries; q2's AND needs only
+    # the surviving clause
+    assert got == {("q1", "0"), ("q2", "0")}
+
+
+def test_nb_batch_equals_single_droppy(spark, len_index):
+    """nb_classify_batch's tokenizer must apply the same drop handling
+    as the single-text path (searcher._parse)."""
+    import math
+
+    from lucene_spark.search.classify import nb_classify, nb_classify_batch
+
+    _, _, searcher, _ = len_index
+    labels = spark.createDataFrame(
+        [(i, str(i % 2)) for i in range(N_DOCS)], "docID long, cls string"
+    )
+    text = "to license apache a spark"  # 'to'/'a' drop
+    single = {
+        r.cls: (r.score, r.prob)
+        for r in nb_classify(searcher, text, labels).collect()
+    }
+    docs = spark.createDataFrame(
+        [(0, text), (1, "a to be")], "qid long, text string"
+    )
+    batch = nb_classify_batch(searcher, docs, labels).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.qid, {})[r.cls] = (r.score, r.prob)
+    assert set(got.get(0, {})) == set(single) and single
+    for c, (s, p) in single.items():
+        assert math.isclose(got[0][c][0], s, rel_tol=1e-9), c
+        assert math.isclose(got[0][c][1], p, rel_tol=1e-9, abs_tol=1e-12), c
+    # an all-dropped input classifies to nothing on both paths
+    assert 1 not in got
+    assert nb_classify(searcher, "a to be", labels).collect() == []
