@@ -286,11 +286,25 @@ def _length_filter(lo: int, hi: int):
     return fn
 
 
+def _truncate_filter(n: int):
+    """TruncateTokenFilter (reference analysis/miscellaneous/
+    TruncateTokenFilter.java:33): tokens longer than ``n`` characters
+    are cut to their first ``n`` — a 1:1 remap (never drops), so chains
+    using it stay on the no-drop fast path. The classic use is bounding
+    dictionary width for prefix-ish matching without a stemmer."""
+
+    def fn(word: str) -> str:
+        return word[:n] if len(word) > n else word
+
+    return fn
+
+
 def resolve_filter(name: str):
     """TOKEN_FILTERS lookup extended with PARAMETERIZED filter names —
-    ``length_<min>_<max>`` builds a LengthFilter — so manifests can pin
-    an exact configuration as a plain string. Raises KeyError on
-    unknown names (build_index turns that into its ValueError)."""
+    ``length_<min>_<max>`` builds a LengthFilter, ``truncate_<n>`` a
+    TruncateTokenFilter — so manifests can pin an exact configuration
+    as a plain string. Raises KeyError on unknown names (build_index
+    turns that into its ValueError)."""
     fn = TOKEN_FILTERS.get(name)
     if fn is not None:
         return fn
@@ -303,6 +317,13 @@ def resolve_filter(name: str):
         and int(parts[1]) <= int(parts[2])
     ):
         return _length_filter(int(parts[1]), int(parts[2]))
+    if (
+        len(parts) == 2
+        and parts[0] == "truncate"
+        and parts[1].isdigit()
+        and int(parts[1]) >= 1
+    ):
+        return _truncate_filter(int(parts[1]))
     raise KeyError(name)
 
 

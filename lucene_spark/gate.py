@@ -995,6 +995,21 @@ def q_spell_top5(spark, sf_dir):
     return s.suggest_similar(SPELL_TARGET, k=5, max_edits=2)
 
 
+FUZZY_SUGGEST_INPUT = "qury"  # typo for the 'quer...' family
+
+
+def q_fuzzy_suggest(spark, sf_dir):
+    """FuzzySuggester duel (suggest/analyzing/FuzzySuggester.java:63):
+    typo-tolerant completion — top-10 dictionary terms some prefix of
+    which is within 1 edit of the typed text (first char exact), ranked
+    df DESC then term ASC. The oracle replays the same bounded
+    prefix-window LEAST(levenshtein...) over the unpruned vocabulary,
+    proving the engine's pushed pre-filters (nonFuzzyPrefix startswith
+    + length floor) drop no candidate."""
+    s = searcher_for(spark, sf_dir)
+    return s.suggest_fuzzy(FUZZY_SUGGEST_INPUT, k=10)
+
+
 # --- geo (LatLonPoint family): deterministic lattice coordinates -------
 # derived from doc_id with pure integer arithmetic so Spark and DuckDB
 # synthesize bit-identical doubles (no external data, TESTDATA has no
@@ -3434,9 +3449,14 @@ QUERIES = {
     "length_bm25_top10": q_length_bm25_top10,
     # interval_before_top10 (Intervals.before/after/notContaining family)
     # starts here — the filter generalization of the minimal-interval
-    # kernel that stays driver-checked in-cap via
-    # interval_containing_top10
+    # kernel; interval_containing_top10 (twice driver-green, same
+    # kernel) sits further down this rotation block
     "interval_before_top10": q_interval_before_top10,
+    # fuzzy_suggest (FuzzySuggester) starts here — a LEAST()-of-
+    # levenshtein composition of the suggest ordering (driver-green via
+    # suggest_prefix r4) and the levenshtein parity that spell_top5
+    # proves in-cap this round
+    "fuzzy_suggest": q_fuzzy_suggest,
     "span_multi_top10": q_span_multi_top10,
     "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
@@ -4010,6 +4030,20 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         WHERE term <> '{SPELL_TARGET}'
           AND levenshtein(term, '{SPELL_TARGET}') <= 2
         ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+    # FuzzySuggester: ped(p, t) = min over L in [len(p)-1, len(p)+1] of
+    # lev(substring(t, 1, L), p); defaults maxEdits=1 nonFuzzyPrefix=1
+    _fz = FUZZY_SUGGEST_INPUT
+    _fz_lev = ", ".join(
+        f"levenshtein(substring(term, 1, {L}), '{_fz}')"
+        for L in range(max(1, len(_fz) - 1), len(_fz) + 2)
+    )
+    sqls["fuzzy_suggest"] = f"""WITH {TOKENS_CTE}, {TF_CTE},
+        v AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT term, df FROM v
+        WHERE term LIKE '{_fz[0]}%' AND length(term) >= {len(_fz) - 1}
+          AND least({_fz_lev}) <= 1
+        ORDER BY df DESC, term ASC LIMIT 10"""
 
     # --- geo: deterministic lattice coords, exact double haversine -------
     _geo_cte = (

@@ -1848,6 +1848,64 @@ class IndexSearcher:
             .select("term", F.col("df").cast(LongType()).alias("df"))
         )
 
+    def suggest_fuzzy(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_edits: int = 1,
+        non_fuzzy_prefix: int = 1,
+        min_fuzzy_length: int = 3,
+    ) -> DataFrame:
+        """Typo-tolerant completion — FuzzySuggester analog (reference
+        lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+        FuzzySuggester.java:63, defaults DEFAULT_MAX_EDITS=1,
+        DEFAULT_NON_FUZZY_PREFIX=1, DEFAULT_MIN_FUZZY_LENGTH=3): top-k
+        dictionary terms some PREFIX of which is within ``max_edits``
+        Levenshtein edits of the typed text, ranked df DESC (the
+        suggester weight), ties term ASC.
+
+        Prefix-edit-distance on columns: ped(p, t) = min over
+        L in [len(p)-e, len(p)+e] of lev(substring(t, 1, L), p) — the
+        Levenshtein automaton intersected with the suggest FST collapses
+        to a bounded LEAST() of 2e+1 whole-string distances, pure
+        codegen, no UDF. Cheap pruning first: the reference's
+        nonFuzzyPrefix (first characters must match exactly) is a
+        startswith the parquet term-range stats prune, and terms shorter
+        than len(p)-e cannot reach ped <= e (their best prefix is the
+        whole term, already len(p)-len(t) > e deletions short).
+
+        Deviation (documented): the reference automaton counts a
+        transposition as ONE edit (FuzzySuggester.java:104
+        transpositions=true); classic Levenshtein counts two. Same
+        convention as suggest_similar / fuzzy_terms — the oracle duels
+        use the identical metric on both sides.
+
+        Inputs shorter than min_fuzzy_length get no edits (the
+        reference's guard against absurd 1-letter fuzziness) — the call
+        degrades to plain suggest()."""
+        p = prefix
+        e = int(max_edits) if len(p) >= int(min_fuzzy_length) else 0
+        t = self._terms
+        npx = min(int(non_fuzzy_prefix), len(p))
+        if npx > 0:
+            t = t.filter(F.col("term").startswith(p[:npx]))
+        if e <= 0:
+            t = t.filter(F.col("term").startswith(p))
+        else:
+            t = t.filter(F.length("term") >= len(p) - e)
+            ped = F.least(
+                *[
+                    F.levenshtein(F.substring("term", 1, L), F.lit(p))
+                    for L in range(max(1, len(p) - e), len(p) + e + 1)
+                ]
+            )
+            t = t.filter(ped <= e)
+        return (
+            t.orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term", F.col("df").cast(LongType()).alias("df"))
+        )
+
     def search_diversified(
         self,
         query: str | list[str],

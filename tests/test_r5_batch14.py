@@ -1,0 +1,153 @@
+"""FuzzySuggester + TruncateTokenFilter (r5 batch 14).
+
+FuzzySuggester (reference lucene/suggest/src/java/org/apache/lucene/
+search/suggest/analyzing/FuzzySuggester.java:63): completion whose
+typed text may contain up to maxEdits (default 1) Levenshtein edits,
+first nonFuzzyPrefix (default 1) chars exact, no fuzziness below
+minFuzzyLength (default 3) typed chars. The engine collapses the
+Levenshtein-automaton x suggest-FST intersection to a bounded
+LEAST(levenshtein(substring(term,1,L), p)) window; the replica here is
+an independent per-term python loop over the oracle vocabulary.
+
+TruncateTokenFilter (reference analysis/miscellaneous/
+TruncateTokenFilter.java:33): tokens longer than n are cut to their
+first n chars — a 1:1 (never-dropping) parameterized filter pinned in
+manifests as ``truncate_<n>``.
+"""
+import shutil
+
+import pytest
+
+from lucene_spark.analysis.porter import chain_can_drop, resolve_filter
+from lucene_spark.analysis.standard import analyze
+from lucene_spark.corpus import corpus_spark_df, generate_corpus
+from lucene_spark.oracle import OracleIndex
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _replica_fuzzy_suggest(
+    oracle,
+    p: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+):
+    e = max_edits if len(p) >= min_fuzzy_length else 0
+    out = []
+    for term, (rows, _, _) in oracle.postings.items():
+        if non_fuzzy_prefix and not term.startswith(p[:non_fuzzy_prefix]):
+            continue
+        if e == 0:
+            ok = term.startswith(p)
+        else:
+            ok = any(
+                _lev(term[:L], p) <= e
+                for L in range(max(1, len(p) - e), len(p) + e + 1)
+            )
+        if ok:
+            out.append((term, int(rows.size)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("typed", ["reurn", "returnn", "pakage", "impor"])
+def test_suggest_fuzzy_matches_replica(built_index, typed):
+    _, oracle, searcher = built_index
+    got = [
+        (r["term"], r["df"])
+        for r in searcher.suggest_fuzzy(typed, k=10).collect()
+    ]
+    exp = _replica_fuzzy_suggest(oracle, typed)
+    assert got == exp, (typed, got, exp)
+    assert exp, f"vacuous duel: no matches for {typed!r}"
+
+
+def test_suggest_fuzzy_short_input_degrades_to_prefix(built_index):
+    _, oracle, searcher = built_index
+    # len < minFuzzyLength: zero edits allowed -> plain prefix lookup
+    got = [
+        (r["term"], r["df"])
+        for r in searcher.suggest_fuzzy("cl", k=10).collect()
+    ]
+    exp = _replica_fuzzy_suggest(oracle, "cl")
+    assert got == exp
+    assert all(t.startswith("cl") for t, _ in got)
+    assert exp
+
+
+def test_truncate_resolve_grammar():
+    fn = resolve_filter("truncate_4")
+    assert fn("elephant") == "elep"
+    assert fn("ab") == "ab" and fn("abcd") == "abcd"
+    assert not chain_can_drop(("truncate_4", "porter"))
+    for bad in ("truncate_0", "truncate_x", "truncate"):
+        with pytest.raises(KeyError):
+            resolve_filter(bad)
+
+
+N_DOCS = 150
+CHAIN = ("truncate_4",)
+
+
+@pytest.fixture(scope="module")
+def trunc_index(spark, tmp_path_factory):
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.engine import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("trunc") / "idx")
+    docs = corpus_spark_df(spark, N_DOCS, partitions=4)
+    build_index(spark, docs, out, partitions=4, token_filters=CHAIN)
+    pdf = (
+        generate_corpus(N_DOCS)
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    oracle = OracleIndex(pdf["content"].tolist(), token_filters=CHAIN)
+    searcher = IndexSearcher(spark, out)
+    yield oracle, searcher, pdf
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_truncate_vocab_and_stats(trunc_index):
+    oracle, searcher, pdf = trunc_index
+    terms = {
+        r["term"]: r["df"]
+        for r in searcher.terms_table.select("term", "df").collect()
+    }
+    assert terms and all(len(t) <= 4 for t in terms)
+    exp = {t: int(rows.size) for t, (rows, _, _) in oracle.postings.items()}
+    assert terms == exp
+    # 1:1 filter: dl equals the RAW token count (nothing dropped)
+    dls = {r["docID"]: r["dl"] for r in searcher.docmap.collect()}
+    raw = [len(analyze(t)) for t in pdf["content"].tolist()]
+    assert all(dls[r] == raw[r] for r in range(N_DOCS))
+
+
+def test_truncate_positions_merge_collisions(trunc_index):
+    oracle, searcher, _ = trunc_index
+    # 'return' and 'retry_...' style identifiers collapse onto 'retu':
+    # positions of the merged term are the union, per-doc ascending
+    t = "retu"
+    rows, _, posmap = oracle.postings[t]
+    exp = sorted(
+        (int(oracle.doc_ids[r]), int(p))
+        for r in rows.tolist()
+        for p in posmap[r].tolist()
+    )
+    got = sorted(
+        (r["docID"], r["pos"])
+        for r in searcher.postings_positions([t]).collect()
+    )
+    assert got == exp and exp
