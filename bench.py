@@ -169,6 +169,7 @@ def main() -> None:
         "geo_polygon_count",
         "domain_cap",
         "hash_sample_ids",
+        "fuzzy_suggest",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
         # multi_shard_top10 are gate-only: each needs separately-built
