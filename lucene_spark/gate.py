@@ -3289,6 +3289,27 @@ def q_decontam_overlap(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """LM-perplexity quality duel (training-data pipeline, the CCNet
+    recipe over FreeTextSuggester's bigram + stupid-backoff model):
+    train the count model on the corpus itself, score every doc, report
+    the 15 HIGHEST-perplexity documents (the slice a quality filter
+    drops). The oracle rebuilds the identical model and op order in
+    DuckDB (perplexity_sql), so counts, backoff cases, and the
+    sum-double/divide/exp arithmetic all must agree."""
+    from lucene_spark.pipeline.lm_quality import doc_perplexity
+    from lucene_spark.search.freetext import build_freetext_model
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uni, bi = build_freetext_model(docs)
+    out = doc_perplexity(docs, uni, bi)
+    return (
+        out.orderBy(F.desc("ppl"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "n_tokens", F.round("ppl", ROUND).alias("ppl"))
+    )
+
+
 FT_CONTEXT = "table"
 
 
@@ -3457,6 +3478,11 @@ QUERIES = {
     # suggest_prefix r4) and the levenshtein parity that spell_top5
     # proves in-cap this round
     "fuzzy_suggest": q_fuzzy_suggest,
+    # lm_perplexity (CCNet-style quality scoring under the freetext
+    # bigram model) starts here — the count-model build is driver-
+    # checked in-cap via freetext_suggest, and the join/backoff scoring
+    # layer is locally dueled against the DuckDB twin
+    "lm_perplexity": q_lm_perplexity,
     "span_multi_top10": q_span_multi_top10,
     "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
@@ -5127,6 +5153,13 @@ hit AS (SELECT doc_id, count(*)::BIGINT AS n_overlap
 SELECT doc_id, tot.n_shingles, hit.n_overlap,
        round(hit.n_overlap::DOUBLE / tot.n_shingles, {ROUND}) AS overlap_frac
 FROM hit JOIN tot USING (doc_id)"""
+
+    from lucene_spark.pipeline.lm_quality import perplexity_sql
+
+    sqls["lm_perplexity"] = f"""
+WITH {perplexity_sql()}
+SELECT doc_id, n_tokens, round(ppl, {ROUND}) AS ppl
+FROM ppl ORDER BY ppl DESC, doc_id ASC LIMIT 15"""
 
     sqls["freetext_suggest"] = f"""
 WITH f AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -87,6 +87,66 @@ def test_suggest_fuzzy_short_input_degrades_to_prefix(built_index):
     assert exp
 
 
+def test_doc_perplexity_matches_replica(spark):
+    """Bigram-LM perplexity (pipeline/lm_quality.py) vs an independent
+    per-token python loop: first-token unigram, seen-bigram conditional,
+    stupid-backoff, OOV floor, empty-doc exclusion."""
+    import math
+
+    from lucene_spark.pipeline.lm_quality import doc_perplexity
+    from lucene_spark.search.freetext import ALPHA, build_freetext_model
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "dog runs",
+        "",  # excluded: zero tokens
+        "mat mat mat",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni, bi = build_freetext_model(train)
+    # score a frame containing an OOV token too
+    score_texts = texts + ["zebra the cat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in doc_perplexity(docs, uni, bi).collect()
+    }
+
+    toks = [t.split() for t in score_texts]
+    ucnt: dict[str, int] = {}
+    bcnt: dict[tuple, int] = {}
+    for t in [t.split() for t in texts]:
+        for w in t:
+            ucnt[w] = ucnt.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bcnt[(a, b)] = bcnt.get((a, b), 0) + 1
+    total = sum(ucnt.values())
+    exp = {}
+    for i, t in enumerate(toks):
+        if not t:
+            continue
+        s = 0.0
+        for j, w in enumerate(t):
+            cw = ucnt.get(w, 1)
+            if j == 0:
+                s += math.log(cw / total)
+            elif (t[j - 1], w) in bcnt:
+                s += math.log(bcnt[(t[j - 1], w)] / ucnt.get(t[j - 1], 1))
+            else:
+                s += math.log(ALPHA * cw / total)
+        exp[i] = (len(t), math.exp(-s / len(t)))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], i
+        assert abs(got[i][1] - exp[i][1]) < 1e-9, (i, got[i], exp[i])
+
+
 def test_truncate_resolve_grammar():
     fn = resolve_filter("truncate_4")
     assert fn("elephant") == "elep"
