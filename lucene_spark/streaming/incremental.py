@@ -736,6 +736,98 @@ def refresh(
     return manifest
 
 
+def force_merge(
+    spark: SparkSession,
+    out_dir: str,
+    max_num_gens: int = 1,
+    *,
+    partitions: int | None = None,
+) -> dict:
+    """IndexWriter.forceMerge(maxNumSegments) analog (reference
+    index/IndexWriter.java:2050-2075) for tiered incremental indexes:
+    merge down to AT MOST ``max_num_gens`` generations, regardless of
+    the tiered policy's size heuristics. max_num_gens=1 is the classic
+    optimize(); higher values balance merge cost against read
+    amplification, like Lucene's maxNumSegments.
+
+    Grouping is contiguous in state order (generations hold disjoint
+    ascending docID ranges, so any concatenation-ordered group satisfies
+    the run-merge block invariant), greedy near-equal by doc count —
+    the doc-count analog of forceMerge's size balancing. Groups that
+    end up singletons are left untouched (Lucene also skips segments
+    that already satisfy the budget). Compaction merge-applies-deletes
+    exactly like refresh().
+
+    Crash-safety ordering mirrors expunge_deletes_tiered: new gen dirs
+    are written first (stale extras until committed), state is updated,
+    then refresh() republishes the manifest — THE commit point — and
+    only then are the old generation dirs removed."""
+    import shutil
+
+    from lucene_spark.index.deletes import load_deleted_ids
+
+    if int(max_num_gens) < 1:
+        raise ValueError("force_merge: max_num_gens must be >= 1")
+    # never let the inner refresh's tier policy re-merge past the budget
+    tier = max(8, int(max_num_gens) + 1)
+    m = refresh(
+        spark, out_dir, partitions=partitions, segs_per_tier=tier
+    )
+    state = _load_state(out_dir)
+    gens: list[dict] = state["gens"]
+    if len(gens) <= max_num_gens:
+        return m
+
+    total = sum(int(g["num_docs"]) for g in gens)
+    target = total / float(max_num_gens)
+    groups: list[list[dict]] = [[]]
+    cum = 0
+    for g in gens:
+        # start a new group when the current one holds its doc share,
+        # unless that would leave more gens than remaining group slots
+        if (
+            groups[-1]
+            and cum >= target * len(groups)
+            and len(groups) < max_num_gens
+        ):
+            groups.append([])
+        groups[-1].append(g)
+        cum += int(g["num_docs"])
+
+    deleted = load_deleted_ids(spark, out_dir)
+    old_dirs: list[str] = []
+    for group in groups:
+        if len(group) < 2:
+            continue
+        n = state.get("next_gen", 0)
+        state["next_gen"] = n + 1
+        gname = f"g{n:06d}"
+        _compact_gens(spark, out_dir, group, gname, deleted=deleted)
+        names = {g["gen"] for g in group}
+        for g in group:
+            old_dirs.append(
+                os.path.join(out_dir, "postings", f"gen={g['gen']}")
+            )
+            old_dirs.append(
+                os.path.join(out_dir, "terms_gens", f"gen={g['gen']}")
+            )
+        gens[:] = [g for g in gens if g["gen"] not in names]
+        gens.append(
+            {
+                "gen": gname,
+                "segs": [s for g in group for s in g["segs"]],
+                "num_docs": int(sum(g["num_docs"] for g in group)),
+            }
+        )
+    _atomic_json(_state_path(out_dir), state)
+    m = refresh(
+        spark, out_dir, partitions=partitions, segs_per_tier=tier
+    )
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return m
+
+
 def expunge_deletes_tiered(
     spark: SparkSession,
     out_dir: str,

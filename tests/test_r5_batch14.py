@@ -180,6 +180,71 @@ def trunc_index(spark, tmp_path_factory):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_force_merge_exact_gen_budget(spark, tmp_path):
+    """forceMerge(maxNumSegments) analog: 4 generations merge down to
+    exactly 2, then 1, with rank-identical query results at every step
+    and old generation dirs cleaned after the manifest commit."""
+    import os
+
+    import pytest as _pytest
+
+    from lucene_spark.search.engine import IndexSearcher
+    from lucene_spark.streaming.incremental import (
+        _atomic_json,
+        _load_state,
+        _state_path,
+        force_merge,
+        refresh,
+        write_segment,
+    )
+
+    out = str(tmp_path / "fm_idx")
+    os.makedirs(out)
+    n, n_chunks = 160, 4
+    pdf = (
+        generate_corpus(n)
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    per = n // n_chunks
+    for c in range(n_chunks):
+        part = pdf.iloc[c * per : (c + 1) * per]
+        state = _load_state(out)
+        nd = write_segment(
+            spark, spark.createDataFrame(part), out, f"s{c}",
+            state["next_doc"], partitions=2,
+        )
+        state["next_doc"] += nd
+        state["segments"].append({"seg": f"s{c}", "num_docs": nd})
+        _atomic_json(_state_path(out), state)
+        refresh(spark, out, partitions=2)
+
+    def top(k=10):
+        s = IndexSearcher(spark, out)
+        return [
+            (r["docID"], r["score"]) for r in s.search("return", k=k).collect()
+        ]
+
+    assert _load_state(out)["gens"] and len(_load_state(out)["gens"]) == 4
+    before = top()
+
+    m2 = force_merge(spark, out, max_num_gens=2, partitions=2)
+    assert m2["num_gens"] == 2
+    assert top() == before
+    live = {f"gen={g}" for g in m2["gens"]}
+    on_disk = set(os.listdir(os.path.join(out, "postings")))
+    assert on_disk == live, "stale generation dirs survived cleanup"
+
+    m1 = force_merge(spark, out, max_num_gens=1, partitions=2)
+    assert m1["num_gens"] == 1
+    assert top() == before
+    # idempotent once under budget
+    m1b = force_merge(spark, out, max_num_gens=2, partitions=2)
+    assert m1b["num_gens"] == 1
+    with _pytest.raises(ValueError):
+        force_merge(spark, out, max_num_gens=0)
+
+
 def test_truncate_vocab_and_stats(trunc_index):
     oracle, searcher, pdf = trunc_index
     terms = {
