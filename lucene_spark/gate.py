@@ -1664,6 +1664,22 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """Cluster-resolution duel: same MinHash-LSH pair graph as
+    dedup_components, but resolved to per-cluster survivors — keep the
+    highest-token-count member (ties doc_id ASC), mark the rest
+    dropped, singletons always kept. The oracle replays the recursive
+    closure plus the identical window argmax."""
+    from lucene_spark.pipeline.dedup import minhash_near_dup, resolve_duplicates
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_near_dup(spark, docs, k=3, threshold=0.8)
+    out = resolve_duplicates(spark, docs, pairs)
+    return out.select(
+        "doc_id", "rep", F.col("kept").cast("long").alias("kept")
+    )
+
+
 def q_simhash(spark, sf_dir):
     from lucene_spark.pipeline.dedup import simhash64
 
@@ -3483,6 +3499,10 @@ QUERIES = {
     # checked in-cap via freetext_suggest, and the join/backoff scoring
     # layer is locally dueled against the DuckDB twin
     "lm_perplexity": q_lm_perplexity,
+    # dedup_resolve (cluster resolution: keep-best-by-quality) starts
+    # here — the pair graph + components are driver-checked in-cap via
+    # dedup_components; the argmax layer duels the extended closure SQL
+    "dedup_resolve": q_dedup_resolve,
     "span_multi_top10": q_span_multi_top10,
     "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
@@ -3588,6 +3608,37 @@ reach AS (SELECT u, v FROM edges
           SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
 SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS rep
 FROM reach GROUP BY u"""
+
+
+def _resolve_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """_components_sql extended to the full resolution: every doc gets
+    rep = coalesce(component rep, self) and kept = 1 for the cluster's
+    (token count DESC, doc_id ASC) argmax — the oracle for
+    pipeline/dedup.resolve_duplicates' default quality."""
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(k))
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+g AS (SELECT doc_id, list_distinct([{gram} for i in range(1, greatest(len(a)-{k - 1}, 0) + 1)]) AS sh FROM t),
+e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+          FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b
+          FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u),
+allc AS (SELECT t.doc_id, coalesce(c.rep, t.doc_id) AS rep, len(a)::DOUBLE AS q
+         FROM t LEFT JOIN comp c USING (doc_id)),
+r AS (SELECT doc_id, rep,
+             row_number() OVER (PARTITION BY rep ORDER BY q DESC, doc_id ASC) AS rn
+      FROM allc)
+SELECT doc_id::BIGINT AS doc_id, rep::BIGINT AS rep, (rn = 1)::BIGINT AS kept
+FROM r"""
 
 
 def _simhash_sql() -> str:
@@ -4839,6 +4890,7 @@ SELECT doc_id, round(s, {ROUND}) AS score FROM agg ORDER BY s DESC, doc_id ASC L
     sqls["ngram_jaccard"] = _jaccard_pairs_sql(3, 0.8)
     sqls["minhash_near_dup"] = _jaccard_pairs_sql(3, 0.8)
     sqls["dedup_components"] = _components_sql(3, 0.8)
+    sqls["dedup_resolve"] = _resolve_sql(3, 0.8)
     sqls["simhash"] = _simhash_sql()
     sqls["lang_id"] = _lang_id_sql()
     from lucene_spark.pipeline.text import BPE_REGEX

@@ -524,3 +524,49 @@ def dedup_components(
     finally:
         edges.unpersist()
         p2.unpersist()
+
+
+def resolve_duplicates(
+    spark: SparkSession,
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col=None,
+) -> DataFrame:
+    """The dedup pipeline's final step: pick ONE survivor per near-dup
+    cluster by QUALITY and mark every other member dropped. Returns
+    (id_col, rep, kept) covering EVERY input doc — singletons (docs in
+    no pair) are their own rep and always kept.
+
+    ``quality_col`` is any deterministic Column scoring a doc (default:
+    token count via tokens_col — "keep the longest version", the common
+    web-dedup heuristic); the survivor is the cluster's
+    (quality DESC, id ASC) argmax, so ties are stable and the choice is
+    reproducible across cluster sizes.
+
+    Plan shape at 10^12 docs: components come from dedup_components'
+    O(log n)-round pointer-doubling (cluster table is O(docs-in-pairs),
+    usually << corpus); the resolution itself is one LEFT join
+    (corpus x cluster table — broadcast while the cluster side fits,
+    AQE degrades to shuffle) plus one window partitioned by rep. The
+    window's per-rep groups are cluster-sized (bounded, no skew blowup:
+    a mega-cluster is itself the signal to drop wholesale)."""
+    from pyspark.sql import Window
+
+    if quality_col is None:
+        quality_col = F.size(tokens_col("text"))
+    comps = dedup_components(spark, pairs)
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        quality_col.cast("double").alias("_q"),
+    )
+    joined = base.join(
+        comps.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("rep", F.coalesce(F.col("rep"), F.col(id_col)))
+    w = Window.partitionBy("rep").orderBy(
+        F.desc("_q"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("kept", F.row_number().over(w) == 1)
+        .select(id_col, F.col("rep").cast("long").alias("rep"), "kept")
+    )

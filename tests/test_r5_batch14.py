@@ -180,6 +180,47 @@ def trunc_index(spark, tmp_path_factory):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_resolve_duplicates_semantics(spark):
+    """Cluster resolution: survivor = (quality DESC, id ASC) argmax per
+    component, singletons kept, custom quality column honored."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.pipeline.dedup import resolve_duplicates
+
+    # docs 1-2-3 one chain component, 5-6 another, 9 a singleton
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", 10.0),
+            (2, "a b c d e", 30.0),
+            (3, "a b", 30.0),
+            (5, "x y z w", 7.0),
+            (6, "x y", 2.0),
+            (9, "solo text", 1.0),
+        ],
+        "doc_id long, text string, w double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    # default quality = token count: cluster {1,2,3} keeps 2 (5 tokens)
+    got = {
+        r["doc_id"]: (r["rep"], r["kept"])
+        for r in resolve_duplicates(spark, docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        5: (5, True), 6: (5, False), 9: (9, True),
+    }
+    # custom quality: tie at w=30 between 2 and 3 -> lower id wins
+    got2 = {
+        r["doc_id"]: r["kept"]
+        for r in resolve_duplicates(
+            spark, docs, pairs, quality_col=F.col("w")
+        ).collect()
+    }
+    assert got2 == {1: False, 2: True, 3: False, 5: True, 6: False, 9: True}
+
+
 def test_force_merge_exact_gen_budget(spark, tmp_path):
     """forceMerge(maxNumSegments) analog: 4 generations merge down to
     exactly 2, then 1, with rank-identical query results at every step
