@@ -996,6 +996,18 @@ def q_spell_top5(spark, sf_dir):
 
 
 FUZZY_SUGGEST_INPUT = "qury"  # typo for the 'quer...' family
+WORDBREAK_INPUT = "datatable"  # run-together 'data table'
+
+
+def q_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker duel (suggest/spell/
+    WordBreakSpellChecker.java:34 suggestWordBreaks, maxChanges=1):
+    split the run-together input at every position, keep splits where
+    both halves are dictionary terms, rank summed df DESC then left
+    ASC. The oracle enumerates the identical splits with substring over
+    the unpruned vocabulary."""
+    s = searcher_for(spark, sf_dir)
+    return s.suggest_word_breaks(WORDBREAK_INPUT, k=5)
 
 
 def q_fuzzy_suggest(spark, sf_dir):
@@ -3503,6 +3515,10 @@ QUERIES = {
     # here — the pair graph + components are driver-checked in-cap via
     # dedup_components; the argmax layer duels the extended closure SQL
     "dedup_resolve": q_dedup_resolve,
+    # word_breaks (WordBreakSpellChecker) starts here — two isin-pruned
+    # dictionary joins over the terms path that suggest_prefix/spell
+    # keep driver-checked
+    "word_breaks": q_word_breaks,
     "span_multi_top10": q_span_multi_top10,
     "block_join_child_top10": q_block_join_child_top10,
     "domain_mix": q_domain_mix,
@@ -4107,6 +4123,17 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         WHERE term <> '{SPELL_TARGET}'
           AND levenshtein(term, '{SPELL_TARGET}') <= 2
         ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+    _wb = WORDBREAK_INPUT
+    sqls["word_breaks"] = f"""WITH {TOKENS_CTE}, {TF_CTE},
+        v AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        c AS (SELECT substring('{_wb}', 1, i::INT) AS l,
+                     substring('{_wb}', (i + 1)::INT) AS r
+              FROM range(2, {len(_wb) - 1}) AS t(i))
+        SELECT c.l AS "left", c.r AS "right",
+               (vl.df + vr.df)::BIGINT AS freq_sum
+        FROM c JOIN v vl ON vl.term = c.l JOIN v vr ON vr.term = c.r
+        ORDER BY freq_sum DESC, c.l ASC LIMIT 5"""
 
     # FuzzySuggester: ped(p, t) = min over L in [len(p)-1, len(p)+1] of
     # lev(substring(t, 1, L), p); defaults maxEdits=1 nonFuzzyPrefix=1

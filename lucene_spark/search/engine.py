@@ -1830,6 +1830,63 @@ class IndexSearcher:
             )
         )
 
+    def suggest_word_breaks(
+        self,
+        term: str,
+        k: int = 5,
+        min_break_length: int = 2,
+        min_suggestion_frequency: int = 1,
+    ) -> DataFrame:
+        """Word-break correction — WordBreakSpellChecker.suggestWordBreaks
+        analog (reference lucene/suggest/src/java/org/apache/lucene/
+        search/spell/WordBreakSpellChecker.java:34, defaults
+        DEFAULT_MIN_BREAK_WORD_LENGTH=1 raised to 2 here,
+        maxChanges=1 i.e. single-break only — the reference's recursive
+        multi-break pass is a documented omission): split the
+        (run-together) input into two dictionary words at every
+        position, keep splits where BOTH halves are terms with
+        df >= min_suggestion_frequency, ranked by the reference's
+        NUM_CHANGES_THEN_SUMMED_FREQUENCY order (changes are constant 1
+        here, so summed df DESC), ties left ASC for determinism.
+        Columns (left, right, freq_sum).
+
+        Plan shape: the split candidates are a len(term)-row driver
+        literal frame; both joins hit the vocab-sized terms table with
+        an `isin` over at most len(term) literals each — pushed to the
+        sorted-term parquet stats, no postings read, no shuffle beyond
+        two small joins."""
+        n = len(term)
+        cands = [
+            (term[:i], term[i:])
+            for i in range(min_break_length, n - min_break_length + 1)
+        ]
+        if not cands:
+            return self.spark.createDataFrame(
+                [], "left string, right string, freq_sum long"
+            )
+        cdf = self.spark.createDataFrame(cands, "left string, right string")
+        tl = self._terms.filter(
+            F.col("term").isin([c[0] for c in cands])
+            & (F.col("df") >= min_suggestion_frequency)
+        ).select(F.col("term").alias("left"), F.col("df").alias("df_l"))
+        tr = self._terms.filter(
+            F.col("term").isin([c[1] for c in cands])
+            & (F.col("df") >= min_suggestion_frequency)
+        ).select(F.col("term").alias("right"), F.col("df").alias("df_r"))
+        return (
+            cdf.join(F.broadcast(tl), "left")
+            .join(F.broadcast(tr), "right")
+            .select(
+                "left",
+                "right",
+                (F.col("df_l") + F.col("df_r"))
+                .cast(LongType())
+                .alias("freq_sum"),
+            )
+            .orderBy(F.desc("freq_sum"), F.asc("left"))
+            .limit(k)
+        )
+
     def suggest_infix(self, substr: str, k: int = 10) -> DataFrame:
         """Infix completion — AnalyzingInfixSuggester analog (reference
         lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/

@@ -180,6 +180,34 @@ def trunc_index(spark, tmp_path_factory):
     shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.mark.parametrize("typed", ["returnclass", "importdef", "classif"])
+def test_suggest_word_breaks_matches_replica(built_index, typed):
+    """WordBreakSpellChecker.suggestWordBreaks replica: every split
+    whose halves are both dictionary terms, summed df DESC, left ASC."""
+    _, oracle, searcher = built_index
+    got = [
+        (r["left"], r["right"], r["freq_sum"])
+        for r in searcher.suggest_word_breaks(typed, k=5).collect()
+    ]
+    df = {t: int(rows.size) for t, (rows, _, _) in oracle.postings.items()}
+    exp = sorted(
+        (
+            (typed[:i], typed[i:], df[typed[:i]] + df[typed[i:]])
+            for i in range(2, len(typed) - 1)
+            if typed[:i] in df and typed[i:] in df
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    assert got == exp, (typed, got, exp)
+    assert exp, f"vacuous: no break found for {typed!r}"
+
+
+def test_suggest_word_breaks_no_split(built_index):
+    _, _, searcher = built_index
+    assert searcher.suggest_word_breaks("zzqxzzqx", k=5).count() == 0
+    assert searcher.suggest_word_breaks("abc", k=5).count() >= 0
+
+
 def test_resolve_duplicates_semantics(spark):
     """Cluster resolution: survivor = (quality DESC, id ASC) argmax per
     component, singletons kept, custom quality column honored."""
