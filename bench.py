@@ -173,6 +173,7 @@ def main() -> None:
         "lm_perplexity",
         "dedup_resolve",
         "word_breaks",
+        "expr_rescore_top10",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
         # multi_shard_top10 are gate-only: each needs separately-built

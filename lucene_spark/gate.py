@@ -3032,6 +3032,50 @@ def q_rescore_top10(spark, sf_dir):
     )
 
 
+# Lucene expressions duel: the scoring-expression language compiled to a
+# Catalyst column (Spark side) vs the SAME AST rendered as DuckDB SQL
+# (oracle side — feature_score_sql/polygon_sql precedent). The source
+# mixes arithmetic, comparison-driven ternary, and five of the default
+# function table's entries over (first-pass score, n_chars docvalue).
+EXPR_SOURCE = (
+    "ln(1 + score) * 0.7 + sqrt(n_chars) / 10"
+    " + (n_chars > 500 ? 1.5 : 1.0) * min(score, 3.2)"
+    " + logn(2, 1 + abs(score - 1))"
+)
+
+
+def q_expr_rescore_top10(spark, sf_dir):
+    """Expressions-module duel (expressions/src/java/org/apache/lucene/
+    expressions/js/JavascriptCompiler.java + ExpressionRescorer.java):
+    BM25(TERMS_OR) top-RESCORE_WINDOW first pass, then each hit's score
+    is REPLACED by EXPR_SOURCE with score=firstPass, n_chars=the per-doc
+    docvalue (SimpleBindings) — one pure-codegen Catalyst column, no UDF."""
+    from lucene_spark.search.expressions import compile_expression
+
+    expr = compile_expression(EXPR_SOURCE)
+    first = (
+        _bm25_spark_scored(spark, sf_dir, TERMS_OR)
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s1"))
+        .orderBy(F.desc("s1"), F.asc("doc_id"))
+        .limit(RESCORE_WINDOW)
+    )
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", F.col("n_chars").cast("double").alias("n_chars"))
+    j = first.join(docs, "doc_id", "left")
+    c = expr.to_column(
+        {"score": F.col("s1"), "n_chars": F.col("n_chars")}
+    )
+    return (
+        j.withColumn("c", c)
+        .select("doc_id", F.round("c", ROUND).alias("score"), "c")
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def q_facet_assoc_sum(spark, sf_dir):
     """Facet associations duel (facet/taxonomy/
     TaxonomyFacetIntAssociations.java:34): over TERM_1's matches, SUM the
@@ -3370,7 +3414,7 @@ QUERIES = {
     "lmdirichlet_top10": q_lmdirichlet_top10,
     "multi_shard_top10": q_multi_shard_top10,
     "tfidf_top10": q_tfidf_top10,
-    "dfi_top10": q_dfi_top10,
+    "expr_rescore_top10": q_expr_rescore_top10,
     "feature_boost_top10": q_feature_boost_top10,
     "dv_stats": q_dv_stats,
     "pii_scrub": q_pii_scrub,
@@ -3488,6 +3532,12 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # dfi_top10 rotated here late-r5 to admit expr_rescore_top10 (the
+    # expressions-module compiler — a NEW language surface): the shared
+    # similarity path stays driver-checked in-cap via
+    # lmdirichlet_top10 / tfidf_top10, and the DFI chi-squared
+    # expression itself is numpy-replica-covered in test_similarity.py
+    "dfi_top10": q_dfi_top10,
     # stop_bm25_top10 (StopFilter / EnglishAnalyzer stop set — the first
     # DROPPING filter: gapped positions, emitted-token dl/norms/stats)
     # starts here with its aux _stop index; the shared chain plumbing is
@@ -5025,6 +5075,29 @@ SELECT f.doc_id,
        round(f.s1 + {RESCORE_WEIGHT} * coalesce(sec.s2, 0.0), {ROUND}) AS score
 FROM first f LEFT JOIN second sec USING (doc_id)
 ORDER BY f.s1 + {RESCORE_WEIGHT} * coalesce(sec.s2, 0.0) DESC, f.doc_id ASC
+LIMIT 10"""
+
+    from lucene_spark.search.expressions import compile_expression
+
+    _expr_sql = compile_expression(EXPR_SOURCE).to_sql(
+        {"score": "f.s1", "n_chars": "CAST(d.n_chars AS DOUBLE)"}
+    )
+    sqls["expr_rescore_top10"] = f"""
+WITH {TOKENS_CTE}, {TF_CTE}, {DL_CTE},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs1 AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_orl}) GROUP BY term),
+sc1 AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs1.df + 0.5) / (dfs1.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs1 USING (term) JOIN dl USING (doc_id)
+),
+first AS (SELECT doc_id, sum(s) AS s1 FROM sc1 GROUP BY doc_id
+          ORDER BY sum(s) DESC, doc_id ASC LIMIT {RESCORE_WINDOW})
+SELECT f.doc_id, round({_expr_sql}, {ROUND}) AS score
+FROM first f LEFT JOIN documents d USING (doc_id)
+ORDER BY {_expr_sql} DESC, f.doc_id ASC
 LIMIT 10"""
 
     sqls["facet_assoc_sum"] = f"""WITH {TOKENS_CTE},

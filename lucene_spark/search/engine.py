@@ -2057,6 +2057,66 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def rescore_expression(
+        self,
+        first_pass: DataFrame,
+        source: str,
+        doc_features: DataFrame | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Expression rescoring — the expressions module's
+        ExpressionRescorer (reference lucene/expressions/src/java/org/
+        apache/lucene/expressions/ExpressionRescorer.java via
+        Expression.getRescorer): each top-window hit's score is REPLACED
+        by the compiled expression's value, where the ``score`` variable
+        binds to the first-pass score (SimpleBindings convention) and
+        every other variable binds to a same-named column of
+        ``doc_features`` (a per-doc values frame keyed by docID — the
+        DoubleValuesSource bindings; missing docs bind 0.0, matching a
+        sparse numeric docvalue's default).
+
+        Plan shape: the expression compiles to ONE Catalyst column (no
+        UDF — pure whole-stage codegen), and the window frame is
+        broadcast into the features join, so window size (not corpus
+        size) bounds the second pass, the same property rescore() has.
+        """
+        from lucene_spark.search.expressions import compile_expression
+
+        expr = compile_expression(source)
+        base = first_pass.select(
+            "docID", F.col("score").cast(DoubleType()).alias("_s1")
+        )
+        feat_vars = [v for v in expr.variables if v != "score"]
+        if feat_vars:
+            if doc_features is None:
+                raise ValueError(
+                    f"expression needs doc_features columns {feat_vars}"
+                )
+            missing = set(feat_vars) - set(doc_features.columns)
+            if missing:
+                raise ValueError(
+                    f"doc_features lacks columns {sorted(missing)}"
+                )
+            feats = doc_features.select(
+                "docID",
+                *[
+                    F.col(v).cast(DoubleType()).alias(v)
+                    for v in feat_vars
+                ],
+            )
+            base = base.hint("broadcast").join(feats, "docID", "left")
+        bindings = {"score": F.col("_s1")}
+        for v in feat_vars:
+            bindings[v] = F.coalesce(F.col(v), F.lit(0.0))
+        comb = base.withColumn("_c", expr.to_column(bindings))
+        return (
+            comb.select(
+                "docID", F.col("_c").cast(FloatType()).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def mlt_terms(
         self,
         seed_text: str,
