@@ -174,6 +174,7 @@ def main() -> None:
         "dedup_resolve",
         "word_breaks",
         "expr_rescore_top10",
+        "complex_phrase_top10",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
         # multi_shard_top10 are gate-only: each needs separately-built

@@ -2170,6 +2170,64 @@ def q_span_multi_top10(spark, sf_dir):
     )
 
 
+# ComplexPhraseQueryParser gate: in-phrase group + wildcard. The engine
+# expands "s*" against the INDEX dictionary; the oracle expands LIKE
+# 's%' over the re-tokenized text — agreement proves the expansion
+# round-trip, then the 3-clause NearSpansOrdered chain and scoring duel
+# double-precision over index-decoded positions.
+CP_PHRASE = "(key query) s* table"
+CP_SLOP = 4
+CP_GROUP = ["key", "query"]
+CP_LAST = "table"
+CP_WILD_LIKE = "s%"
+
+
+def q_complex_phrase_top10(spark, sf_dir):
+    """ComplexPhraseQueryParser duel (queryparser/src/java/org/apache/
+    lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java:258
+    rewrite): the quoted content "(key query) s* table" parses into a
+    SpanNear of [SpanOr(key,query), SpanOr(dictionary expansion of s*),
+    table] with gap-sum <= CP_SLOP; freq = sum 1/(1+width) per chain
+    (every first-clause occurrence stretches forward), weight = summed
+    idf over the DISTINCT expanded terms. Double replica; the float32
+    engine path (search_complex_phrase -> span kernel) is dueled in
+    tests/test_complexphrase.py."""
+    from lucene_spark.search.complexphrase import phrase_slots
+
+    s = searcher_for(spark, sf_dir)
+    slots = phrase_slots(s, CP_PHRASE)
+    a1, a2, t3 = list(slots[0]), list(slots[1]), slots[2]
+    all_terms = list(dict.fromkeys(a1 + a2 + [t3]))
+    pos = s.postings_positions(all_terms)
+    c1 = pos.where(F.col("term").isin(*a1)).select(
+        "docID", F.col("pos").alias("p1")
+    )
+    c2 = pos.where(F.col("term").isin(*a2)).select(
+        "docID", F.col("pos").alias("q")
+    )
+    c3 = pos.where(F.col("term") == t3).select(
+        "docID", F.col("pos").alias("r")
+    )
+    j1 = (
+        c1.join(c2, "docID")
+        .filter(F.col("q") > F.col("p1"))
+        .groupBy("docID", "p1")
+        .agg(F.min("q").alias("p2"))
+    )
+    j2 = (
+        j1.join(c3, "docID")
+        .filter(F.col("r") > F.col("p2"))
+        .groupBy("docID", "p1", "p2")
+        .agg(F.min("r").alias("p3"))
+    )
+    chains = j2.filter(
+        F.col("p3") - F.col("p1") - 2 <= CP_SLOP
+    ).withColumn(
+        "sf", F.lit(1.0) / (F.lit(1.0) + F.col("p3") - F.col("p1") - 2)
+    )
+    return _span_near_score(spark, sf_dir, chains, _idf_sum(s, all_terms))
+
+
 def q_span_or_top10(spark, sf_dir):
     """SpanOrQuery duel (queries/spans/SpanOrQuery.java): every clause
     occurrence is a width-0 span (TermSpans.java:106), so freq = TOTAL
@@ -3450,7 +3508,7 @@ QUERIES = {
     "span_first_top10": q_span_first_top10,
     "span_not_top10": q_span_not_top10,
     "span_near_top10": q_span_near_top10,
-    "span_or_top10": q_span_or_top10,
+    "complex_phrase_top10": q_complex_phrase_top10,
     "span_containing_top10": q_span_containing_top10,
     "simple_query_top10": q_simple_query_top10,
     "common_terms_top10": q_common_terms_top10,
@@ -3532,6 +3590,12 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # span_or_top10 rotated here late-r5 to admit complex_phrase_top10
+    # (ComplexPhraseQueryParser — a NEW parser surface over the span
+    # kernel): the SpanOr total-tf-saturate leaf stays exercised through
+    # complex_phrase_top10's alternative slots and span kernel coverage
+    # in-cap via span_near_top10 / span_containing_top10
+    "span_or_top10": q_span_or_top10,
     # dfi_top10 rotated here late-r5 to admit expr_rescore_top10 (the
     # expressions-module compiler — a NEW language surface): the shared
     # similarity path stays driver-checked in-cap via
@@ -4762,6 +4826,31 @@ c2 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
   GROUP BY c1.doc_id, c1.p1),
 surv AS (SELECT * FROM c2 WHERE p2 - p1 - 1 <= {SMT_SLOP}),
 {_sn_score_sql(_idf_terms_sql(list(SMT_ALTS) + [SMT_T2]))}"""
+
+    _cp_g = ", ".join(f"'{t}'" for t in CP_GROUP)
+    _cp_named = ", ".join(f"'{t}'" for t in CP_GROUP + [CP_LAST])
+    sqls["complex_phrase_top10"] = f"""
+WITH {tokp}, {TOKENS_CTE}, {DL_CTE},
+avg AS (SELECT (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+c1 AS (SELECT doc_id, pos AS p1 FROM tokp WHERE term IN ({_cp_g})),
+c2p AS (SELECT doc_id, pos FROM tokp WHERE term LIKE '{CP_WILD_LIKE}'),
+j1 AS (SELECT c1.doc_id, c1.p1, min(t.pos) AS p2
+       FROM c1 JOIN c2p t ON t.doc_id = c1.doc_id AND t.pos > c1.p1
+       GROUP BY c1.doc_id, c1.p1),
+j2 AS (SELECT j1.doc_id, j1.p1, j1.p2, min(t.pos) AS p3
+       FROM j1 JOIN tokp t ON t.doc_id = j1.doc_id AND t.term = '{CP_LAST}' AND t.pos > j1.p2
+       GROUP BY j1.doc_id, j1.p1, j1.p2),
+surv AS (SELECT doc_id, p3 - p1 - 2 AS w FROM j2 WHERE p3 - p1 - 2 <= {CP_SLOP}),
+f AS (SELECT doc_id, sum(1.0 / (1.0 + w)) AS freq FROM surv GROUP BY doc_id),
+idf AS (SELECT sum(ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE - df + 0.5) / (df + 0.5))) AS w
+        FROM (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+              WHERE term IN ({_cp_named}) OR term LIKE '{CP_WILD_LIKE}'
+              GROUP BY term))
+SELECT f.doc_id,
+       round((SELECT w FROM idf) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)), {ROUND}) AS score
+FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
+ORDER BY (SELECT w FROM idf) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
+LIMIT 10"""
 
     sqls["span_containing_top10"] = f"""
 WITH {tokp}, {TOKENS_CTE}, {DL_CTE},

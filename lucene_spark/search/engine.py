@@ -3446,7 +3446,7 @@ class IndexSearcher:
 
     def search_span_near(
         self, query: str | list[str], slop: int, k: int = 10,
-        ordered: bool = True,
+        ordered: bool = True, pre_analyzed: bool = False,
     ) -> DataFrame:
         """SpanNearQuery top-k (queries/spans/SpanNearQuery.java):
         ordered => clause spans in order, freq = sum of 1/(1+matchWidth)
@@ -3467,13 +3467,19 @@ class IndexSearcher:
             if isinstance(slot, (list, tuple)):
                 exp = []
                 for t in slot:
-                    p = self._parse(t)
+                    # pre_analyzed: members are already index-dictionary
+                    # terms (a caller-side MultiTermQuery expansion, e.g.
+                    # ComplexPhraseQueryParser) — re-running the analyzer
+                    # chain could re-stem an already-stemmed term
+                    p = [t] if pre_analyzed else self._parse(t)
                     if len(p) != 1:
                         raise ValueError(
                             f"alternative {t!r} must analyze to one term"
                         )
                     exp.append(p[0])
                 clauses.append(tuple(dict.fromkeys(exp)))
+            elif pre_analyzed:
+                clauses.append(slot)
             elif slot.endswith("*") and len(slot) > 1 and "*" not in slot[:-1]:
                 stem = self._parse(slot[:-1])
                 if len(stem) != 1:
