@@ -175,6 +175,8 @@ def main() -> None:
         "word_breaks",
         "expr_rescore_top10",
         "complex_phrase_top10",
+        "sampled_facets",
+        "term_set",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
         # multi_shard_top10 are gate-only: each needs separately-built

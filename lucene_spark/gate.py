@@ -3134,6 +3134,62 @@ def q_expr_rescore_top10(spark, sf_dir):
     )
 
 
+TERM_SET = ["dup", "absentzzz"]  # sparse term + a non-term
+
+
+def q_term_set(spark, sf_dir):
+    """TermInSetQuery duel (core/search/TermInSetQuery.java under
+    ConstantScoreQuery): docs containing ANY of TERM_SET, constant
+    score — first 15 doc_ids through the real postings decode; the
+    absent member must contribute nothing. The cut happens in doc_id
+    space (docID rank is (source, doc_id), so a docID-space limit would
+    pick a different — equally valid — row set than the oracle's)."""
+    s = searcher_for(spark, sf_dir)
+    out = s.search_term_set(TERM_SET, k=None)
+    dm = _docid_map(s)
+    return (
+        out.join(F.broadcast(dm), "docID")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(15)
+    )
+
+
+SAMPLED_FACET_SIZE = 200
+
+
+def q_sampled_facets(spark, sf_dir):
+    """RandomSamplingFacetsCollector duel (facet/
+    RandomSamplingFacetsCollector.java:118-137 rate derivation +
+    amortizeFacetCounts): over TERM_1's matches (via the real postings
+    decode), draw the deterministic md5 Bernoulli subset at rate =
+    SAMPLED_FACET_SIZE/totalHits, count per lang dim, amortize by
+    1/rate, cap at the per-dim corpus total (the reader.docFreq cap).
+    totalHits comes from the index's df statistic — the same number the
+    oracle derives by counting distinct matching doc_ids."""
+    from lucene_spark.search.facets import sampled_facet_counts
+
+    s = searcher_for(spark, sf_dir)
+    stats = s.term_stats([TERM_1])
+    total = int(stats[TERM_1].df) if TERM_1 in stats else 0
+    hits = s.postings_tf([TERM_1]).select("docID").distinct()
+    dm = _docid_map(s)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    matches = (
+        hits.join(F.broadcast(dm), "docID")
+        .join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .select("lang", "text")
+    )
+    dim_totals = docs.groupBy(F.col("lang").alias("dim")).agg(
+        F.count("*").cast("long").alias("max")
+    )
+    out = sampled_facet_counts(
+        matches, "lang", SAMPLED_FACET_SIZE, "text",
+        dim_totals=dim_totals, total_hits=total,
+    )
+    return out.orderBy("dim").withColumnRenamed("dim", "lang")
+
+
 def q_facet_assoc_sum(spark, sf_dir):
     """Facet associations duel (facet/taxonomy/
     TaxonomyFacetIntAssociations.java:34): over TERM_1's matches, SUM the
@@ -3484,7 +3540,7 @@ QUERIES = {
     "facet_assoc_sum": q_facet_assoc_sum,
     "geo_polygon_count": q_geo_polygon_count,
     "domain_cap": q_domain_cap,
-    "hash_sample_ids": q_hash_sample_ids,
+    "sampled_facets": q_sampled_facets,
     "stemmed_bm25_top10": q_stemmed_bm25_top10,
     "hybrid_top10": q_hybrid_top10,
     "dv_sort_top15": q_dv_sort_top15,
@@ -3590,6 +3646,16 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # term_set (TermInSetQuery/ConstantScore) starts in the rotation
+    # bench directly: a distinct-over-decode composition whose postings
+    # path is driver-checked in-cap via regexp_df and the BM25 gates
+    "term_set": q_term_set,
+    # hash_sample_ids rotated here late-r5 to admit sampled_facets
+    # (RandomSamplingFacetsCollector — sampling + amortized counts):
+    # sampled_facets runs the IDENTICAL md5 Bernoulli device through
+    # pipeline.sample.hash_sample in-cap, so the device stays
+    # driver-checked; the plain-subset query also remains dueled here
+    "hash_sample_ids": q_hash_sample_ids,
     # span_or_top10 rotated here late-r5 to admit complex_phrase_top10
     # (ComplexPhraseQueryParser — a NEW parser surface over the span
     # kernel): the SpanOr total-tf-saturate leaf stays exercised through
@@ -5188,6 +5254,30 @@ SELECT f.doc_id, round({_expr_sql}, {ROUND}) AS score
 FROM first f LEFT JOIN documents d USING (doc_id)
 ORDER BY {_expr_sql} DESC, f.doc_id ASC
 LIMIT 10"""
+
+    _ts_list = ", ".join(f"'{t}'" for t in TERM_SET)
+    sqls["term_set"] = f"""
+WITH {TOKENS_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term IN ({_ts_list})
+ORDER BY doc_id LIMIT 15"""
+
+    sqls["sampled_facets"] = f"""
+WITH {TOKENS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}'),
+m AS (SELECT d.doc_id, d.lang, d.text FROM hits JOIN documents d USING (doc_id)),
+tot AS (SELECT count(*)::BIGINT AS t FROM m),
+th AS (SELECT (CAST({SAMPLED_FACET_SIZE} AS DOUBLE) / t) AS rate,
+              lpad(lower(to_hex(LEAST(
+                  CAST(trunc((CAST({SAMPLED_FACET_SIZE} AS DOUBLE) / t) * 4294967296.0) AS BIGINT),
+                  4294967295))), 8, '0') AS h
+       FROM tot),
+samp AS (SELECT m.lang FROM m, th WHERE substring(md5(m.text), 1, 8) < th.h),
+c AS (SELECT lang, count(*)::BIGINT AS c FROM samp GROUP BY lang),
+totals AS (SELECT lang, count(*)::BIGINT AS mx FROM documents GROUP BY lang)
+SELECT c.lang,
+       LEAST(CAST(trunc(c.c / (SELECT rate FROM th)) AS BIGINT), totals.mx) AS cnt
+FROM c JOIN totals USING (lang)
+ORDER BY c.lang"""
 
     sqls["facet_assoc_sum"] = f"""WITH {TOKENS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}')

@@ -215,6 +215,44 @@ class IndexSearcher:
             self._cache_epoch() + ("filter", term), compute
         )
 
+    def search_term_set(self, terms: list[str], k: int = 10) -> DataFrame:
+        """TermInSetQuery under ConstantScoreQuery (reference lucene/
+        core/src/java/org/apache/lucene/search/TermInSetQuery.java —
+        SetQuery membership over a bag of terms, constant score 1.0;
+        its small-set rewrite to BooleanQuery-of-TermQuerys is an
+        executor detail with identical semantics). Terms are taken
+        VERBATIM (no analysis) — the reference builds Terms from raw
+        bytes, the keyword-field convention. Returns (docID, score=1.0f)
+        by docID ASC (the constant-score tie-break).
+
+        Plan: one pruned postings decode over the term set, distinct
+        docIDs, tombstone strip — no norms join, no scoring expression;
+        at scale the decode prunes to the set's parquet row-groups like
+        any term query. ``k=None`` returns the whole doc set unsorted
+        (the filter/facet consumer shape — callers applying their own
+        ordering should cut in THEIR key space, not docID space)."""
+        ts = list(dict.fromkeys(terms))
+        if not ts:
+            return self._empty_topk()
+        docs = self.postings_tf(ts).select("docID").distinct()
+        docs = self._strip_deleted(docs).withColumn(
+            "score", F.lit(1.0).cast(FloatType())
+        )
+        if k is None:
+            return docs
+        return docs.orderBy(F.asc("docID")).limit(k)
+
+    def count_term_set(self, terms: list[str]) -> int:
+        """TermInSetQuery hit count (IndexSearcher.count over the set)."""
+        ts = list(dict.fromkeys(terms))
+        if not ts:
+            return 0
+        return (
+            self._strip_deleted(
+                self.postings_tf(ts).select("docID").distinct()
+            ).count()
+        )
+
     def _strip_deleted(self, df: DataFrame, col: str = "docID") -> DataFrame:
         """Anti-join fallback for tombstone sets too large to broadcast
         (kernels received an empty array in that mode)."""

@@ -129,3 +129,70 @@ def numeric_docvalues_stats(
         F.var_pop("v").alias("variance"),
         F.stddev_pop("v").alias("stdev"),
     )
+
+
+def sampled_facet_counts(
+    matches: DataFrame,
+    dim_col: str | Column,
+    sample_size: int,
+    key_col: str | Column,
+    dim_totals: DataFrame | None = None,
+    total_hits: int | None = None,
+) -> DataFrame:
+    """Sampled facet counts — RandomSamplingFacetsCollector +
+    amortizeFacetCounts analog (reference lucene/facet/src/java/org/
+    apache/lucene/facet/RandomSamplingFacetsCollector.java:118-137
+    sampling-rate derivation, :164-200 one-doc-per-bin sample, :amortize
+    correctedCount = min(docFreq, count / samplingRate)).
+
+    When the match set has no more than ``sample_size`` hits, counts
+    are exact (the reference's totalHits <= sampleSize branch).
+    Otherwise a samplingRate = sample_size/totalHits subset is drawn
+    and per-dim counts are amortized by 1/rate, capped by ``dim_totals``
+    (a (dim, max) frame — the reader.docFreq cap; per-dim corpus totals).
+
+    Documented deviation: the reference draws ONE doc per size-1/rate
+    bin with an XORShift64 RNG (stratified, seed-dependent); we draw a
+    deterministic Bernoulli(rate) subset with the md5 device shared
+    with pipeline.sample.hash_sample — same expectation, and the subset
+    is reproducible across runs, engines, and partitionings, which is
+    what makes the result oracle-duelable at all. Scale shape: one
+    count (or the df statistic) + one map-only filter + one partial-
+    aggregated groupBy; nothing keyed by the sample.
+    """
+    if sample_size <= 0:
+        raise ValueError("sample_size must be positive")
+    dim = (F.col(dim_col) if isinstance(dim_col, str) else dim_col).alias(
+        "dim"
+    )
+    total = matches.count() if total_hits is None else int(total_hits)
+    if total <= sample_size:
+        out = matches.groupBy(dim).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        if dim_totals is not None:
+            out = (
+                out.join(F.broadcast(dim_totals), "dim", "left")
+                .withColumn(
+                    "cnt",
+                    F.least(
+                        F.col("cnt"),
+                        F.coalesce(F.col("max"), F.col("cnt")),
+                    ),
+                )
+            )
+        return out.select("dim", "cnt")
+    rate = float(sample_size) / float(total)
+    from lucene_spark.pipeline.sample import hash_sample
+
+    sampled = hash_sample(matches, rate, key_col)
+    out = sampled.groupBy(dim).agg(F.count("*").alias("c")).withColumn(
+        "cnt",
+        F.floor(F.col("c").cast("double") / F.lit(rate)).cast("long"),
+    )
+    if dim_totals is not None:
+        out = out.join(F.broadcast(dim_totals), "dim", "left").withColumn(
+            "cnt",
+            F.least(F.col("cnt"), F.coalesce(F.col("max"), F.col("cnt"))),
+        )
+    return out.select("dim", "cnt")
