@@ -179,7 +179,8 @@ def main() -> None:
         "term_set",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
-        # multi_shard_top10 are gate-only: each needs separately-built
+        # multi_shard_top10 / shingle_bm25_top10 are gate-only: each
+        # needs separately-built
         # indexes (offsets+vectors / stemmed / payloads / reversed /
         # shard pair); the headline bench measures the default
         # positions-only StandardAnalyzer configuration

@@ -338,6 +338,51 @@ def chain_can_drop(token_filters) -> bool:
     )
 
 
+def shingle_size(name: str) -> int | None:
+    """``shingle_<n>`` STREAM-filter grammar (ShingleFilter analog,
+    analysis/shingle/ShingleFilter.java:34 with minShingleSize ==
+    maxShingleSize == n and outputUnigrams=False — the dedicated
+    phrase/grams-field deployment). Returns n (>= 2) or None for
+    ordinary token-level filter names."""
+    parts = name.split("_")
+    if (
+        len(parts) == 2
+        and parts[0] == "shingle"
+        and parts[1].isdigit()
+        and int(parts[1]) >= 2
+    ):
+        return int(parts[1])
+    return None
+
+
+def split_chain(token_filters) -> tuple[tuple, int | None]:
+    """Split an analyzer chain into (vocab_filters, shingle_n).
+
+    ``shingle_<n>`` is a STREAM filter (1:N over adjacent tokens), not a
+    vocabulary remap, so it must be the LAST entry and there can be at
+    most one. Combining it with a dropping filter is rejected: the
+    reference inserts ``_`` filler tokens at stopword gaps
+    (ShingleFilter.fillerToken) — a semantics we deliberately do not
+    replicate (documented deviation; run stop_en on the companion
+    unigram field instead)."""
+    tfs = tuple(token_filters)
+    n = None
+    for i, f in enumerate(tfs):
+        if shingle_size(f) is not None:
+            if i != len(tfs) - 1:
+                raise ValueError(
+                    "shingle_<n> must be the last filter in the chain"
+                )
+            n = shingle_size(f)
+    vocab = tfs[:-1] if n is not None else tfs
+    if n is not None and chain_can_drop(vocab):
+        raise ValueError(
+            "shingle_<n> cannot follow a dropping filter (the "
+            "reference's '_' filler-token semantics are not replicated)"
+        )
+    return vocab, n
+
+
 def filter_vocab(uniq, token_filters) -> tuple[list, np.ndarray]:
     """Apply the ordered filter chain to each distinct surface form and
     collapse the result: returns (new_vocab, remap) where ``remap`` is

@@ -204,6 +204,46 @@ def searcher_for_stop(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_searchers_sh2: dict[str, IndexSearcher] = {}
+SHINGLE_FILTERS = ("shingle_2",)
+
+
+def searcher_for_shingle(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Aux index built with the shingle_2 chain (ShingleFilter.java:34,
+    min==max==2, outputUnigrams=False — the dedicated grams/phrase-field
+    deployment): every dictionary term is a space-joined bigram, dl and
+    all collection stats count GRAMS, positions are gram slots. Kept
+    apart from the headline index like the stemmed/stop/reverse
+    variants."""
+    if sf_dir in _searchers_sh2:
+        return _searchers_sh2[sf_dir]
+    idx_dir = _index_dir_for(sf_dir) + "_sh2"
+    docs = _docs_df(spark, sf_dir)
+    n = docs.count()
+    manifest = os.path.join(idx_dir, "manifest.json")
+    rebuild = True
+    if os.path.exists(manifest):
+        import json
+
+        from lucene_spark.util.blockcodec import CODEC_NAME
+
+        with open(manifest) as f:
+            m = json.load(f)
+        rebuild = (
+            m.get("doc_count") != n
+            or m.get("codec") != CODEC_NAME
+            or tuple(m.get("token_filters", ())) != SHINGLE_FILTERS
+        )
+    if rebuild:
+        build_index(
+            spark, docs, idx_dir, store_positions=True,
+            token_filters=SHINGLE_FILTERS,
+        )
+    s = IndexSearcher(spark, idx_dir)
+    _searchers_sh2[sf_dir] = s
+    return s
+
+
 _searchers_len: dict[str, IndexSearcher] = {}
 LEN_FILTERS = ("length_3_7",)
 
@@ -1390,6 +1430,21 @@ def q_length_bm25_top10(spark, sf_dir):
     tests/test_lengthfilter.py."""
     s = searcher_for_length(spark, sf_dir)
     return _bm25_spark(spark, sf_dir, TERMS_OR, "or", searcher=s)
+
+
+SHINGLE_TERMS = ["table hash", "merge group", "slow key"]
+
+
+def q_shingle_bm25_top10(spark, sf_dir):
+    """BM25 top-10 over a SHINGLE index (ShingleFilter.java:34,
+    shingle_2 grams-only field): the dictionary is the bigram space, so
+    df/tf/dl/avgdl all live in gram units — the duel checks both
+    engines emit the same adjacent-pair stream (the oracle rebuilds it
+    with a LEAD window over re-tokenized positions). Double replica
+    over the aux _sh2 index; gram positions / phrase-field parse are
+    pytest-covered in tests/test_shingle.py."""
+    s = searcher_for_shingle(spark, sf_dir)
+    return _bm25_spark(spark, sf_dir, SHINGLE_TERMS, "or", searcher=s)
 
 
 N_HYBRID_CAND = 20  # per-leg candidate depth feeding the RRF fusion
@@ -3547,7 +3602,7 @@ QUERIES = {
     "syngraph_top10": q_syngraph_top10,
     "monitor_matches": q_monitor_matches,
     "media_decode": q_media_decode,
-    "repetition_stats": q_repetition_stats,
+    "shingle_bm25_top10": q_shingle_bm25_top10,
     "spell_top5": q_spell_top5,
     "facet_taxonomy": q_facet_taxonomy,
     "geo_distance_top10": q_geo_distance_top10,
@@ -3646,6 +3701,12 @@ QUERIES = {
     # span_multi_top10 (SpanMultiTermQueryWrapper) starts here too — the
     # merged-clause generalization of the span_near kernel that stays
     # driver-checked in-cap via span_near_top10
+    # repetition_stats rotated here late-r5 to admit shingle_bm25_top10
+    # (ShingleFilter — the first 1:N STREAM filter: the gram stream
+    # replaces the token stream, so df/tf/dl/avgdl all shift into bigram
+    # units): repetition_stats was driver-green in r4 and its per-row
+    # Gopher text path is unchanged in r5
+    "repetition_stats": q_repetition_stats,
     # term_set (TermInSetQuery/ConstantScore) starts in the rotation
     # bench directly: a distinct-over-decode composition whose postings
     # path is driver-checked in-cap via regexp_df and the BM25 gates
@@ -4852,6 +4913,30 @@ FROM f JOIN dl ON dl.doc_id = f.doc_id, avg
 ORDER BY ({idf_expr}) * freq / (freq + {K1} * (1.0 - {B} + {B} * dl.dl / avg.avgdl)) DESC, f.doc_id ASC
 LIMIT 10
 """
+
+    # --- shingle_2 grams field BM25 (aux _sh2 index) ------------------------
+    _shl = ", ".join(f"'{t}'" for t in SHINGLE_TERMS)
+    sqls["shingle_bm25_top10"] = f"""
+WITH {tokp},
+g AS (SELECT doc_id,
+             term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS term
+      FROM tokp),
+gtok AS (SELECT doc_id, term FROM g WHERE term IS NOT NULL),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM gtok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM gtok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN ({_shl}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM n) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM ad))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(sum(s), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
 
     sqls["span_near_top10"] = f"""
 WITH {tokp}, {TOKENS_CTE}, {DL_CTE},

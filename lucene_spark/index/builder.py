@@ -301,19 +301,82 @@ def _window_codes(
     if not token_filters:
         codes, uniq, dls, *rest = out
         return (codes, uniq, dls, None, *rest)
-    from lucene_spark.analysis.porter import filter_vocab
+    from lucene_spark.analysis.porter import filter_vocab, split_chain
 
     codes, uniq, dls, *rest = out
-    new_uniq, remap = filter_vocab(uniq, token_filters)
-    codes = remap[codes]
+    vocab_chain, sh_n = split_chain(token_filters)
     emitted = None
-    if remap.size and (remap < 0).any():
-        keep_cum = np.concatenate(
-            ([0], np.cumsum((codes >= 0).astype(np.int64)))
+    if vocab_chain:
+        new_uniq, remap = filter_vocab(uniq, vocab_chain)
+        codes = remap[codes]
+        uniq = new_uniq
+        if remap.size and (remap < 0).any():
+            keep_cum = np.concatenate(
+                ([0], np.cumsum((codes >= 0).astype(np.int64)))
+            )
+            off = np.concatenate(([0], np.cumsum(dls)))
+            emitted = (keep_cum[off[1:]] - keep_cum[off[:-1]]).astype(
+                dls.dtype
+            )
+    if sh_n is not None:
+        # stream-level 1:N pass — the n-gram stream REPLACES the token
+        # stream (dls become the emitted-gram counts; positions stay
+        # "slot in stream", which is exactly ShingleFilter's
+        # position assignment when outputUnigrams=False)
+        codes, uniq, dls, rest = _shingle_stream(
+            codes, uniq, dls, sh_n, tuple(rest)
         )
-        off = np.concatenate(([0], np.cumsum(dls)))
-        emitted = (keep_cum[off[1:]] - keep_cum[off[:-1]]).astype(dls.dtype)
-    return (codes, new_uniq, dls, emitted, *rest)
+        rest = list(rest)
+    return (codes, uniq, dls, emitted, *rest)
+
+
+def _shingle_stream(
+    codes: np.ndarray,
+    uniq: list,
+    dls: np.ndarray,
+    n: int,
+    rest: tuple,
+) -> tuple:
+    """Emit the n-gram-only token stream (ShingleFilter.java:34 with
+    min==max==n, outputUnigrams=False; grams join with the default " "
+    separator, ShingleFilter.DEFAULT_TOKEN_SEPARATOR). Pure numpy: gram
+    starts are every in-document window of n tokens (dl' = max(dl-n+1,
+    0) — arithmetic, no masks needed per doc), gram identity builds by
+    iterative 64-bit pair-keying + np.unique so the distinct-gram
+    vocabulary materializes once per window, never per token. Offsets
+    (``rest`` = (tok_st, tok_en)) become [start of first token, end of
+    last token) — OffsetAttribute semantics for a shingle."""
+    new_dls = np.maximum(dls - (n - 1), 0).astype(dls.dtype)
+    total = int(codes.shape[0])
+    if total < n or int(new_dls.sum()) == 0:
+        empty_rest = tuple(np.empty(0, dtype=np.int32) for _ in rest)
+        return (
+            np.empty(0, dtype=np.int32),
+            [],
+            new_dls,
+            empty_rest,
+        )
+    doc_of = np.repeat(np.arange(len(dls), dtype=np.int64), dls)
+    idx = np.arange(total - (n - 1), dtype=np.int64)
+    starts = idx[doc_of[idx] == doc_of[idx + n - 1]]
+    cur = codes[starts].astype(np.int64)
+    gram_strs = uniq
+    for d in range(1, n):
+        right = codes[starts + d].astype(np.int64)
+        key = (cur << 32) | right
+        uk, inv = np.unique(key, return_inverse=True)
+        lefts = (uk >> 32).astype(np.int64)
+        rights = (uk & 0xFFFFFFFF).astype(np.int64)
+        gram_strs = [
+            gram_strs[int(li)] + " " + uniq[int(ri)]
+            for li, ri in zip(lefts, rights)
+        ]
+        cur = inv.astype(np.int64)
+    new_rest = ()
+    if rest:
+        st, en = rest
+        new_rest = (st[starts], en[starts + n - 1])
+    return cur.astype(np.int32), gram_strs, new_dls, new_rest
 
 
 def _window_codes_raw(
@@ -1163,16 +1226,25 @@ def build_index(
             "tokenizer='whitespace' supports neither store_offsets, "
             "store_term_vectors, nor token_filters"
         )
-    from lucene_spark.analysis.porter import TOKEN_FILTERS, resolve_filter
+    from lucene_spark.analysis.porter import (
+        TOKEN_FILTERS,
+        resolve_filter,
+        shingle_size,
+        split_chain,
+    )
 
     token_filters = tuple(token_filters)
+    split_chain(token_filters)  # shingle placement / drop-combo rules
     for tf_name in token_filters:
+        if shingle_size(tf_name) is not None:
+            continue  # stream filter — validated by split_chain above
         try:
             resolve_filter(tf_name)
         except KeyError:
             raise ValueError(
                 f"unknown token filter {tf_name!r}; "
-                f"available: {sorted(TOKEN_FILTERS)} or length_<min>_<max>"
+                f"available: {sorted(TOKEN_FILTERS)}, length_<min>_<max>, "
+                f"truncate_<n>, or shingle_<n>"
             ) from None
     t0 = time.time()
     phases: dict[str, float] = {}

@@ -39,16 +39,29 @@ class OracleIndex:
             doc_ids if doc_ids is not None else range(len(contents)), dtype=np.int64
         )
         fns = []
+        sh_n = None
         if token_filters:
-            from lucene_spark.analysis.porter import resolve_filter
+            from lucene_spark.analysis.porter import (
+                resolve_filter,
+                split_chain,
+            )
 
-            fns = [resolve_filter(n) for n in token_filters]
+            vocab_chain, sh_n = split_chain(token_filters)
+            fns = [resolve_filter(n) for n in vocab_chain]
         post: dict[str, dict[int, list[int]]] = defaultdict(dict)
         dls = np.zeros(len(contents), dtype=np.int64)
         for row, text in enumerate(contents):
             toks: list[str | None] = list(analyze(text))
             for fn in fns:
                 toks = [fn(t) if t is not None else None for t in toks]
+            if sh_n is not None:
+                # stream shingling (drop-combos rejected by split_chain,
+                # so no None slots here); gram position = gram slot —
+                # the outputUnigrams=False ShingleFilter stream
+                toks = [
+                    " ".join(toks[i : i + sh_n])
+                    for i in range(len(toks) - sh_n + 1)
+                ]
             dls[row] = sum(1 for t in toks if t is not None)
             for pos, t in enumerate(toks):
                 if t is not None:

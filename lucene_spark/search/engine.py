@@ -2510,22 +2510,39 @@ class IndexSearcher:
         the SAME token-filter chain the index was built with (manifest
         ``token_filters`` — e.g. Porter stemming; EnglishAnalyzer.java:43
         pairs the chains index- and query-side so "running" finds "run")."""
-        if isinstance(query, str):
-            out = analyze(query)
-        else:
-            out = []
-            for q in query:
-                out.extend(analyze(q))
+        parts = [query] if isinstance(query, str) else list(query)
+        fns: list = []
+        sh_n = None
         if self._token_filters:
-            from lucene_spark.analysis.porter import resolve_filter
+            from lucene_spark.analysis.porter import (
+                resolve_filter,
+                split_chain,
+            )
 
-            fns = [resolve_filter(n) for n in self._token_filters]
+            vocab_chain, sh_n = split_chain(self._token_filters)
+            fns = [resolve_filter(n) for n in vocab_chain]
+        out: list[str] = []
+        # each list element is its own analyzed stream (QueryBuilder
+        # analyzes field query texts independently) — crucial for a
+        # shingle chain, where concatenating streams would fabricate
+        # grams across element boundaries
+        for q in parts:
+            toks = analyze(q)
             for fn in fns:
-                out = [fn(t) if t is not None else None for t in out]
+                toks = [fn(t) if t is not None else None for t in toks]
             # a dropping filter (StopFilter) removes the token from the
             # query too — QueryBuilder.createFieldQuery drops stopword
             # clauses the same way
-            out = [t for t in out if t]
+            toks = [t for t in toks if t]
+            if sh_n is not None:
+                # shingle index: the query stream shingles the same way;
+                # a query shorter than n tokens yields no grams and can
+                # match nothing on a grams-only field
+                toks = [
+                    " ".join(toks[i : i + sh_n])
+                    for i in range(len(toks) - sh_n + 1)
+                ]
+            out.extend(toks)
         return out
 
     def _empty_topk(self) -> DataFrame:

@@ -104,10 +104,15 @@ class Monitor:
         self.spark = spark
         self.token_filters = tuple(token_filters)
         fns = []
+        sh_n = None
         if self.token_filters:
-            from lucene_spark.analysis.porter import resolve_filter
+            from lucene_spark.analysis.porter import (
+                resolve_filter,
+                split_chain,
+            )
 
-            fns = [resolve_filter(n) for n in self.token_filters]
+            vocab_chain, sh_n = split_chain(self.token_filters)
+            fns = [resolve_filter(n) for n in vocab_chain]
         rows = []
         self._need: dict[str, int] = {}
         for qid, terms, mode in queries:
@@ -118,7 +123,15 @@ class Monitor:
                 toks = [fn(t) if t is not None else None for t in toks]
             # dropping filters (stop/length) remove the clause, like the
             # query-side analyzer in IndexSearcher._parse
-            toks = list(dict.fromkeys(t for t in toks if t))
+            toks = [t for t in toks if t]
+            if sh_n is not None:
+                # a shingle-field monitor matches on grams (each query's
+                # token stream shingles like the document side)
+                toks = [
+                    " ".join(toks[i : i + sh_n])
+                    for i in range(len(toks) - sh_n + 1)
+                ]
+            toks = list(dict.fromkeys(toks))
             if mode == "and":
                 need = len(toks)
             elif mode.startswith("msm"):
