@@ -264,12 +264,77 @@ def stop_en(word: str) -> str | None:
     return None if word in ENGLISH_STOP_WORDS else word
 
 
+def english_minimal_stem(word: str) -> str:
+    """EnglishMinimalStemFilter (reference lucene/analysis/common/src/
+    java/org/apache/lucene/analysis/en/EnglishMinimalStemmer.java —
+    S-stemmer, Donna Harman 1991): strip plural -s with the reference's
+    guards — words under 3 chars and -us/-ss endings unchanged; -ies ->
+    -y unless preceded by a/e; -es kept whole after i/a/o/e; otherwise
+    the final s drops (the switch's intentional fallthrough)."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    c2 = word[-2]
+    if c2 in ("u", "s"):
+        return word
+    if c2 == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("i", "a", "o", "e"):
+            return word
+    return word[:-1]
+
+
+# FrenchAnalyzer.DEFAULT_ARTICLES (FrenchAnalyzer.java:56) — the
+# standard elision set (l'avion -> avion)
+_ELISION_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+
+
+def elision(word: str) -> str:
+    """ElisionFilter (reference lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/util/ElisionFilter.java:32 with the French
+    default article set): if the token contains an apostrophe (ASCII '
+    or U+2019) and the prefix before the FIRST one is an article, strip
+    prefix + apostrophe; otherwise the token passes unchanged."""
+    idxs = [j for j in (word.find("'"), word.find("’")) if j >= 0]
+    if not idxs:
+        return word
+    i = min(idxs)
+    if word[:i] in _ELISION_ARTICLES:
+        return word[i + 1 :]
+    return word
+
+
+def decimal_digit(word: str) -> str:
+    """DecimalDigitFilter (reference lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/core/DecimalDigitFilter.java:29): fold
+    every non-Latin decimal digit (Arabic-Indic, Devanagari, full-width,
+    ...) to its 0-9 equivalent via its numeric value."""
+    if word.isascii():
+        return word
+    import unicodedata
+
+    out = []
+    for ch in word:
+        # Java Character.isDigit == Unicode DECIMAL_DIGIT_NUMBER (Nd);
+        # python str.isdigit is broader (superscripts), so use the
+        # decimal property directly
+        d = unicodedata.decimal(ch, None) if ch > "\x7f" else None
+        out.append(chr(ord("0") + d) if d is not None else ch)
+    return "".join(out)
+
+
 TOKEN_FILTERS = {
     "possessive": possessive,
     "porter": porter_stem,
     "ascii_folding": ascii_fold,
     "reverse": reverse_token,
     "stop_en": stop_en,
+    "english_minimal_stem": english_minimal_stem,
+    "elision": elision,
+    "decimal_digit": decimal_digit,
 }
 
 

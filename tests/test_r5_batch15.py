@@ -118,3 +118,82 @@ def test_sampled_facets_total_hits_shortcut(lang_frame):
 def test_sampled_facets_rejects_bad_size(lang_frame):
     with pytest.raises(ValueError):
         sampled_facet_counts(lang_frame, "lang", 0, "body")
+
+
+# --------------------------------------------------------------------------
+# batch-15 1:1 token filters: EnglishMinimalStem / Elision / DecimalDigit
+# (pytest-only like ascii_folding — the gate corpus has no plurals,
+# apostrophes, or non-Latin digits, so a duel there would be vacuous)
+# --------------------------------------------------------------------------
+
+
+def test_english_minimal_stem_goldens():
+    from lucene_spark.analysis.porter import english_minimal_stem as f
+
+    # EnglishMinimalStemmer.java switch table, branch by branch
+    assert f("dogs") == "dog"
+    assert f("tables") == "table"
+    assert f("cities") == "city"      # -ies -> -y
+    assert f("movies") == "movy"      # the reference's crude -ies too
+    assert f("bus") == "bus"          # -us unchanged
+    assert f("class") == "class"      # -ss unchanged
+    assert f("goes") == "goes"        # -es after o unchanged
+    assert f("heroes") == "heroes"
+    assert f("as") == "as"            # len < 3
+    assert f("gas") == "ga"           # len 3 default branch (faithful)
+    assert f("run") == "run"          # no trailing s
+
+
+def test_elision_goldens():
+    from lucene_spark.analysis.porter import elision as f
+
+    assert f("l'avion") == "avion"
+    assert f("d'or") == "or"
+    assert f("qu'elle") == "elle"
+    assert f("jusqu'ici") == "ici"
+    assert f("x'y") == "x'y"          # non-article prefix unchanged
+    assert f("avion") == "avion"
+    assert f("l’avion") == "avion"  # curly apostrophe
+
+
+def test_decimal_digit_goldens():
+    from lucene_spark.analysis.porter import decimal_digit as f
+
+    assert f("١٢٣abc") == "123abc"  # Arabic-Indic
+    assert f("４２") == "42"               # full-width
+    assert f("x²") == "x²"  # superscript is NOT Nd (Java parity)
+    assert f("abc") == "abc"
+
+
+def test_minstem_chain_e2e(spark, tmp_path):
+    """End-to-end: an english_minimal_stem index matches singular and
+    plural forms to the same dictionary entry, query-side too."""
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.engine import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "d1", "0", "t", "three dogs and tables"),
+            ("r", "d2", "0", "t", "one dog one table"),
+            ("r", "d3", "0", "t", "nothing here"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = str(tmp_path / "idx_min")
+    build_index(
+        spark, docs, out, partitions=2,
+        token_filters=("english_minimal_stem",),
+    )
+    s = IndexSearcher(spark, out)
+    assert s._parse("dogs") == ["dog"]
+    hits = {int(r["docID"]) for r in s.filter_docs("dog").collect()}
+    assert hits == {0, 1}
+    # chain composes with shingles: plural-folded bigrams
+    out2 = str(tmp_path / "idx_min_sh")
+    build_index(
+        spark, docs, out2, partitions=2,
+        token_filters=("english_minimal_stem", "shingle_2"),
+    )
+    s2 = IndexSearcher(spark, out2)
+    assert s2._parse("dogs and") == ["dog and"]
+    assert s2.count_term_set(["dog and"]) == 1
