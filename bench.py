@@ -177,6 +177,7 @@ def main() -> None:
         "complex_phrase_top10",
         "sampled_facets",
         "term_set",
+        "expr_sort_top10",
         # highlight_top10 / stemmed_bm25_top10 / term_vector_doc /
         # mlt_vector_top10 / payload_sum_top10 / suffix_top10 /
         # multi_shard_top10 / shingle_bm25_top10 are gate-only: each

@@ -3245,6 +3245,37 @@ def q_sampled_facets(spark, sf_dir):
     return out.orderBy("dim").withColumnRenamed("dim", "lang")
 
 
+# injective over doc_id so the k-cut is tie-free on both duel sides
+EXPR_SORT_SOURCE = "sqrt(n_chars) * 10 - docval / 1000000.0"
+
+
+def q_expr_sort_top10(spark, sf_dir):
+    """ExpressionSortField duel (Expression.getSortField via
+    ExpressionValueSource + DoubleValuesSource.getSortField): TERM_1's
+    match set (real postings decode) ranked by EXPR_SORT_SOURCE over
+    per-doc values instead of relevance — the expressions module's sort
+    surface; the same AST renders the DuckDB ORDER BY."""
+    s = searcher_for(spark, sf_dir)
+    hits = s.filter_docs(TERM_1)
+    dm = _docid_map(s)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    feats = (
+        dm.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "docID",
+            F.col("n_chars").cast("double").alias("n_chars"),
+            F.col("doc_id").cast("double").alias("docval"),
+        )
+    )
+    out = s.sort_by_expression(EXPR_SORT_SOURCE, feats, matches=hits, k=10)
+    return (
+        out.join(F.broadcast(dm), "docID")
+        .select("doc_id", F.col("sortkey").alias("sk"))
+        .orderBy(F.desc("sk"), F.asc("doc_id"))
+        .select("doc_id", F.round("sk", ROUND).alias("sortkey"))
+    )
+
+
 def q_facet_assoc_sum(spark, sf_dir):
     """Facet associations duel (facet/taxonomy/
     TaxonomyFacetIntAssociations.java:34): over TERM_1's matches, SUM the
@@ -3707,6 +3738,11 @@ QUERIES = {
     # units): repetition_stats was driver-green in r4 and its per-row
     # Gopher text path is unchanged in r5
     "repetition_stats": q_repetition_stats,
+    # expr_sort_top10 (ExpressionSortField) starts in the rotation bench
+    # directly: the Column backend is driver-checked in-cap via
+    # expr_rescore_top10, and the sort shape (TakeOrdered over a
+    # computed column) via dv_sort/diversified
+    "expr_sort_top10": q_expr_sort_top10,
     # term_set (TermInSetQuery/ConstantScore) starts in the rotation
     # bench directly: a distinct-over-decode composition whose postings
     # path is driver-checked in-cap via regexp_df and the BM25 gates
@@ -5345,6 +5381,20 @@ LIMIT 10"""
 WITH {TOKENS_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term IN ({_ts_list})
 ORDER BY doc_id LIMIT 15"""
+
+    from lucene_spark.search.expressions import compile_expression as _ce
+
+    _es_sql = _ce(EXPR_SORT_SOURCE).to_sql(
+        {"n_chars": "n_chars", "docval": "docval"}
+    )
+    sqls["expr_sort_top10"] = f"""
+WITH {TOKENS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{TERM_1}'),
+j AS (SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars,
+             CAST(d.doc_id AS DOUBLE) AS docval
+      FROM hits JOIN documents d USING (doc_id))
+SELECT doc_id, round({_es_sql}, {ROUND}) AS sortkey
+FROM j ORDER BY {_es_sql} DESC, doc_id ASC LIMIT 10"""
 
     sqls["sampled_facets"] = f"""
 WITH {TOKENS_CTE},

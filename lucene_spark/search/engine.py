@@ -2155,6 +2155,61 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def sort_by_expression(
+        self,
+        source: str,
+        doc_features: DataFrame,
+        matches: DataFrame | None = None,
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Expression sort — Expression.getSortField / DoubleValuesSortField
+        (reference lucene/expressions/src/java/org/apache/lucene/
+        expressions/ExpressionValueSource.java via Expression.
+        getDoubleValuesSource + core's DoubleValuesSource.getSortField):
+        rank docs by a compiled expression over per-doc values instead
+        of a relevance score. ``matches`` restricts to a (docID) match
+        set (e.g. filter_docs / search_term_set output); None sorts all
+        live docs. Variables bind to same-named ``doc_features`` columns
+        (missing docs bind 0.0, the sparse-docvalue default); the
+        ``score`` variable is not available here (sorts don't score —
+        use rescore_expression to mix relevance in).
+
+        Plan: one join + one Catalyst column + TakeOrderedAndProject —
+        the expression inlines into codegen, and top-k never sorts the
+        full corpus. Returns (docID, sortkey double) ordered by sortkey
+        (DESC by default), docID ASC."""
+        from lucene_spark.search.expressions import compile_expression
+
+        expr = compile_expression(source)
+        if "score" in expr.variables:
+            raise ValueError(
+                "sort expressions cannot bind 'score' (no relevance "
+                "pass); use rescore_expression for score mixing"
+            )
+        missing = set(expr.variables) - set(doc_features.columns)
+        if missing:
+            raise ValueError(f"doc_features lacks columns {sorted(missing)}")
+        feats = doc_features.select(
+            "docID",
+            *[F.col(v).cast(DoubleType()).alias(v) for v in expr.variables],
+        )
+        base = (
+            matches.select("docID")
+            if matches is not None
+            else self._live_docmap().select("docID")
+        )
+        joined = base.join(feats, "docID", "left")
+        bindings = {
+            v: F.coalesce(F.col(v), F.lit(0.0)) for v in expr.variables
+        }
+        out = joined.withColumn("sortkey", expr.to_column(bindings))
+        order = (
+            F.asc("sortkey") if ascending else F.desc("sortkey"),
+            F.asc("docID"),
+        )
+        return out.select("docID", "sortkey").orderBy(*order).limit(k)
+
     def mlt_terms(
         self,
         seed_text: str,

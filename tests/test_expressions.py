@@ -298,3 +298,66 @@ def test_rescore_expression_missing_features_errors(spark, built_index):
     first = searcher.search(["query"], k=5)
     with pytest.raises(ValueError, match="doc_features"):
         searcher.rescore_expression(first, "score + myvar", None, k=5)
+
+
+# --------------------------------------------------------------------------
+# ExpressionSortField analog
+# --------------------------------------------------------------------------
+
+
+def test_sort_by_expression(spark, built_index):
+    _, _, searcher = built_index
+    import numpy as np
+
+    n = searcher.manifest["doc_count"]
+    feats = spark.createDataFrame(
+        [(d, float((d * 37) % 101), float(d)) for d in range(n)],
+        "docID long, fval double, did double",
+    )
+    src = "ln(1 + fval) * 100 - did / 1000"  # injective
+    e = compile_expression(src)
+    got = searcher.sort_by_expression(src, feats, k=7).collect()
+    want = sorted(
+        (
+            (-e.evaluate({"fval": float((d * 37) % 101), "did": float(d)}), d)
+            for d in range(n)
+        ),
+    )[:7]
+    assert [r["docID"] for r in got] == [d for _, d in want]
+    for r, (neg, _) in zip(got, want):
+        assert r["sortkey"] == pytest.approx(-neg, rel=1e-12)
+    # ascending flips the order
+    asc = searcher.sort_by_expression(src, feats, k=7, ascending=True).collect()
+    want_asc = sorted(
+        (
+            (e.evaluate({"fval": float((d * 37) % 101), "did": float(d)}), d)
+            for d in range(n)
+        ),
+    )[:7]
+    assert [r["docID"] for r in asc] == [d for _, d in want_asc]
+
+
+def test_sort_by_expression_match_set_and_missing(spark, built_index):
+    _, _, searcher = built_index
+    # features only cover part of the corpus: missing docs bind 0.0
+    feats = spark.createDataFrame(
+        [(d, 100.0 + d) for d in range(5)], "docID long, v double"
+    )
+    matches = spark.createDataFrame(
+        [(d,) for d in (1, 3, 200, 201)], "docID long"
+    )
+    got = searcher.sort_by_expression(
+        "v", feats, matches=matches, k=10
+    ).collect()
+    assert [r["docID"] for r in got] == [3, 1, 200, 201]
+    assert got[0]["sortkey"] == 103.0
+    assert got[2]["sortkey"] == 0.0  # missing feature -> 0.0, docID tiebreak
+
+
+def test_sort_by_expression_rejects_score(spark, built_index):
+    _, _, searcher = built_index
+    feats = spark.createDataFrame([(0, 1.0)], "docID long, v double")
+    with pytest.raises(ValueError, match="score"):
+        searcher.sort_by_expression("score + v", feats, k=5)
+    with pytest.raises(ValueError, match="lacks"):
+        searcher.sort_by_expression("w", feats, k=5)
