@@ -420,6 +420,14 @@ def shingle_size(name: str) -> int | None:
     return None
 
 
+def shingle_tokens(toks: list, n: int) -> list:
+    """The query/replica-side gram stream: n-grams of ONE analyzed token
+    list, space-joined (ShingleFilter.DEFAULT_TOKEN_SEPARATOR). Shared
+    by engine._parse, OracleIndex, and Monitor so the three streams
+    cannot drift from the builder's _shingle_stream."""
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
 def split_chain(token_filters) -> tuple[tuple, int | None]:
     """Split an analyzer chain into (vocab_filters, shingle_n).
 

@@ -58,10 +58,9 @@ class OracleIndex:
                 # stream shingling (drop-combos rejected by split_chain,
                 # so no None slots here); gram position = gram slot —
                 # the outputUnigrams=False ShingleFilter stream
-                toks = [
-                    " ".join(toks[i : i + sh_n])
-                    for i in range(len(toks) - sh_n + 1)
-                ]
+                from lucene_spark.analysis.porter import shingle_tokens
+
+                toks = shingle_tokens(toks, sh_n)
             dls[row] = sum(1 for t in toks if t is not None)
             for pos, t in enumerate(toks):
                 if t is not None:

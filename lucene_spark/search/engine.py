@@ -857,6 +857,7 @@ class IndexSearcher:
         k: int = 10,
         mode: str = "or",
         prune: bool = False,
+        pre_analyzed: bool = False,
     ) -> DataFrame:
         """Top-k DataFrame (docID long, score float) for a bag of terms.
 
@@ -868,8 +869,16 @@ class IndexSearcher:
         CONTRACT: repeated query terms score ONCE (deduplicated) — the
         oracle dedups identically; Lucene's BooleanQuery would keep
         duplicate SHOULD clauses and double the contribution.
+
+        pre_analyzed=True takes the terms VERBATIM (caller already ran
+        the analyzer chain — e.g. a dictionary expansion; re-analysis
+        could re-stem an already-stemmed term).
         """
-        terms = self._parse(query)
+        terms = (
+            ([query] if isinstance(query, str) else list(query))
+            if pre_analyzed
+            else self._parse(query)
+        )
         stats = self.term_stats(terms)
         present = [t for t in terms if t in stats]
         if not present or (mode == "and" and len(present) < len(set(terms))):
@@ -2142,7 +2151,15 @@ class IndexSearcher:
                     for v in feat_vars
                 ],
             )
-            base = base.hint("broadcast").join(feats, "docID", "left")
+            # bound the (possibly corpus-sized) features frame to the
+            # window FIRST via a broadcast inner join, then left-join
+            # the now-window-sized result back — broadcasting the
+            # preserved side of a left join is impossible, so hinting
+            # `base` would silently shuffle all of doc_features
+            feats_w = feats.join(
+                F.broadcast(base.select("docID")), "docID"
+            )
+            base = base.join(F.broadcast(feats_w), "docID", "left")
         bindings = {"score": F.col("_s1")}
         for v in feat_vars:
             bindings[v] = F.coalesce(F.col(v), F.lit(0.0))
@@ -2593,10 +2610,9 @@ class IndexSearcher:
                 # shingle index: the query stream shingles the same way;
                 # a query shorter than n tokens yields no grams and can
                 # match nothing on a grams-only field
-                toks = [
-                    " ".join(toks[i : i + sh_n])
-                    for i in range(len(toks) - sh_n + 1)
-                ]
+                from lucene_spark.analysis.porter import shingle_tokens
+
+                toks = shingle_tokens(toks, sh_n)
             out.extend(toks)
         return out
 
@@ -3604,10 +3620,12 @@ class IndexSearcher:
                 # pre-wrapper parse behavior
                 clauses.extend(self._parse(slot))
         if len(clauses) == 1:
+            # clauses are analyzed by THIS loop either way — the
+            # delegates must not run the chain a second time
             c = clauses[0]
             if isinstance(c, str):
-                return self.search([c], k=k)
-            return self.search_span_or(list(c), k=k)
+                return self.search([c], k=k, pre_analyzed=True)
+            return self.search_span_or(list(c), k=k, pre_analyzed=True)
         scored = (
             self.span_near_scores(clauses, slop)
             if ordered
@@ -3651,7 +3669,10 @@ class IndexSearcher:
             return self._empty_topk()
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
-    def search_span_or(self, terms: str | list[str], k: int = 10) -> DataFrame:
+    def search_span_or(
+        self, terms: str | list[str], k: int = 10,
+        pre_analyzed: bool = False,
+    ) -> DataFrame:
         """SpanOrQuery top-k over term clauses
         (queries/spans/SpanOrQuery.java): the span disjunction emits every
         clause occurrence (width 0, slop factor 1 each —
@@ -3666,7 +3687,11 @@ class IndexSearcher:
         sum(tf) (map-side partial agg) -> one Arrow-batched scoring UDF;
         absent terms drop out of both freq and weight (a TermStates with
         zero docFreq contributes no scorer)."""
-        parsed = self._parse(terms)
+        parsed = (
+            ([terms] if isinstance(terms, str) else list(terms))
+            if pre_analyzed
+            else self._parse(terms)
+        )
         stats = self.term_stats(parsed)
         present = [t for t in dict.fromkeys(parsed) if t in stats]
         if not present:

@@ -437,6 +437,17 @@ def _py_minmax(f):
     return g
 
 
+def _py_cosh(x: float) -> float:
+    # cosh is even: overflow (math.cosh raises just past ~710.476)
+    # saturates to +inf regardless of sign
+    if math.isnan(x):
+        return float("nan")
+    try:
+        return math.cosh(x)
+    except OverflowError:
+        return float("inf")
+
+
 def _py_pow(a: float, b: float) -> float:
     # Java Math.pow: pow(x, 0) == 1 even for NaN x; |x| == 1 with an
     # infinite exponent is NaN (C99 pow returns 1 there — the Column
@@ -479,10 +490,7 @@ _PY_FUNCS: dict[str, Callable] = {
     "atanh": _py_atanh,
     "ceil": _safe1(lambda x: float(math.ceil(x)) if math.isfinite(x) else x),
     "cos": _safe1(math.cos),
-    "cosh": lambda x: (
-        float("nan") if math.isnan(x)
-        else (math.cosh(x) if abs(x) < 711 else float("inf"))
-    ),
+    "cosh": lambda x: _py_cosh(x),
     "exp": _safe1(math.exp),
     "floor": _safe1(lambda x: float(math.floor(x)) if math.isfinite(x) else x),
     "haversin": _py_haversin_km,
@@ -568,7 +576,13 @@ def _py_eval_double(node: Node, env: dict[str, float]) -> float:
 
 def _py_eval_long(node: Node, env: dict[str, float]) -> int:
     if node.kind == "num" and float(node.val).is_integer():
-        return _wrap_long(int(node.val))
+        # within long range the integral literal is exact; beyond it,
+        # saturate like d2l (JavascriptCompiler pushes the double and
+        # converts — it never wraps)
+        v = int(node.val)
+        if LONG_MIN <= v <= LONG_MAX:
+            return v
+        return _d2l(float(node.val))
     if node.kind == "unary" and node.val == "~":
         return _wrap_long(~_py_eval_long(node.args[0], env))
     if node.kind == "bin" and node.val in ("&", "|", "^", "<<", ">>", ">>>"):
@@ -933,9 +947,11 @@ def _sql_asinacos(fn: str):
 _SQL_FUNCS: dict[str, Callable] = {
     "abs": lambda x: f"abs({x})",
     "acos": _sql_asinacos("acos"),
-    "acosh": lambda x: (
-        f"(CASE WHEN isnan({x}) OR ({x}) < 1.0 THEN {_NAN} "
-        f"ELSE ln(sqrt(({x})*({x}) - 1.0) + ({x})) END)"
+    # formula replicated blindly (like py/Column): for x <= -1.34e154,
+    # x*x overflows to inf and the result is +inf, matching MathUtil's
+    # unguarded arithmetic — a domain guard here would diverge
+    "acosh": lambda x: _sql_ln(
+        f"({_sql_sqrt(f'(({x})*({x}) - 1.0)')} + ({x}))"
     ),
     "asin": _sql_asinacos("asin"),
     "asinh": lambda x: (
@@ -982,7 +998,10 @@ _SQL_FUNCS: dict[str, Callable] = {
     "sqrt": _sql_sqrt,
     "tan": _sql_trig("tan"),
     "tanh": lambda x: (
-        f"(CASE WHEN ({x}) > 20.0 THEN 1.0 WHEN ({x}) < -20.0 THEN -1.0 "
+        # isnan FIRST: DuckDB orders NaN above every number, so the
+        # x > 20 saturation guard would otherwise fire on NaN
+        f"(CASE WHEN isnan({x}) THEN {_NAN} "
+        f"WHEN ({x}) > 20.0 THEN 1.0 WHEN ({x}) < -20.0 THEN -1.0 "
         f"ELSE (exp(2.0*({x})) - 1.0) / (exp(2.0*({x})) + 1.0) END)"
     ),
 }

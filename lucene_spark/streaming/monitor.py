@@ -127,10 +127,9 @@ class Monitor:
             if sh_n is not None:
                 # a shingle-field monitor matches on grams (each query's
                 # token stream shingles like the document side)
-                toks = [
-                    " ".join(toks[i : i + sh_n])
-                    for i in range(len(toks) - sh_n + 1)
-                ]
+                from lucene_spark.analysis.porter import shingle_tokens
+
+                toks = shingle_tokens(toks, sh_n)
             toks = list(dict.fromkeys(toks))
             if mode == "and":
                 need = len(toks)

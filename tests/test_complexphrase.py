@@ -135,3 +135,34 @@ def test_pre_analyzed_skips_reanalysis(spark, tmp_path):
     assert "run" in exp
     got = search_complex_phrase(s, "run* jump*", slop=1, k=10)
     assert got.count() >= 1  # d1: running jumping adjacent
+
+
+def test_single_clause_not_reanalyzed_on_stemmed_index(spark, tmp_path):
+    """Porter is not idempotent: a single-word complex phrase must not
+    push its DICTIONARY expansion back through the analyzer (the
+    len==1 span_near fallback once did — stem('pony')='poni',
+    stem('poni')='pony'... the double-stem produced absent terms)."""
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.engine import IndexSearcher
+    from lucene_spark.analysis.porter import porter_stem
+
+    # find a corpus word whose stem is NOT a porter fixed point
+    word = "universities"
+    s1 = porter_stem(word)
+    assert porter_stem(s1) != s1  # the premise: univers -> univ
+    docs = spark.createDataFrame(
+        [
+            ("r", "d1", "0", "t", f"{word} research"),
+            ("r", "d2", "0", "t", "other text"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = str(tmp_path / "idx_fp")
+    build_index(spark, docs, out, partitions=2, token_filters=("porter",))
+    s = IndexSearcher(spark, out)
+    # single plain word -> one clause -> search() fallback
+    got = search_complex_phrase(s, word, k=5)
+    assert [r["docID"] for r in got.collect()] == [0]
+    # single wildcard word -> one SpanOr clause -> span_or fallback
+    got2 = search_complex_phrase(s, "univers*", k=5)
+    assert [r["docID"] for r in got2.collect()] == [0]

@@ -23,8 +23,8 @@ from lucene_spark.search.expressions import compile_expression
 
 VALS = [
     0.0, 1.0, -1.0, 0.5, -0.5, 2.5, -2.5, 3.0, 7.0, 100.25, -17.75,
-    1e9, -1e9, 5e18, 1.5e19, -1.5e19, 1e300, float("inf"),
-    float("-inf"), float("nan"), 0.1, 63.0, 64.0, 65.0, -3.0,
+    1e9, -1e9, 5e18, 1.5e19, -1.5e19, 1e300, -1e300, float("inf"),
+    float("-inf"), float("nan"), 0.1, 63.0, 64.0, 65.0, -3.0, 710.6,
 ]
 
 # every operator level, conversion boundary, and default function
@@ -60,6 +60,7 @@ DUEL_EXPRS = [
     "asin(a) + acos(b)",
     "atan(a) + atan2(a, b)",
     "sinh(min(a, 5)) + cosh(min(b, 5)) + tanh(a)",
+    "cosh(a) + tanh(b)",
     "asinh(a) + acosh(a) + atanh(a)",
     "ceil(a) + floor(b)",
     "haversin(40.7, -74.0, a / 10, b / 10)",
@@ -167,6 +168,19 @@ def test_truthiness_is_d2i():
     assert _ev("!0.5") == 1.0
     assert _ev("0.5 && 1") == 0.0
     assert _ev("0.5 || 0") == 0.0
+
+
+def test_integral_literal_saturates_not_wraps():
+    # a decimal literal beyond long range saturates through d2l in the
+    # reference (doubles + d2l), never two's-complement wraps
+    assert _ev("10000000000000000000 & -1") == float((1 << 63) - 1)
+    assert _ev("-10000000000000000000 | 0") == float(-(1 << 63))
+
+
+def test_cosh_overflow_edge():
+    # math.cosh raises just past ~710.476; all backends give +inf
+    assert _ev("cosh(a)", a=710.6) == float("inf")
+    assert _ev("cosh(a)", a=-710.6) == float("inf")
 
 
 def test_long_chain_precision():
@@ -298,6 +312,23 @@ def test_rescore_expression_missing_features_errors(spark, built_index):
     first = searcher.search(["query"], k=5)
     with pytest.raises(ValueError, match="doc_features"):
         searcher.rescore_expression(first, "score + myvar", None, k=5)
+
+
+def test_rescore_expression_window_bounds_feature_join(spark, built_index):
+    """The features frame must be bounded to the window by a broadcast
+    join BEFORE the left join — a broadcast hint on the preserved side
+    of a left join is unusable and would shuffle the full frame."""
+    _, _, searcher = built_index
+    n = searcher.manifest["doc_count"]
+    feats = spark.createDataFrame(
+        [(d, float(d)) for d in range(n)], "docID long, fv double"
+    )
+    first = searcher.search(["query"], k=10)
+    plan = searcher.rescore_expression(
+        first, "score + fv / 1000", feats, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 # --------------------------------------------------------------------------
