@@ -393,6 +393,7 @@ class OracleIndex:
         not_containing: str | None = None,
         before: str | None = None,
         after: str | None = None,
+        max_width: int | None = None,
     ) -> dict[int, int]:
         """row -> number of MINIMAL intervals spanning all terms with
         total gaps <= max_gaps (Intervals.maxgaps); with `containing`,
@@ -401,8 +402,9 @@ class OracleIndex:
         (Intervals.notContaining — an absent subtrahend subtracts
         nothing); `before`/`after` keep intervals with some same-doc
         occurrence strictly after the end / before the start
-        (Intervals.before/after). Reference implementation with explicit
-        per-doc loops."""
+        (Intervals.before/after); `max_width` keeps intervals with
+        extent end-start+1 <= w (Intervals.maxwidth). Reference
+        implementation with explicit per-doc loops."""
         conj = [t for t in (containing, before, after) if t is not None]
         if any(t not in self.postings for t in terms + conj):
             return {}
@@ -444,6 +446,7 @@ class OracleIndex:
                     1
                     for e, s in by_end.items()
                     if (e - s) - (n - 1) <= max_gaps
+                    and (max_width is None or e - s + 1 <= max_width)
                     and (
                         inner_pos is None
                         or bool(((inner_pos >= s) & (inner_pos <= e)).any())
@@ -474,6 +477,7 @@ class OracleIndex:
                     1
                     for e, s in by_end2.items()
                     if (e - s) - (n - 1) <= max_gaps
+                    and (max_width is None or e - s + 1 <= max_width)
                 )
             if cnt:
                 out[r] = cnt

@@ -4324,6 +4324,7 @@ class IndexSearcher:
         not_containing: str | None = None,
         before: str | None = None,
         after: str | None = None,
+        max_width: int | None = None,
     ) -> DataFrame:
         """Interval query over stored positions: top-k docs by the number
         of MINIMAL intervals spanning all terms with total gap count
@@ -4353,7 +4354,11 @@ class IndexSearcher:
             (Intervals.before — source intervals appearing before the
             reference).
           after=<t>: intervals that start after some occurrence of t
-            (Intervals.after)."""
+            (Intervals.after).
+
+        max_width=<w>: keep minimal intervals whose EXTENT end-start+1
+        is at most w (Intervals.maxwidth — both modes; composes with
+        max_gaps, the two wrappers filter independently)."""
         terms = self._parse(terms if isinstance(terms, str) else " ".join(terms))
         if len(terms) < 2:
             raise ValueError("interval queries need at least two terms")
@@ -4409,6 +4414,12 @@ class IndexSearcher:
             filter_specs.append((tidx[aft], "after"))
         n_terms = len(terms)
         gaps = int(max_gaps)
+        if max_width is not None and max_width < len(terms):
+            # an interval spans all terms, so its extent is >= n_terms
+            return self.spark.createDataFrame(
+                [], "docID long, n_intervals long"
+            )
+        wcap = None if max_width is None else int(max_width) - 1  # extent-1
         out_schema = StructType(
             [StructField("docID", LongType()), StructField("n_intervals", LongType())]
         )
@@ -4516,6 +4527,8 @@ class IndexSearcher:
                     minimal = last_of_doc | (endv != nxt_end)
                     width = endv - startv  # same doc => plain position diff
                     count = minimal & (endv < big) & (width - (n_terms - 1) <= gaps)
+                    if wcap is not None:
+                        count &= width <= wcap
                     if fmask is not None:
                         count &= fmask
                     n_per_doc = np.add.reduceat(
@@ -4556,6 +4569,8 @@ class IndexSearcher:
                     valid = minimal & (end < big) & (
                         width - (n_terms - 1) <= gaps
                     ) & (width < SHIFT // 2)
+                    if wcap is not None:
+                        valid &= width <= wcap
                     dr = (e // SHIFT).astype(np.int64)
                     n_per_doc = np.bincount(
                         dr[valid], minlength=n_docs

@@ -197,3 +197,39 @@ def test_minstem_chain_e2e(spark, tmp_path):
     s2 = IndexSearcher(spark, out2)
     assert s2._parse("dogs and") == ["dog and"]
     assert s2.count_term_set(["dog and"]) == 1
+
+
+# --------------------------------------------------------------------------
+# Intervals.maxwidth (queries/intervals/Intervals.java maxwidth wrapper)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+@pytest.mark.parametrize("width", [2, 3, 5])
+def test_interval_maxwidth_duel(built_index, ordered, width):
+    _, oracle, s = built_index
+    terms = ["getvalue0", "var0"]
+    got = {
+        int(r["docID"]): r["n_intervals"]
+        for r in s.search_intervals(
+            terms, max_gaps=10, ordered=ordered, k=1000,
+            max_width=width,
+        ).collect()
+    }
+    exp = oracle.interval_counts(
+        terms, max_gaps=10, ordered=ordered, max_width=width
+    )
+    assert got == {int(k): v for k, v in exp.items()}
+
+
+def test_interval_maxwidth_monotone_and_floor(built_index):
+    _, _, s = built_index
+    terms = ["getvalue0", "var0"]
+    wide = s.search_intervals(terms, max_gaps=10, k=1000, max_width=50)
+    tight = s.search_intervals(terms, max_gaps=10, k=1000, max_width=2)
+    w = {r["docID"]: r["n_intervals"] for r in wide.collect()}
+    t = {r["docID"]: r["n_intervals"] for r in tight.collect()}
+    assert set(t) <= set(w)
+    assert all(t[d] <= w[d] for d in t)
+    # an interval spans all terms: extent < n_terms can match nothing
+    assert s.search_intervals(terms, max_gaps=10, k=10, max_width=1).count() == 0
